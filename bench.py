@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced with a noop-format write (full computation, no
+driver-side collect, no disk) — the closest local analog to a cluster
+materialization. Protocol details in BASELINE.md §B.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+
+    from multiomix_aws_emr_spark.queries import QUERIES
+    from multiomix_aws_emr_spark.session import build_session
+
+    spark = build_session(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths once before timing.
+    _force(QUERIES["flagship_revenue_by_region"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for qid in sorted(QUERIES):
+        start = time.perf_counter()
+        _force(QUERIES[qid](spark, sf_dir))
+        timings[qid] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,213 @@
+"""Aggregations: global, grouped, distinct, stats, rollup/cube/sets, pivot.
+
+Reference analogs: the per-host dict-loop aggregation
+(`scripts/metaheuristics.py:617-645`, R19) and the idle-time mean/std
+(`:707-714`, R20 — NB `np.std` is population sigma, so `stddev_pop`).
+Everything compiles to Spark's two-phase hash aggregate (partial map-side
+combine, then final after one shuffle on the group keys) — the shape that
+scales linearly with input and never materializes on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multiomix_aws_emr_spark.queries.registry import query
+from multiomix_aws_emr_spark.sources.tables import events_v, load, with_events_v
+
+
+@query(
+    "agg_global",
+    oracle=(
+        "SELECT COUNT(*) AS n, MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_price FROM lineitem"
+    ),
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global aggregate — partial per partition, single final reduce."""
+    return load(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_quantity").alias("min_q"),
+        F.max("l_quantity").alias("max_q"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "agg_groupby",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+        "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "ROUND(AVG(l_discount), 4) AS avg_disc "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped hash aggregate (ref analog R19)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle=(
+        "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust "
+        "FROM orders GROUP BY o_orderstatus"
+    ),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate — Spark expands to a 2-phase plan automatically."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_cust"))
+    )
+
+
+@query(
+    "agg_stats",
+    oracle=with_events_v(
+        "SELECT event_type, COUNT(*) AS n, ROUND(AVG(value), 4) AS mean_v, "
+        "ROUND(STDDEV_SAMP(value), 4) AS sd_samp, "
+        "ROUND(STDDEV_POP(value), 4) AS sd_pop, "
+        "ROUND(VAR_SAMP(value), 4) AS var_samp "
+        "FROM events_v GROUP BY event_type"
+    ),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (ref: np.mean/np.std idle-time metrics,
+    metaheuristics.py:707-714, R20 — np.std == stddev_pop)."""
+    return (
+        events_v(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("mean_v"),
+            F.round(F.stddev_samp("value"), 4).alias("sd_samp"),
+            F.round(F.stddev_pop("value"), 4).alias("sd_pop"),
+            F.round(F.var_samp("value"), 4).alias("var_samp"),
+        )
+    )
+
+
+@query(
+    "agg_null_counts",
+    oracle=(
+        "SELECT COUNT(*) - COUNT(o_custkey) AS nulls_custkey, "
+        "COUNT(*) - COUNT(o_totalprice) AS nulls_totalprice, "
+        "COUNT(*) - COUNT(o_orderdate) AS nulls_orderdate FROM orders"
+    ),
+)
+def agg_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null counts (ref: dropna(axis='columns') data-driven column
+    pruning, utils.py:33, R3 — this is its first pass)."""
+    o = load(spark, sf_dir, "orders")
+    n_all = F.count(F.lit(1))
+    return o.agg(
+        (n_all - F.count("o_custkey")).alias("nulls_custkey"),
+        (n_all - F.count("o_totalprice")).alias("nulls_totalprice"),
+        (n_all - F.count("o_orderdate")).alias("nulls_orderdate"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=(
+        "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n, "
+        "CAST(GROUPING(o_orderpriority) + 2*GROUPING(o_orderstatus) AS INTEGER) AS gid "
+        "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"
+    ),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.grouping("o_orderpriority") + 2 * F.grouping("o_orderstatus"))
+        .cast("int")
+        .alias("gid"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+        "CAST(GROUPING(l_returnflag) + 2*GROUPING(l_linestatus) AS INTEGER) AS gid "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+    ),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.grouping("l_returnflag") + 2 * F.grouping("l_linestatus"))
+        .cast("int")
+        .alias("gid"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=(
+        "SELECT c_mktsegment, c_nationkey, COUNT(*) AS n, "
+        "CAST(GROUPING(c_mktsegment) + 2*GROUPING(c_nationkey) AS INTEGER) AS gid "
+        "FROM customer GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())"
+    ),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL surface (the idiomatic Spark API
+    for this shape)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_gs")
+    return spark.sql(
+        "SELECT c_mktsegment, c_nationkey, COUNT(*) AS n, "
+        "CAST(GROUPING(c_mktsegment) + 2*GROUPING(c_nationkey) AS INT) AS gid "
+        "FROM customer_gs GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())"
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: approx result has no exact oracle
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct count — the sketch that replaces exact
+    COUNT(DISTINCT) at 100 TB (one pass, mergeable, no expand)."""
+    return load(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("n_parts_approx")
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pivot_wide",
+    oracle=with_events_v(
+        "SELECT user_id, "
+        + ", ".join(
+            f"ROUND(COALESCE(SUM(value) FILTER (WHERE event_type='{t}'), 0), 2) AS {t}"
+            for t in _EVENT_TYPES
+        )
+        + " FROM events_v GROUP BY user_id"
+    ),
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long -> wide pivot (the D1 transpose machinery: ref utils.py:53
+    transposes the molecules matrix on load, R1). Explicit value list so the
+    plan is a single pass — no extra distinct-values job."""
+    ev = events_v(spark, sf_dir)
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum("value"))
+        .na.fill(0.0, subset=_EVENT_TYPES)
+    )
+    return wide.select(
+        "user_id", *[F.round(F.col(t), 2).alias(t) for t in _EVENT_TYPES]
+    )

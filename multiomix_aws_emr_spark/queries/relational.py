@@ -1,0 +1,440 @@
+"""Relational core: scans, projections, filters, joins, sort/limit, set ops.
+
+Declared queries from SURVEY.md §2.2 (semantics = Appendix A). Reference
+analogs cited per query; everything here is pure DataFrame API so Catalyst
+does pushdown/pruning/join-selection — no hand-scheduling.
+
+Scale notes (100 TB design point):
+- Dimension joins (`nation`, `region`, inline VALUES, `part` at small SF)
+  are explicitly ``F.broadcast``-hinted: no shuffle of the fact side.
+- Fact-fact joins (orders x customer) are left to Catalyst: sort-merge with
+  AQE skew splitting; both sides shuffle on the join key exactly once.
+- The theta/range join broadcasts the small side to avoid a cartesian
+  shuffle (BroadcastNestedLoopJoin); at scale the small side must stay
+  under the broadcast threshold or be banded (see operators/asof.py for
+  the banding pattern).
+- The as-of join deliberately avoids the naive range-join + re-aggregate
+  (which explodes to O(purchases x signups) per user) in favor of a single
+  shuffle by user + ordered window scan — O(n log n) per user partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from multiomix_aws_emr_spark.functions.projection import project_by_mask
+from multiomix_aws_emr_spark.queries.registry import query
+from multiomix_aws_emr_spark.sources.tables import events_v, load, with_events_v
+
+# --------------------------------------------------------------------------
+# scans / projections
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scan_projection",
+    oracle="SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
+)
+def scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned parquet scan (ref: utils.py:53 TSV scan, R1/R6).
+
+    The projection reaches the scan: ReadSchema lists only 3 columns.
+    """
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+
+
+_INLINE_ROWS = [(k, "even" if k % 2 == 0 else "odd") for k in range(25)]
+_INLINE_VALUES_SQL = ", ".join(f"({k},'{tag}')" for k, tag in _INLINE_ROWS)
+
+
+@query(
+    "scan_inline_values",
+    oracle=(
+        "SELECT n.n_nationkey, n.n_name, v.tag "
+        f"FROM (VALUES {_INLINE_VALUES_SQL}) AS v(k, tag) "
+        "JOIN nation n ON n.n_nationkey = v.k"
+    ),
+)
+def scan_inline_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-list -> distributed dataset (ref: sc.parallelize,
+    metaheuristics.py:207/248, R7) via createDataFrame + broadcast join."""
+    vals = spark.createDataFrame(_INLINE_ROWS, schema="k INT, tag STRING")
+    nation = load(spark, sf_dir, "nation")
+    return nation.join(
+        F.broadcast(vals), nation.n_nationkey == vals.k, "inner"
+    ).select("n_nationkey", "n_name", "tag")
+
+
+@query(
+    "project_columns",
+    oracle="SELECT c_custkey, c_name, c_acctbal FROM customer",
+)
+def project_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-based projection (ref: utils.py:75-77, R6)."""
+    return load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "project_mask",
+    oracle="SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+)
+def project_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional 0/1-mask projection (ref: utils.py:66-74 `get_columns_from_df`
+    positional branch, R6). Mask [1,0,0,1,0,1,0,0,0,0,0] over lineitem's 11
+    columns in schema order -> columns 0, 3, 5."""
+    mask = [1, 0, 0, 1, 0, 1, 0, 0, 0, 0, 0]
+    return project_by_mask(load(spark, sf_dir, "lineitem"), mask)
+
+
+@query(
+    "cast_types",
+    oracle=(
+        "SELECT o_orderkey, "
+        "CAST(o_orderkey AS DOUBLE) AS orderkey_d, "
+        "CAST(ROUND(o_totalprice, 0) AS BIGINT) AS totalprice_i, "
+        "CAST(o_orderdate AS DATE) AS orderdate_d "
+        "FROM orders"
+    ),
+)
+def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-cast surface (ref: utils.py:35 float64 cast, utils.py:59-62
+    bool/float clinical casts, R2/R5)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("double").alias("orderkey_d"),
+        F.round("o_totalprice", 0).cast("bigint").alias("totalprice_i"),
+        F.col("o_orderdate").cast("date").alias("orderdate_d"),
+    )
+
+
+# --------------------------------------------------------------------------
+# filters
+# --------------------------------------------------------------------------
+
+
+@query(
+    "filter_predicate",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_discount "
+        "FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05"
+    ),
+)
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive range predicate, pushed to the parquet scan (R4)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") > 30) & (F.col("l_discount") < 0.05)).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
+
+
+@query(
+    "filter_finite",
+    oracle=with_events_v(
+        "SELECT event_id, ROUND(value, 2) AS value_r FROM events_v "
+        "WHERE value IS NOT NULL AND isfinite(value)"
+    ),
+)
+def filter_finite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL/NaN/±Inf row filter (ref: utils.py:34 `~df.isin([nan, inf,
+    -inf]).any('columns')`, R4)."""
+    ev = events_v(spark, sf_dir)
+    v = F.col("value")
+    return ev.filter(
+        v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
+    ).select("event_id", F.round(v, 2).alias("value_r"))
+
+
+@query(
+    "filter_exists_semi",
+    oracle=(
+        "SELECT c_custkey, c_name FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    ),
+)
+def filter_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join (ref analog: validations.py:4-18 linear
+    containment scan, R39)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_inner",
+    oracle=(
+        "SELECT o.o_orderkey, ROUND(o.o_totalprice, 2) AS o_totalprice_r, "
+        "c.c_name, c.c_mktsegment "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    ),
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join; Catalyst picks SMJ/BHJ, AQE may demote to
+    broadcast at runtime (closure — reference has no joins)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice_r"),
+        "c_name",
+        "c_mktsegment",
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle=(
+        "SELECT l.l_orderkey, l.l_linenumber, p.p_brand, p.p_type "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"
+    ),
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join: the dimension ships to every executor,
+    the fact side never shuffles (ref: sc.broadcast of X, core.py:167-169,
+    R12/P1)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "inner").select(
+        "l_orderkey", "l_linenumber", "p_brand", "p_type"
+    )
+
+
+@query(
+    "join_multiway",
+    oracle=(
+        "SELECT c.c_custkey, n.n_name, r.r_name "
+        "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey"
+    ),
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake chain: both dims broadcast — zero shuffles of customer."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle=(
+        "SELECT c.c_custkey, o.o_orderkey "
+        "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey"
+    ),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-preserving outer join (fixture guarantees order-less customers)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@query(
+    "join_anti",
+    oracle=(
+        "SELECT c.c_custkey, c.c_name FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    ),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle=(
+        "SELECT p.p_partkey, s.s_suppkey FROM part p JOIN supplier s "
+        "ON p.p_retailprice BETWEEN s.s_acctbal - 500 AND s.s_acctbal + 500"
+    ),
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (band) join. The small side is broadcast so the plan is a
+    BroadcastNestedLoopJoin — each fact partition streams once against the
+    in-memory dimension instead of a shuffled cartesian product."""
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    cond = (F.col("p_retailprice") >= F.col("s_acctbal") - 500) & (
+        F.col("p_retailprice") <= F.col("s_acctbal") + 500
+    )
+    return p.join(F.broadcast(s), cond, "inner").select("p_partkey", "s_suppkey")
+
+
+@query(
+    "join_asof_event",
+    oracle=with_events_v(
+        "SELECT p.event_id, p.user_id, MAX(s.ts_ms) AS signup_ts_ms "
+        "FROM events_v p JOIN events_v s "
+        "ON s.user_id = p.user_id AND s.event_type = 'signup' "
+        "AND s.ts_ms <= p.ts_ms "
+        "WHERE p.event_type = 'purchase' "
+        "GROUP BY p.event_id, p.user_id"
+    ),
+)
+def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest signup at-or-before each purchase, per user.
+
+    Spark has no native ASOF JOIN; the scalable plan is NOT the oracle's
+    range join + re-aggregate (quadratic per user) but a union + single
+    window scan: one shuffle by user_id, then `last(signup_ts, ignorenulls)`
+    over the time-ordered partition. Implemented generically in
+    operators/asof.py.
+    """
+    from multiomix_aws_emr_spark.operators.asof import asof_latest_prior
+
+    ev = events_v(spark, sf_dir)
+    return asof_latest_prior(
+        ev,
+        user_col="user_id",
+        time_col="ts_ms",
+        type_col="event_type",
+        anchor_type="purchase",
+        lookup_type="signup",
+        id_col="event_id",
+        out_col="signup_ts_ms",
+    )
+
+
+# --------------------------------------------------------------------------
+# sort / limit
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sort_limit_topk",
+    oracle=(
+        "SELECT o_orderkey, ROUND(o_totalprice, 2) AS price_r FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    ),
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k with total tie-break (ref: argmax black-hole selection +
+    fewer-features tie-break, metaheuristics.py:169-192/670-681, R14/R15).
+    Physical plan is TakeOrderedAndProject — per-partition heaps, no global
+    sort."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price_r"))
+    )
+
+
+# --------------------------------------------------------------------------
+# set operations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "set_union_all",
+    oracle=(
+        "SELECT c_nationkey AS k, 'c' AS src FROM customer "
+        "UNION ALL SELECT s_nationkey, 's' FROM supplier"
+    ),
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k"), F.lit("c").alias("src")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("k"), F.lit("s").alias("src")
+    )
+    return c.unionByName(s)
+
+
+@query(
+    "set_union_distinct",
+    oracle=(
+        "SELECT c_nationkey AS k FROM customer "
+        "UNION SELECT s_nationkey FROM supplier"
+    ),
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle=(
+        "SELECT c_nationkey AS k FROM customer "
+        "INTERSECT SELECT s_nationkey FROM supplier"
+    ),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle=(
+        "SELECT c_nationkey AS k FROM customer "
+        "EXCEPT SELECT s_nationkey FROM supplier"
+    ),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.subtract(s)  # subtract == EXCEPT DISTINCT (exceptAll is bag-diff)
+
+
+# --------------------------------------------------------------------------
+# flagship (entry() smoke query, SURVEY.md §7.1)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "flagship_revenue_by_region",
+    oracle=(
+        "SELECT r.r_name, n.n_name, COUNT(*) AS n_orders, "
+        "ROUND(SUM(o.o_totalprice), 2) AS revenue "
+        "FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey "
+        "JOIN customer c ON c.c_nationkey = n.n_nationkey "
+        "JOIN orders o ON o.o_custkey = c.c_custkey "
+        "GROUP BY r.r_name, n.n_name "
+        "ORDER BY revenue DESC, r_name, n_name LIMIT 10"
+    ),
+)
+def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by region/nation: scan -> 3 joins (dims broadcast) -> hash
+    agg -> top-k. The M0 end-to-end slice of SURVEY.md §7.1."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), "r_name", "n_name")
+        .limit(10)
+    )

@@ -1,0 +1,143 @@
+"""Similarity search + near-dup detection over the embeddings/documents
+tables (north-star surface; ref analog: the Euclidean event-horizon test,
+`scripts/metaheuristics.py:683-694`, R16).
+
+Scale design: the oracle-checked queries below restrict the query side
+(vec_id < 10 / vec_id = 0) so the brute-force plan is a broadcast of the
+tiny query side against a single pass over the corpus — O(corpus) with no
+shuffle. The all-pairs problem at 100 TB is NEVER a cross join: see
+operators/similarity.py (LSH bucketing) and operators/dedup.py
+(MinHash-LSH) for the banded paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multiomix_aws_emr_spark.functions.vector import cosine, l2_norm, to_double_array
+from multiomix_aws_emr_spark.queries.registry import query
+from multiomix_aws_emr_spark.sources.tables import load
+
+_PAIRWISE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), n AS (
+  SELECT vec_id, emb,
+         SQRT(list_sum(list_transform(emb, x -> x * x))) AS nrm
+  FROM e
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       -- +0 canonicalizes -0.0 (Spark's round yields +0.0, DuckDB's -0.0)
+       ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 5) + 0 AS cos_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 10
+"""
+
+
+@query("similarity_pairwise", oracle=_PAIRWISE_ORACLE)
+def similarity_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity: 10 query vectors x corpus, a < b. The query side
+    is broadcast; norms are computed once per side before the join."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    withn = e.select("vec_id", "emb", l2_norm("emb").alias("nrm"))
+    a = withn.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = withn.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    dotp = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        b.join(F.broadcast(a), F.col("id_a") < F.col("id_b"), "inner")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dotp / (F.col("nrm_a") * F.col("nrm_b")), 5).alias("cos_sim"),
+        )
+    )
+
+
+_TOPK_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), n AS (
+  SELECT vec_id, emb,
+         SQRT(list_sum(list_transform(emb, x -> x * x))) AS nrm
+  FROM e
+), sims AS (
+  SELECT b.vec_id AS id_b,
+         ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) + 0 AS cos_sim
+  FROM n a JOIN n b ON b.vec_id <> 0
+  WHERE a.vec_id = 0
+)
+SELECT id_b, cos_sim FROM (
+  SELECT id_b, cos_sim,
+         ROW_NUMBER() OVER (ORDER BY cos_sim DESC, id_b) AS rn
+  FROM sims) t
+WHERE rn <= 5
+"""
+
+
+@query("similarity_topk", oracle=_TOPK_ORACLE)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k neighbors of one query vector: broadcast the query,
+    one corpus pass, TakeOrderedAndProject for the top-5 (no global sort)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("emb_q"), l2_norm("emb").alias("nrm_q")
+    )
+    corpus = e.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("id_b"), "emb", l2_norm("emb").alias("nrm_b")
+    )
+    dotp = F.aggregate(
+        F.zip_with("emb", "emb_q", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sims = corpus.crossJoin(F.broadcast(q)).select(
+        "id_b", F.round(dotp / (F.col("nrm_b") * F.col("nrm_q")), 6).alias("cos_sim")
+    )
+    return sims.orderBy(F.col("cos_sim").desc(), F.col("id_b").asc()).limit(5).select(
+        "id_b", "cos_sim"
+    )
+
+
+@query("dedup_near_minhash")  # rows-only: LSH bucketing has no SQL oracle
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup clustering over documents (north star).
+
+    Output: (doc_id, rep_id) — every doc mapped to the smallest doc_id it
+    shares an LSH band-bucket with (itself when unique), so the result is
+    total over the corpus. See operators/dedup.py for the implementation.
+    """
+    from multiomix_aws_emr_spark.operators.dedup import minhash_lsh_clusters
+
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_clusters(d, text_col="text", id_col="doc_id")
+
+
+@query("similarity_ann_lsh")  # rows-only: approximate by construction
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH bucketing: candidates only
+    within matching sign-buckets, exact cosine re-rank inside buckets.
+    The 100 TB scale path for similarity_topk (accuracy tested against
+    brute force in tests/test_operators.py)."""
+    from multiomix_aws_emr_spark.operators.similarity import ann_lsh_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(
+        e, id_col="vec_id", vec_col="embedding", query_ids=[0], k=5, n_planes=8
+    )

@@ -1,0 +1,113 @@
+"""Time-window aggregations: tumbling, sliding, session (batch-equivalent
+declared queries) and a true Structured Streaming watermark run.
+
+The batch forms use the exact operators Structured Streaming uses
+(``F.window`` / ``F.session_window``), so the same logical plan runs over
+``readStream`` unchanged — see streaming/watermark.py for the streaming
+execution with late-row dropping.
+
+Timestamps: events.ts is ns; everything standardizes on ``ts_ms`` and
+rebuilds a timestamp with ``timestamp_millis`` (UTC session) so window
+boundaries agree with DuckDB's ``time_bucket`` exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multiomix_aws_emr_spark.queries.registry import query
+from multiomix_aws_emr_spark.sources.tables import events_v, with_events_v
+
+
+@query(
+    "stream_tumbling",
+    oracle=(
+        "SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_ms, "
+        "event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_v "
+        "FROM events GROUP BY 1, 2"
+    ),
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling count+sum per event_type (closure: streaming surface).
+    Plain hash aggregate on (bucket, type) — the batch twin of a watermarked
+    streaming aggregation."""
+    ev = events_v(spark, sf_dir).withColumn("tts", F.timestamp_millis("ts_ms"))
+    return (
+        ev.groupBy(F.window("tts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_v"))
+        .select(
+            F.unix_millis("w.start").alias("window_start_ms"),
+            "event_type",
+            "n",
+            "sum_v",
+        )
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle=(
+        "WITH b AS (SELECT epoch_ms(time_bucket(INTERVAL 30 MINUTE, ts)) AS b0, "
+        "value FROM events) "
+        "SELECT ws AS window_start_ms, COUNT(*) AS n FROM ("
+        "SELECT b0 AS ws, value FROM b "
+        "UNION ALL SELECT b0 - 1800000 AS ws, value FROM b) GROUP BY ws"
+    ),
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 minutes: each event lands in exactly 2
+    windows [start, start+1h). Spark expands the slide internally; the
+    oracle reproduces it as a union of two shifted bucketings."""
+    ev = events_v(spark, sf_dir).withColumn("tts", F.timestamp_millis("ts_ms"))
+    return (
+        ev.groupBy(F.window("tts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_millis("w.start").alias("window_start_ms"), "n")
+    )
+
+
+@query(
+    "stream_session",
+    oracle=with_events_v(
+        "SELECT user_id, MIN(ts_ms) AS session_start_ms, COUNT(*) AS n_events "
+        "FROM ("
+        "  SELECT user_id, ts_ms, SUM(new_s) OVER "
+        "    (PARTITION BY user_id ORDER BY ts_ms, event_id "
+        "     ROWS UNBOUNDED PRECEDING) AS sid "
+        "  FROM ("
+        "    SELECT user_id, ts_ms, event_id, "
+        "      CASE WHEN ts_ms - LAG(ts_ms) OVER "
+        "        (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000 "
+        "      THEN 1 ELSE 0 END AS new_s FROM events_v) o"
+        ") s GROUP BY user_id, sid"
+    ),
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap, via Spark's
+    native ``session_window``. The oracle is the relational gaps-and-islands
+    formulation; session end is intentionally not emitted (Spark defines
+    end = last_ts + gap, SQL as max ts — SURVEY.md Appendix A note)."""
+    ev = events_v(spark, sf_dir).withColumn("tts", F.timestamp_millis("ts_ms"))
+    return (
+        ev.groupBy(F.session_window("tts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis("sw.start").alias("session_start_ms"),
+            "n_events",
+        )
+    )
+
+
+@query("stream_watermark_latedrop")  # rows-only: streaming semantics
+def stream_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Structured Streaming run over the events parquet: 1-hour
+    watermark + tumbling aggregate, append mode — only watermark-finalized
+    windows are emitted. Late-drop behavior is exercised with a controlled
+    two-batch injection in tests/test_streaming.py."""
+    from multiomix_aws_emr_spark.streaming.watermark import (
+        run_watermarked_tumbling,
+    )
+
+    return run_watermarked_tumbling(spark, sf_dir)

@@ -1,0 +1,222 @@
+"""Text analysis + dedup over the `documents` table (north-star surface).
+
+Beyond the reference's own operators, these are the operations a
+large-scale training-data pipeline needs: tokenization, word counts,
+per-language stats, exact dedup, quality scoring, language ID,
+fingerprinting, and a row-expanding chunker (the UDTF surface).
+
+Scale shape: everything is explode + hash-aggregate or pure per-row
+expressions — linear, shuffle-bounded, no driver materialization. The
+chunker is Arrow-batched ``mapInPandas`` (the UDTF path) since per-row
+variable-length expansion in Python is its canonical use.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multiomix_aws_emr_spark.queries.registry import query
+from multiomix_aws_emr_spark.sources.tables import load
+
+
+def _tokens(col: str = "text"):
+    """Non-empty whitespace tokens (fixture texts may carry trailing spaces)."""
+    return F.filter(F.split(F.col(col), " "), lambda x: x != "")
+
+
+@query(
+    "text_wordcount",
+    oracle=(
+        "SELECT w.word, COUNT(*) AS n FROM ("
+        "SELECT UNNEST(string_split(text, ' ')) AS word FROM documents) w "
+        "WHERE w.word <> '' GROUP BY w.word"
+    ),
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic explode + hash-agg wordcount."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "text_stats",
+    oracle=(
+        "SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars, "
+        "MAX(n_chars) AS max_chars FROM documents GROUP BY lang"
+    ),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle=(
+        "SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count "
+        "FROM documents GROUP BY text"
+    ),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as a deterministic hash-aggregate (keep min doc_id).
+
+    At 100 TB, group on a fingerprint (see `text_fingerprint`) instead of
+    the raw text so the shuffle carries 32-byte keys, not documents.
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count")
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=(
+        "SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), "
+        "x -> x <> '')) AS INTEGER) AS n_tokens FROM documents"
+    ),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting — JVM-side array HOFs, no Python."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.size(_tokens()).alias("n_tokens"))
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@query(
+    "text_quality_score",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), x -> x <> '') AS ws "
+        "FROM documents) "
+        "SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_tokens, "
+        "ROUND(len(list_filter(ws, x -> x IN (" + _STOP_SQL + "))) "
+        "/ CAST(len(ws) AS DOUBLE), 4) AS stop_ratio, "
+        "ROUND(LEAST(1.0, len(ws) / 100.0) * "
+        "(1.0 - len(list_filter(ws, x -> x IN (" + _STOP_SQL + "))) "
+        "/ CAST(len(ws) AS DOUBLE)), 4) AS qscore "
+        "FROM t WHERE len(ws) > 0"
+    ),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length saturation x (1 - stopword ratio).
+
+    The filter-rule shape used by LLM corpus pipelines (C4/Gopher-style
+    length+stopword heuristics), fully in JVM expressions.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    stops = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
+    stop_ratio = n_stop / n_tok.cast("double")
+    qscore = F.least(F.lit(1.0), n_tok / F.lit(100.0)) * (1.0 - stop_ratio)
+    return (
+        d.select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            F.round(stop_ratio, 4).alias("stop_ratio"),
+            F.round(qscore, 4).alias("qscore"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint (md5 of normalized text) — the
+    32-byte dedup key that replaces full-text shuffles at scale."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5(F.lower("text")).alias("fp"))
+
+
+_ES_MARKERS = ("el", "la", "de", "que", "y", "los", "las", "un", "una")
+_EN_MARKERS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+@query(
+    "text_lang_id",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws, text "
+        "FROM documents) "
+        "SELECT doc_id, CASE "
+        "WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' "
+        "WHEN len(list_filter(ws, x -> x IN ("
+        + ", ".join(f"'{w}'" for w in _ES_MARKERS)
+        + "))) > len(list_filter(ws, x -> x IN ("
+        + ", ".join(f"'{w}'" for w in _EN_MARKERS)
+        + "))) THEN 'es' ELSE 'en' END AS lang_pred FROM t"
+    ),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID heuristic (CJK codepoint check, then
+    stopword-list voting) — all JVM-side regex + array HOFs."""
+    d = load(spark, sf_dir, "documents")
+    lw = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    es = F.array(*[F.lit(w) for w in _ES_MARKERS])
+    en = F.array(*[F.lit(w) for w in _EN_MARKERS])
+    n_es = F.size(F.filter(lw, lambda x: F.array_contains(es, x)))
+    n_en = F.size(F.filter(lw, lambda x: F.array_contains(en, x)))
+    pred = (
+        F.when(F.col("text").rlike("[\\u4e00-\\u9fff]"), F.lit("zh"))
+        .when(n_es > n_en, F.lit("es"))
+        .otherwise(F.lit("en"))
+    )
+    return d.select("doc_id", pred.alias("lang_pred"))
+
+
+_CHUNK_WORDS = 5
+
+
+def _expand_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        doc_ids, idxs, chunks = [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = [t for t in text.split(" ") if t]
+            for start in range(0, len(toks), _CHUNK_WORDS):
+                doc_ids.append(doc_id)
+                idxs.append(start // _CHUNK_WORDS)
+                chunks.append(" ".join(toks[start : start + _CHUNK_WORDS]))
+        yield pd.DataFrame({"doc_id": doc_ids, "chunk_idx": idxs, "chunk": chunks})
+
+
+@query(
+    "udtf_expand",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), "
+        "u AS (SELECT doc_id, UNNEST(ws) AS word, "
+        "generate_subscripts(ws, 1) AS ord FROM toks) "
+        "SELECT doc_id, CAST(FLOOR((ord - 1) / 5) AS INTEGER) AS chunk_idx, "
+        "STRING_AGG(word, ' ' ORDER BY ord) AS chunk "
+        "FROM u GROUP BY doc_id, chunk_idx"
+    ),
+)
+def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding chunker via Arrow-batched ``mapInPandas`` (the UDTF
+    surface, closure): one output row per 5-word chunk per document. The
+    oracle reproduces the chunking relationally with ordinal unnest."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        _expand_chunks, schema="doc_id bigint, chunk_idx int, chunk string"
+    )

@@ -1,0 +1,154 @@
+"""Window functions: ranking, lag/lead, running frames, range frames.
+
+Reference analog: the deterministic form of the black-hole arg-best
+selection (`scripts/metaheuristics.py:169-192`, R14) with the
+fewer-features tie-break (`:670-681`, R15) — re-expressed as ranking
+windows with total tie-break orders (SURVEY.md §7.5.3).
+
+Scale shape: every window here shuffles once on its partition key and
+sorts within partitions; no driver materialization. Skewed partition keys
+(a user with millions of events) are the risk at 100 TB — mitigated by
+AQE skew handling for the shuffle and, for pathological keys, pre-bucketed
+layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from multiomix_aws_emr_spark.queries.registry import query
+from multiomix_aws_emr_spark.sources.tables import events_v, load, with_events_v
+
+
+@query(
+    "window_rank",
+    oracle=(
+        "SELECT o_custkey, o_orderkey, "
+        "CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn, "
+        "CAST(RANK() OVER w AS INTEGER) AS rk, "
+        "CAST(DENSE_RANK() OVER w AS INTEGER) AS drk "
+        "FROM orders WINDOW w AS "
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)"
+    ),
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+    )
+
+
+@query(
+    "window_topk_per_group",
+    oracle=(
+        "SELECT * FROM ("
+        "SELECT o_orderstatus, o_orderkey, ROUND(o_totalprice, 2) AS price_r, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn "
+        "FROM orders) t WHERE rn <= 3"
+    ),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (ref R14/R15 deterministic form). Catalyst rewrites
+    rank-filter patterns into per-partition top-k (WindowGroupLimit) — no
+    full sort of each group."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price_r"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle=with_events_v(
+        "SELECT event_id, user_id, "
+        "ROUND(LAG(value) OVER w, 2) AS prev_v, "
+        "ROUND(LEAD(value) OVER w, 2) AS next_v "
+        "FROM events_v WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)"
+    ),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_v(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.lag("value").over(w), 2).alias("prev_v"),
+        F.round(F.lead("value").over(w), 2).alias("next_v"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle=with_events_v(
+        "SELECT event_id, user_id, "
+        "ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_v "
+        "FROM events_v"
+    ),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-order running sum — deterministic order makes the float sum
+    bit-stable across engines (SURVEY.md §7.5.2)."""
+    ev = events_v(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 2).alias("cum_v")
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle=with_events_v(
+        "SELECT event_id, user_id, "
+        "ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY event_id "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3 "
+        "FROM events_v"
+    ),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_v(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 4).alias("ma3")
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle=with_events_v(
+        "SELECT event_id, user_id, "
+        "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_ms "
+        "RANGE BETWEEN 60000 PRECEDING AND CURRENT ROW) AS n_60s "
+        "FROM events_v"
+    ),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 60-second event count — the batch analog of a sliding
+    stream aggregation, expressed as a RANGE frame over epoch-ms."""
+    ev = events_v(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ms").rangeBetween(-60000, 0)
+    return ev.select(
+        "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_60s")
+    )

@@ -1,0 +1,67 @@
+"""Fixture-table loaders and the normalized ``events_v`` view.
+
+The harness tables (TESTDATA.md / FIXTURES.md §A) are one parquet file per
+table under an sf directory. Loading is a plain ``spark.read.parquet`` —
+column pruning and predicate pushdown then happen for free in the scan
+(verify with ``.explain``: ``ReadSchema`` / ``PushedFilters``).
+
+``events.ts`` is parquet TIMESTAMP(NANOS). With
+``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as a bigint of
+nanoseconds; every query standardizes on ``ts_ms = ts div 1000000`` which
+truncates exactly like DuckDB's ``epoch_ms(ts)`` (verified — SURVEY.md
+§7.5.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multiomix_aws_emr_spark.session import configure
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table from an sf directory."""
+    configure(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The normalized events view: ``ts`` (ns bigint) -> ``ts_ms`` (ms bigint).
+
+    Mirrors the DuckDB-side view used in every oracle:
+    ``SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value,
+    props FROM events``.
+    """
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("ts div 1000000").alias("ts_ms"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+_EVENTS_V_CTE = (
+    "events_v AS (SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, "
+    "event_type, value, props FROM events)"
+)
+
+
+def with_events_v(sql: str) -> str:
+    """Prefix oracle SQL with the ``events_v`` CTE (DuckDB side)."""
+    return f"WITH {_EVENTS_V_CTE} {sql}"
