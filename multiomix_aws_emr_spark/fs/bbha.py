@@ -1,0 +1,292 @@
+"""Binary Black Hole Algorithm (BBHA) feature selection, Spark-native.
+
+Re-founds the reference's core compute job
+(`scripts/metaheuristics.py:468-734`) on DataFrame + Arrow primitives:
+
+- star population: a small driver-side list of (star_id, mask) pairs (D3);
+  the reference's `sc.parallelize` + pinned `partitionBy` + `mapPartitions`
+  (`metaheuristics.py:248,297-299`, R7/R8/R9) becomes
+  ``createDataFrame`` + a planned ``bin_id`` column +
+  ``groupBy('bin_id').applyInPandas`` (Arrow-vectorized, SURVEY.md §4.2);
+- the molecules matrix ships once per executor via ``sc.broadcast``
+  (`scripts/core.py:167-169`, R12/P1 — unchanged, it is the right tool);
+- per-iteration driver loop: arg-best black-hole selection with the
+  fewer-features tie-break (`metaheuristics.py:647-681`, R14/R15), the
+  Euclidean event-horizon test (`:683-694`, R16), the tanh position update
+  (`:696-705`, R17), seeded random re-initialization (`:307-327`, R18);
+- the bounded ``collect`` of n_stars fitness rows per iteration matches
+  the reference's synchronous loop (`:300`, R11/P7) — the only driver
+  materialization in the engine, O(n_stars), independent of data size;
+- per-host runtime accounting (`:617-645,707-714`, R19/R20) is re-emitted
+  as a tidy metrics DataFrame instead of a dict of parallel lists (D6).
+
+Algorithm semantics follow the published BBHA (Hatamlou 2013, "Black hole:
+a new heuristic optimization approach"; binary variant as described in the
+reference's docstrings). The RNG stream is NOT a bit-for-bit replay of the
+reference (NumPy legacy RandomState calls differ), but seed threading is
+the same shape: star i is initialized from seed ``random_state * (i + 1)``
+(`metaheuristics.py:524-527`) and the loop RNG from ``random_state``.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import time as _time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multiomix_aws_emr_spark.fs.fitness import (
+    WORST_FITNESS,
+    cv_linear_cox_fitness,
+)
+from multiomix_aws_emr_spark.plans.binpack import (
+    greedy_bin_assignment,
+    sequential_bin_assignment,
+)
+
+FitnessFn = Callable[[np.ndarray, np.ndarray, np.ndarray, np.ndarray], float]
+
+
+def random_mask(n_features: int, rng: np.random.RandomState) -> np.ndarray:
+    """Seeded random subset: random number of ones, shuffled positions
+    (semantics of `metaheuristics.py:307-327`, R18)."""
+    n_ones = rng.randint(1, n_features + 1)
+    mask = np.zeros(n_features, dtype=np.int32)
+    mask[:n_ones] = 1
+    rng.shuffle(mask)
+    return mask
+
+
+@dataclass
+class BBHAResult:
+    best_mask: np.ndarray
+    best_fitness: float
+    selected_features: list[str]
+    n_iterations: int
+    execution_time: float
+    history: list[dict] = field(default_factory=list)
+
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        """Per-(iteration, star) metrics as a tidy DataFrame — replaces the
+        reference's dict-of-parallel-lists result (D6)."""
+        return spark.createDataFrame(
+            pd.DataFrame(self.history),
+            schema=(
+                "iteration int, star_id int, fitness double, n_features int, "
+                "exec_time double, hostname string"
+            ),
+        )
+
+    def host_metrics_df(self, spark: SparkSession) -> DataFrame:
+        """Per-host per-iteration busy time (`metaheuristics.py:617-645`,
+        R19) with population-σ summary stats (`:707-714`, R20) left to the
+        caller via stddev_pop."""
+        h = self.history_df(spark)
+        return h.groupBy("hostname", "iteration").agg(
+            F.round(F.sum("exec_time"), 4).alias("busy_sec"),
+            F.count(F.lit(1)).alias("n_stars"),
+        )
+
+    def to_result_json(self) -> str:
+        """The reference's result.json shape (`scripts/core.py:277-285`,
+        R24): features as a ' | '-joined string + scalars."""
+        return json.dumps(
+            {
+                "features": " | ".join(self.selected_features),
+                "best_metric": round(self.best_fitness, 4),
+                "n_iterations": self.n_iterations,
+                "execution_time": round(self.execution_time, 4),
+            }
+        )
+
+
+def _make_evaluator(bc, fitness_fn: FitnessFn):
+    """Grouped-map evaluator: one Arrow batch per bin, one fitness call per
+    star in the bin (the reference's mapPartitions body,
+    `metaheuristics.py:214-222` + zero-feature guard `core.py:52-77`)."""
+
+    def evaluate(pdf: pd.DataFrame) -> pd.DataFrame:
+        payload = bc.value
+        x = payload["values"]
+        out = []
+        host = socket.gethostname()
+        for star_id, mask in zip(pdf["star_id"], pdf["mask"]):
+            m = np.asarray(mask, dtype=np.int32)
+            start = _time.perf_counter()
+            if m.sum() == 0:
+                fit = WORST_FITNESS  # R13: never evaluate the empty subset
+            else:
+                fit = fitness_fn(
+                    x[:, m == 1],
+                    payload["time"],
+                    payload["event"],
+                    payload["sample_ids"],
+                )
+            out.append(
+                (
+                    int(star_id),
+                    float(fit),
+                    int(m.sum()),
+                    _time.perf_counter() - start,
+                    host,
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["star_id", "fitness", "n_features", "exec_time", "hostname"]
+        )
+
+    return evaluate
+
+
+_EVAL_SCHEMA = (
+    "star_id int, fitness double, n_features int, exec_time double, hostname string"
+)
+
+
+def run_bbha(
+    spark: SparkSession,
+    x: pd.DataFrame,
+    time_col: np.ndarray,
+    event_col: np.ndarray,
+    *,
+    n_stars: int = 10,
+    n_iterations: int = 5,
+    random_state: int = 42,
+    binarization_threshold: float = 0.6,
+    n_bins: Optional[int] = None,
+    cost_fn: Optional[Callable[[np.ndarray], float]] = None,
+    fitness_fn: FitnessFn = cv_linear_cox_fitness,
+) -> BBHAResult:
+    """Run BBHA feature selection over a samples x features pandas frame.
+
+    ``x`` is broadcast once (bounded: the molecules matrix — the star
+    population, not the data, is what distributes). ``cost_fn`` enables the
+    reference's learned-cost load balancer (R30/R31): predicted per-star
+    cost -> greedy bin-packing -> ``bin_id``; default is the sequential
+    partitioner (R8).
+    """
+    t_start = _time.perf_counter()
+    sc = spark.sparkContext
+    n_features = x.shape[1]
+    feature_names = list(x.columns)
+    if n_bins is None:
+        n_bins = max(1, sc.defaultParallelism)  # R33 executor discovery analog
+
+    bc = sc.broadcast(
+        {
+            "values": x.to_numpy(dtype=np.float64),
+            "sample_ids": x.index.to_numpy(),
+            "time": np.asarray(time_col, dtype=np.float64),
+            "event": np.asarray(event_col, dtype=bool),
+        }
+    )
+    evaluator = _make_evaluator(bc, fitness_fn)
+
+    # Star initialization: star i from seed random_state * (i + 1)
+    # (seed threading shape of metaheuristics.py:524-527).
+    masks = [
+        random_mask(n_features, np.random.RandomState(random_state * (i + 1)))
+        for i in range(n_stars)
+    ]
+    loop_rng = np.random.RandomState(random_state)
+
+    def evaluate_all(iteration: int) -> list[tuple[int, float, int, float, str]]:
+        star_ids = list(range(n_stars))
+        if cost_fn is not None:
+            costs = {i: float(cost_fn(masks[i])) for i in star_ids}
+            bins = greedy_bin_assignment(costs, n_bins)
+        else:
+            bins = sequential_bin_assignment(star_ids, n_bins)
+        rows = [(i, bins[i], [int(b) for b in masks[i]]) for i in star_ids]
+        sdf = spark.createDataFrame(
+            rows, schema="star_id int, bin_id int, mask array<int>"
+        )
+        res = (
+            sdf.groupBy("bin_id")
+            .applyInPandas(evaluator, _EVAL_SCHEMA)
+            .collect()  # bounded: n_stars rows (P7)
+        )
+        return sorted(
+            (r.star_id, r.fitness, r.n_features, r.exec_time, r.hostname)
+            for r in res
+        )
+
+    history: list[dict] = []
+    bh_idx, bh_fitness = -1, -np.inf
+
+    for iteration in range(n_iterations):
+        results = evaluate_all(iteration)
+        fitnesses = np.array([r[1] for r in results])
+        for sid, fit, nf, dt, host in results:
+            history.append(
+                {
+                    "iteration": iteration,
+                    "star_id": sid,
+                    "fitness": fit,
+                    "n_features": nf,
+                    "exec_time": dt,
+                    "hostname": host,
+                }
+            )
+
+        # Black-hole selection: arg-best with fewer-features tie-break
+        # (metaheuristics.py:647-681, R14/R15).
+        order = sorted(
+            range(n_stars),
+            key=lambda i: (-fitnesses[i], int(masks[i].sum()), i),
+        )
+        if fitnesses[order[0]] > bh_fitness or (
+            fitnesses[order[0]] == bh_fitness
+            and bh_idx >= 0
+            and masks[order[0]].sum() < masks[bh_idx].sum()
+        ):
+            bh_idx, bh_fitness = order[0], float(fitnesses[order[0]])
+        bh_mask = masks[bh_idx].copy()
+
+        if iteration == n_iterations - 1:
+            break
+
+        # Event horizon radius: f_bh / sum(f) (metaheuristics.py:684, R16);
+        # fitness clipped at 0 so worst-fitness sentinels don't flip signs.
+        total = float(np.clip(fitnesses, 0, None).sum()) or 1.0
+        horizon = max(bh_fitness, 0.0) / total
+
+        for i in range(n_stars):
+            if i == bh_idx:
+                continue
+            # Position update + tanh binarization (metaheuristics.py:696-705,
+            # R17): x_new = x + rand * (bh - x); bit = |tanh(x_new)| > thr.
+            rand = loop_rng.random_sample(n_features)
+            x_new = masks[i] + rand * (bh_mask - masks[i])
+            masks[i] = (
+                np.abs(np.tanh(x_new)) > binarization_threshold
+            ).astype(np.int32)
+            # Event-horizon capture -> seeded re-initialization
+            # (metaheuristics.py:683-694, R16/R18).
+            dist = float(np.linalg.norm(bh_mask - masks[i]))
+            if dist < horizon or masks[i].sum() == 0:
+                masks[i] = random_mask(
+                    n_features,
+                    np.random.RandomState(
+                        random_state * (i + 1) + 1000 * (iteration + 1)
+                    ),
+                )
+
+    best_mask = masks[bh_idx]
+    return BBHAResult(
+        best_mask=best_mask,
+        best_fitness=bh_fitness,
+        selected_features=[
+            f for f, b in zip(feature_names, best_mask) if b
+        ],
+        n_iterations=n_iterations,
+        execution_time=_time.perf_counter() - t_start,
+        history=history,
+    )

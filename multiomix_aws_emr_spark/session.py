@@ -19,6 +19,8 @@ own ``SparkSession``).
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -32,6 +34,42 @@ RUNTIME_CONF: dict[str, str] = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Grouped-map/pandas UDFs are pickled by reference to their defining
+    module, so workers must be able to ``import multiomix_aws_emr_spark`` —
+    which fails when the driver process was launched from another cwd (the
+    external harness does exactly that). The standard fix is the
+    ``--py-files`` mechanism: zip the package once per source state and
+    ``sc.addPyFile`` it. Idempotent per SparkContext.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_maes_pyfile_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    newest = 0.0
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in files:
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                sources.append(p)
+                newest = max(newest, os.path.getmtime(p))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-{int(newest * 1000)}.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for p in sources:
+                zf.write(p, os.path.join(pkg_name, os.path.relpath(p, pkg_dir)))
+        os.replace(tmp, zpath)
+    sc.addPyFile(zpath)
+    sc._maes_pyfile_shipped = True
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply the runtime conf baseline to an existing session (idempotent)."""
     for key, value in RUNTIME_CONF.items():
@@ -41,6 +79,12 @@ def configure(spark: SparkSession) -> SparkSession:
             # Conf may be static on some builds; reads will then rely on the
             # session having been built via build_session().
             pass
+    try:
+        _ship_package(spark)
+    except Exception:
+        # Shipping is best-effort: in-repo launches resolve the package via
+        # the driver's sys.path/cwd anyway.
+        pass
     return spark
 
 

@@ -1,0 +1,79 @@
+"""End-to-end BBHA test (SURVEY.md §5.2.4): tiny synthetic survival dataset
+with informative features by construction, fixed random_state -> the run is
+deterministic, improves on noise, and the result JSON has the reference's
+shape (`scripts/core.py:277-285`)."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from multiomix_aws_emr_spark.fs.bbha import BBHAResult, random_mask, run_bbha
+from multiomix_aws_emr_spark.fs.fitness import cv_linear_cox_fitness
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    rng = np.random.RandomState(7)
+    n, k = 40, 10
+    x = pd.DataFrame(
+        rng.normal(size=(n, k)),
+        index=[f"S{i:02d}" for i in range(n)],
+        columns=[f"GENE_{i:04d}" for i in range(k)],
+    )
+    # informative: GENE_0000..0002 drive survival time, rest is noise
+    time = 50 + 8 * (x.iloc[:, 0] + x.iloc[:, 1] + x.iloc[:, 2]).to_numpy()
+    time += rng.normal(scale=0.1, size=n)
+    event = np.ones(n, dtype=bool)
+    return x, time, event
+
+
+def _run(spark, dataset, **kw):
+    x, time, event = dataset
+    return run_bbha(
+        spark, x, time, event,
+        n_stars=6, n_iterations=3, random_state=42, **kw,
+    )
+
+
+def test_bbha_deterministic(spark, dataset):
+    r1 = _run(spark, dataset)
+    r2 = _run(spark, dataset)
+    assert (r1.best_mask == r2.best_mask).all()
+    assert r1.best_fitness == r2.best_fitness
+    assert r1.selected_features == r2.selected_features
+
+
+def test_bbha_finds_signal(spark, dataset):
+    r = _run(spark, dataset)
+    assert r.best_fitness > 0.7  # far above the 0.5 random baseline
+    assert len(r.history) == 6 * 3
+    # history covers every (iteration, star)
+    assert {(h["iteration"], h["star_id"]) for h in r.history} == {
+        (i, s) for i in range(3) for s in range(6)
+    }
+
+
+def test_bbha_metrics_and_json(spark, dataset):
+    r = _run(spark, dataset)
+    hdf = r.history_df(spark)
+    assert hdf.count() == 18
+    host = r.host_metrics_df(spark).collect()
+    assert all(row.busy_sec >= 0 for row in host)
+    doc = json.loads(r.to_result_json())
+    assert set(doc) == {"features", "best_metric", "n_iterations", "execution_time"}
+    assert doc["features"].count("|") == len(r.selected_features) - 1
+
+
+def test_bbha_with_cost_model_binpacking(spark, dataset):
+    # the reference's load-balancer path (R30/R31): cost ~ subset size
+    r = _run(spark, dataset, cost_fn=lambda m: 1.0 + float(m.sum()))
+    assert r.best_fitness > 0.7
+
+
+def test_random_mask_seeded():
+    m1 = random_mask(20, np.random.RandomState(42))
+    m2 = random_mask(20, np.random.RandomState(42))
+    assert (m1 == m2).all()
+    assert 1 <= m1.sum() <= 20
