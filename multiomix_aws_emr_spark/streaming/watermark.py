@@ -46,15 +46,19 @@ def watermarked_tumbling_plan(events_stream: DataFrame) -> DataFrame:
     )
 
 
-def run_watermarked_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run the watermarked aggregation over the events parquet as a bounded
-    stream (availableNow trigger, memory sink) and return the emitted rows."""
+def run_watermarked_tumbling(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
+    """Run the watermarked aggregation over parquet files as a bounded
+    stream (availableNow trigger, one file per micro-batch so the watermark
+    advances between batches, memory sink) and return the emitted rows."""
     configure(spark)
-    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    static = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
     stream = (
         spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
         .parquet(sf_dir)
     )
     out = watermarked_tumbling_plan(stream)

@@ -1,0 +1,138 @@
+"""Operator-level tests: SimHash invariants, MinHash-LSH on crafted
+near-dups, ANN-vs-brute-force recall, multimodal plumbing, as-of join vs a
+pandas reference."""
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from multiomix_aws_emr_spark.operators.dedup import minhash_lsh_clusters
+from multiomix_aws_emr_spark.operators.multimodal import (
+    attach_binary_payload,
+    byte_histogram_features,
+)
+from multiomix_aws_emr_spark.operators.similarity import ann_lsh_topk
+from multiomix_aws_emr_spark.operators.simhash import (
+    hamming_distance,
+    simhash,
+)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "completely different words about spark query engines here"),
+        (4, "yet another unrelated document mentioning parquet and shuffles"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_simhash_invariants(spark):
+    d = _docs(spark)
+    sig = simhash(d, id_col="doc_id", text_col="text")
+    twice = {r.doc_id: r.simhash for r in sig.collect()}
+    again = {r.doc_id: r.simhash for r in simhash(d, id_col="doc_id", text_col="text").collect()}
+    assert twice == again  # deterministic
+    assert twice[0] == twice[1]  # identical text -> identical fingerprint
+
+    pairs = (
+        sig.alias("a")
+        .join(sig.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("ia"),
+            F.col("b.doc_id").alias("ib"),
+            hamming_distance(F.col("a.simhash"), F.col("b.simhash")).alias("d"),
+        )
+    )
+    dist = {(r.ia, r.ib): r.d for r in pairs.collect()}
+    assert dist[(0, 1)] == 0
+    assert dist[(0, 2)] < dist[(0, 3)]  # near dup closer than unrelated
+
+
+def test_minhash_clusters_group_near_dups(spark):
+    d = _docs(spark)
+    clusters = {
+        r.doc_id: r.rep_id
+        for r in minhash_lsh_clusters(d, text_col="text", id_col="doc_id").collect()
+    }
+    assert len(clusters) == 5  # total over corpus (singletons included)
+    assert clusters[1] == 0  # exact dup bucketed with its original
+    assert clusters[3] == 3 and clusters[4] == 4  # unrelated stay singleton
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ann = ann_lsh_topk(
+        emb, id_col="vec_id", vec_col="embedding", query_ids=[0], k=5, n_planes=6
+    )
+    got = [r.id_b for r in ann.orderBy("rn").collect()]
+    assert len(got) == 5
+
+    # brute force ground truth
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    q = vecs[0]
+    sims = {
+        vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for vid, v in vecs.items()
+        if vid != 0
+    }
+    true_top = [v for v, _ in sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:25]]
+    # approximate (multi-probe hamming<=2): every returned neighbor must
+    # land within the true top-25 (measured ranks <=15 at sf0.001/sf0.01)
+    assert set(got) <= set(true_top)
+
+
+def test_multimodal_features_shape(spark):
+    d = _docs(spark)
+    media = attach_binary_payload(d, id_col="doc_id", text_col="text")
+    assert [f.name for f in media.schema.fields] == ["doc_id", "payload", "meta"]
+    assert media.schema["payload"].dataType.typeName() == "binary"
+
+    feats = byte_histogram_features(media).collect()
+    assert len(feats) == 5
+    for r in feats:
+        assert len(r.features) == 16
+        assert sum(r.features) == r.n_bytes  # histogram partitions all bytes
+
+
+def test_asof_matches_pandas_reference(spark):
+    from multiomix_aws_emr_spark.operators.asof import asof_latest_prior
+
+    rng = np.random.RandomState(3)
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.randint(0, 5, n),
+            "ts_ms": rng.randint(0, 10_000, n),
+            "event_type": rng.choice(["signup", "purchase", "click"], n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = asof_latest_prior(
+        df,
+        user_col="user_id",
+        time_col="ts_ms",
+        type_col="event_type",
+        anchor_type="purchase",
+        lookup_type="signup",
+        id_col="event_id",
+        out_col="signup_ts_ms",
+    )
+    got = {r.event_id: r.signup_ts_ms for r in out.collect()}
+
+    expected = {}
+    for _, row in pdf[pdf.event_type == "purchase"].iterrows():
+        s = pdf[
+            (pdf.event_type == "signup")
+            & (pdf.user_id == row.user_id)
+            & (pdf.ts_ms <= row.ts_ms)
+        ]
+        if len(s):
+            expected[row.event_id] = int(s.ts_ms.max())
+    assert got == expected

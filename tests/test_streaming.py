@@ -1,0 +1,86 @@
+"""Structured Streaming semantics: watermark drops late rows across
+micro-batches (SURVEY.md §5.2.6 — no SQL oracle; behavior asserted by a
+controlled two-batch injection)."""
+
+import os
+import time
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from multiomix_aws_emr_spark.streaming.watermark import run_watermarked_tumbling
+
+_HOUR_MS = 3_600_000
+_BASE = 1_704_067_200_000  # 2024-01-01T00:00:00Z in ms
+
+
+def _write_events(path: str, rows: list[tuple[int, int, str, float]], mtime: float):
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts_ms", "event_type", "value"]
+    )
+    table = pa.table(
+        {
+            "event_id": pa.array(pdf.event_id, pa.int64()),
+            # engine reads ts as bigint ns (nanosAsLong) — write ns ints
+            "ts": pa.array(pdf.ts_ms * 1_000_000, pa.int64()),
+            "user_id": pa.array([1] * len(pdf), pa.int64()),
+            "event_type": pa.array(pdf.event_type, pa.string()),
+            "value": pa.array(pdf.value, pa.float64()),
+            "props": pa.array(["{}"] * len(pdf), pa.string()),
+        }
+    )
+    pq.write_table(table, path)
+    os.utime(path, (mtime, mtime))
+
+
+@pytest.fixture()
+def three_batch_dir(tmp_path):
+    """Spark's late-row filter deliberately lags one batch behind the
+    eviction watermark (two-watermark design), so the late row is injected
+    TWO batches after its window:
+
+    - batch 1: events in hours 0..3 (max 03:30 -> eviction wm 02:30 next
+      batch);
+    - batch 2: on-time event at 04:00 (hour-0/1 windows evicted + emitted
+      here; late-row wm becomes 02:30 for batch 3);
+    - batch 3: one LATE event at 00:15 (< 02:30 -> DROPPED) plus an
+      on-time event at 05:00.
+    """
+    now = time.time()
+    batch1 = [
+        (0, _BASE + 15 * 60_000, "click", 1.0),          # 00:15
+        (1, _BASE + 30 * 60_000, "click", 2.0),          # 00:30
+        (2, _BASE + 1 * _HOUR_MS + 600_000, "click", 3.0),   # 01:10
+        (3, _BASE + 3 * _HOUR_MS + 30 * 60_000, "click", 4.0),  # 03:30
+    ]
+    batch2 = [(4, _BASE + 4 * _HOUR_MS, "click", 5.0)]   # 04:00
+    batch3 = [
+        (5, _BASE + 15 * 60_000, "click", 100.0),        # LATE: 00:15
+        (6, _BASE + 5 * _HOUR_MS, "click", 6.0),         # 05:00
+    ]
+    _write_events(str(tmp_path / "b1.parquet"), batch1, now - 120)
+    _write_events(str(tmp_path / "b2.parquet"), batch2, now - 60)
+    _write_events(str(tmp_path / "b3.parquet"), batch3, now)
+    return str(tmp_path)
+
+
+def test_watermark_drops_late_rows(spark, three_batch_dir):
+    out = run_watermarked_tumbling(spark, three_batch_dir, glob="*.parquet")
+    rows = {r.window_start_ms: (r.n, r.sum_v) for r in out.collect()}
+
+    # hour-0 window was finalized with its 2 on-time rows; the late row
+    # (value 100.0) arriving in batch 3 must NOT appear anywhere.
+    assert rows[_BASE] == (2, 3.0)
+    assert all(v[1] < 100.0 for v in rows.values())
+    # hour-1 window finalized once the watermark passed its end.
+    assert rows[_BASE + _HOUR_MS] == (1, 3.0)
+    # trailing windows are never finalized in append mode.
+    assert _BASE + 5 * _HOUR_MS not in rows
+
+
+def test_declared_watermark_query_runs(spark, sf_dir):
+    out = run_watermarked_tumbling(spark, sf_dir)
+    assert out.count() > 0
+    assert set(out.columns) == {"window_start_ms", "event_type", "n", "sum_v"}
