@@ -82,3 +82,67 @@ def byte_histogram_features(media: DataFrame) -> DataFrame:
         _histogram_batches,
         schema="doc_id bigint, n_bytes int, features array<bigint>",
     )
+
+
+_RESIZE_CAP = 256
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out_ids, out_payloads, out_n = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)[:_RESIZE_CAP]  # stand-in for a real resample
+            out_ids.append(doc_id)
+            out_payloads.append(buf)
+            out_n.append(len(buf))
+        yield pd.DataFrame(
+            {"doc_id": out_ids, "payload_resized": out_payloads, "n_bytes_resized": out_n}
+        )
+
+
+def resize_media(media: DataFrame) -> DataFrame:
+    """'Resize' each payload via Arrow-batched ``mapInPandas``.
+
+    The transform itself is a deterministic stand-in (truncate to
+    ``_RESIZE_CAP`` bytes — a real implementation decodes, resamples with
+    an image lib, and re-encodes at :func:`decode_media`'s seam); the
+    Spark-side contract — binary-in/binary-out schema, Arrow batching,
+    narrow per-partition execution with no shuffle — is the real one.
+    Output: (doc_id, payload_resized binary, n_bytes_resized int).
+    """
+    return media.select("doc_id", "payload").mapInPandas(
+        _resize_batches,
+        schema="doc_id bigint, payload_resized binary, n_bytes_resized int",
+    )
+
+
+_FRAME_BYTES = 64
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, idxs, frames = [], [], []
+        for doc_id, payload, stride in zip(
+            pdf["doc_id"], pdf["payload"], pdf["stride"]
+        ):
+            buf = bytes(payload)
+            n_frames = max(1, len(buf) // _FRAME_BYTES)
+            for fi in range(0, n_frames, int(stride)):
+                ids.append(doc_id)
+                idxs.append(fi)
+                frames.append(buf[fi * _FRAME_BYTES : (fi + 1) * _FRAME_BYTES])
+        yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+
+def sample_frames(media: DataFrame, *, stride: int = 4) -> DataFrame:
+    """Sample every ``stride``-th fixed-size 'frame' from each payload —
+    the row-expanding (1 -> N) shape of video frame extraction, via
+    ``mapInPandas`` so one input batch yields many output rows without a
+    Python UDTF. Frames here are byte slices (``_FRAME_BYTES`` each); a
+    real demuxer plugs in at :func:`decode_media`'s seam.
+    Output: (doc_id, frame_idx int, frame binary)."""
+    return media.select(
+        "doc_id", "payload", F.lit(stride).alias("stride")
+    ).mapInPandas(
+        _frame_batches, schema="doc_id bigint, frame_idx int, frame binary"
+    )

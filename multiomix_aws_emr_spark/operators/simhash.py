@@ -23,9 +23,13 @@ _BITS = 64
 
 def simhash(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash bigint) 64-bit SimHash of whitespace tokens."""
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    ex = df.select(F.col(id_col), F.explode(toks).alias("_tok")).withColumn(
-        "_h", F.xxhash64("_tok")
+    # explode(split) then filter — plain codegen expressions; exploding a
+    # HOF-built array (filter lambda) forces a fresh Janino compile per
+    # execution, which dominates wall time on small inputs.
+    ex = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_tok"))
+        .filter(F.col("_tok") != "")
+        .withColumn("_h", F.xxhash64("_tok"))
     )
     votes = [
         F.sum(

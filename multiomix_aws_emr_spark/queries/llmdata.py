@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multiomix_aws_emr_spark.queries.registry import query
-from multiomix_aws_emr_spark.sources.tables import load
+from multiomix_aws_emr_spark.sources.tables import load, scan_parallel
 
 _NGRAM_JACCARD_ORACLE = """
 WITH t AS (
@@ -40,34 +40,56 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shared shingles never materialize. jaccard = shared /
     (|A| + |B| - shared) from the per-doc distinct-shingle counts.
     """
+    from pyspark.sql.window import Window
+
     d = load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    sh = (
-        d.withColumn("_t", toks)
-        .filter(F.size("_t") >= 2)
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_t") - 1),
-                    lambda i: F.concat_ws(" ", F.slice("_t", i, 2)),
-                )
-            ).alias("ws"),
-        )
+    # Shingles via posexplode(split) + window lead — plain codegen
+    # expressions throughout (the array-HOF formulation
+    # transform/slice/array_distinct compiles a fresh Janino class per
+    # execution: measured ~1.7s of driver compile per run vs ~0.2s this
+    # way). One shuffle clustered on doc_id serves tokenization
+    # parallelism, shingle dedup (hash(doc_id) co-locates the (doc_id,
+    # shingle) agg), and the per-doc shingle count (window over doc_id).
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    n_parts = max(
+        spark.sparkContext.defaultParallelism, d.rdd.getNumPartitions()
     )
-    sized = sh.select("doc_id", "ws", F.size("ws").alias("n_sh"))
-    a = sized.filter(F.col("doc_id") < 20).select(
-        F.col("doc_id").alias("id_a"),
-        F.explode("ws").alias("s"),
-        F.col("n_sh").alias("n_a"),
+    tok = (
+        # explicit count: AQE would coalesce a bare repartition(key) to 1
+        # partition on small inputs, serializing the token pipeline
+        d.repartition(n_parts, "doc_id")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+        .filter(F.col("tok") != "")
     )
-    b = sized.select(
+    big = tok.select(
+        "doc_id",
+        F.lead("tok", 1).over(w).alias("_nxt"),
+        F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)).alias("_s"),
+    ).filter(F.col("_nxt").isNotNull())
+    # 64-bit shingle hashes: compact join/dedup keys, collision odds
+    # negligible at corpus scale.
+    sh = big.select("doc_id", F.xxhash64("_s").alias("s")).dropDuplicates(
+        ["doc_id", "s"]
+    )
+    shn = sh.select(
+        "doc_id", "s", F.count("*").over(Window.partitionBy("doc_id")).alias("n_sh")
+    )
+    # BROADCAST the tiny query side so the corpus side never shuffles for
+    # the join — the inverted-index probe is a map-side hash join at any
+    # corpus size.
+    a = shn.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("id_a"), "s", F.col("n_sh").alias("n_a")
+    )
+    b = shn.select(
         F.col("doc_id").alias("id_b"),
-        F.explode("ws").alias("s"),
+        F.col("s").alias("s_b"),
         F.col("n_sh").alias("n_b"),
     )
     shared = (
-        a.join(b, (a.s == b.s) & (F.col("id_a") < F.col("id_b")))
+        b.join(
+            F.broadcast(a),
+            (a.s == F.col("s_b")) & (F.col("id_a") < F.col("id_b")),
+        )
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -87,7 +109,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     all JVM-side (see operators/simhash.py). Total over the corpus."""
     from multiomix_aws_emr_spark.operators.simhash import simhash, simhash_bands
 
-    d = load(spark, sf_dir, "documents")
+    d = scan_parallel(load(spark, sf_dir, "documents"))
     sig = simhash(d, id_col="doc_id", text_col="text")
     bands = simhash_bands(sig, id_col="doc_id")
     return sig.join(bands, "doc_id").select("doc_id", "simhash", "band", "bucket")
@@ -124,9 +146,129 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         byte_histogram_features,
     )
 
-    d = load(spark, sf_dir, "documents")
+    d = scan_parallel(load(spark, sf_dir, "documents"))
     media = attach_binary_payload(d, id_col="doc_id", text_col="text")
     feats = byte_histogram_features(media)
     return feats.select(
         "doc_id", "n_bytes", F.element_at("features", 7).alias("bucket6")
+    )
+
+
+_EMB_COS_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), n AS (
+  SELECT vec_id, emb,
+         SQRT(list_sum(list_transform(emb, x -> x * x))) AS nrm
+  FROM e
+)
+SELECT id_a, id_b, cos_r FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 5) + 0 AS cos_r
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 100
+) WHERE cos_r >= 0.35
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_COS_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: query side vec_id < 100 broadcast
+    against one corpus pass, keep pairs with cosine >= 0.35 (the fixture's
+    embeddings are near-orthogonal random vectors; a production corpus
+    would use ~0.95).
+
+    Scale shape: identical to similarity_pairwise — broadcast-restricted
+    exact scoring. The unrestricted all-pairs form goes through the LSH
+    bucketing in operators/similarity.py (similarity_ivf / ann_lsh), never
+    a cross join.
+    """
+    from multiomix_aws_emr_spark.functions.vector import l2_norm, to_double_array
+
+    e = scan_parallel(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    withn = e.select("vec_id", "emb", l2_norm("emb").alias("nrm"))
+    a = withn.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = withn.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    dotp = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        b.join(F.broadcast(a), F.col("id_a") < F.col("id_b"), "inner")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dotp / (F.col("nrm_a") * F.col("nrm_b")), 5).alias("cos_r"),
+        )
+        .filter(F.col("cos_r") >= 0.35)
+    )
+
+
+@query("similarity_ivf")  # rows-only: approximate by construction
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: Voronoi-cell partition of the corpus, probe
+    the n_probe nearest cells per query (operators/similarity.ivf_topk).
+    The second ANN tier beside random-hyperplane LSH; accuracy is
+    unit-tested against brute force."""
+    from multiomix_aws_emr_spark.operators.similarity import ivf_topk
+
+    e = scan_parallel(load(spark, sf_dir, "embeddings"))
+    return ivf_topk(
+        e,
+        id_col="vec_id",
+        vec_col="embedding",
+        query_ids=[0, 1],
+        k=5,
+        n_centroids=16,
+        n_probe=4,
+    )
+
+
+@query(
+    "multimodal_resize",
+    oracle=(
+        "SELECT doc_id, LEAST(octet_length(encode(text)), 256) AS n_bytes_resized "
+        "FROM documents"
+    ),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-shaped binary transform (decode -> resample -> re-encode
+    stand-in) over Arrow-batched mapInPandas; the emitted size must agree
+    with the SQL-computable contract (min(n_bytes, 256))."""
+    from multiomix_aws_emr_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_media,
+    )
+
+    d = scan_parallel(load(spark, sf_dir, "documents"))
+    media = attach_binary_payload(d, id_col="doc_id", text_col="text")
+    return resize_media(media).select("doc_id", "n_bytes_resized")
+
+
+@query("multimodal_framesample")  # rows-only: 1->N binary expansion
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: each payload expands to every 4th
+    64-byte 'frame' row (operators/multimodal.sample_frames). Returns
+    (doc_id, frame_idx, n_frame_bytes)."""
+    from multiomix_aws_emr_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    d = scan_parallel(load(spark, sf_dir, "documents"))
+    media = attach_binary_payload(d, id_col="doc_id", text_col="text")
+    frames = sample_frames(media, stride=4)
+    return frames.select(
+        "doc_id", "frame_idx", F.octet_length("frame").alias("n_frame_bytes")
     )

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from multiomix_aws_emr_spark.functions.vector import cosine, l2_norm, to_double_array
 from multiomix_aws_emr_spark.queries.registry import query
-from multiomix_aws_emr_spark.sources.tables import load
+from multiomix_aws_emr_spark.sources.tables import load, scan_parallel
 
 _PAIRWISE_ORACLE = """
 WITH e AS (
@@ -39,7 +39,7 @@ WHERE a.vec_id < 10
 def similarity_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine similarity: 10 query vectors x corpus, a < b. The query side
     is broadcast; norms are computed once per side before the join."""
-    e = load(spark, sf_dir, "embeddings").select(
+    e = scan_parallel(load(spark, sf_dir, "embeddings")).select(
         "vec_id", to_double_array("embedding").alias("emb")
     )
     withn = e.select("vec_id", "emb", l2_norm("emb").alias("nrm"))
@@ -93,7 +93,7 @@ WHERE rn <= 5
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-k neighbors of one query vector: broadcast the query,
     one corpus pass, TakeOrderedAndProject for the top-5 (no global sort)."""
-    e = load(spark, sf_dir, "embeddings").select(
+    e = scan_parallel(load(spark, sf_dir, "embeddings")).select(
         "vec_id", to_double_array("embedding").alias("emb")
     )
     q = e.filter(F.col("vec_id") == 0).select(
@@ -125,7 +125,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from multiomix_aws_emr_spark.operators.dedup import minhash_lsh_clusters
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")  # shingle_rows repartitions internally
     return minhash_lsh_clusters(d, text_col="text", id_col="doc_id")
 
 
@@ -137,7 +137,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force in tests/test_operators.py)."""
     from multiomix_aws_emr_spark.operators.similarity import ann_lsh_topk
 
-    e = load(spark, sf_dir, "embeddings")
+    e = scan_parallel(load(spark, sf_dir, "embeddings"))
     return ann_lsh_topk(
         e, id_col="vec_id", vec_col="embedding", query_ids=[0], k=5, n_planes=8
     )

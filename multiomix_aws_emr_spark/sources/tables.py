@@ -39,6 +39,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def scan_parallel(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across every core before per-row-heavy work.
+
+    A single small parquet file with one row group arrives as ONE input
+    split, so any explode/hash/Pandas-UDF pipeline downstream runs
+    serially no matter how many cores exist. Repartitioning costs a tiny
+    shuffle of the base rows and buys full parallelism for the expensive
+    part. No-op when the scan is already split at least as wide as the
+    cluster (the production case: thousands of input files) — so this is
+    safe to leave in the plan at any scale.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def events_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The normalized events view: ``ts`` (ns bigint) -> ``ts_ms`` (ms bigint).
 

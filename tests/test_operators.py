@@ -136,3 +136,66 @@ def test_asof_matches_pandas_reference(spark):
         if len(s):
             expected[row.event_id] = int(s.ts_ms.max())
     assert got == expected
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    from multiomix_aws_emr_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf = ivf_topk(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        query_ids=[0, 1],
+        k=5,
+        n_centroids=8,
+        n_probe=4,
+    )
+    got = {}
+    for r in ivf.collect():
+        got.setdefault(r.query_id, []).append(r.id_b)
+    assert set(got) == {0, 1} and all(len(v) == 5 for v in got.values())
+
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    for qid in (0, 1):
+        q = vecs[qid]
+        sims = {
+            vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+            for vid, v in vecs.items()
+            if vid != qid
+        }
+        true_top = [
+            v
+            for v, _ in sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[
+                :25
+            ]
+        ]
+        # probing half the cells: every hit must sit in the true top-25
+        assert set(got[qid]) <= set(true_top)
+
+
+def test_multimodal_resize_and_frames(spark):
+    from multiomix_aws_emr_spark.operators.multimodal import (
+        resize_media,
+        sample_frames,
+    )
+
+    d = _docs(spark)
+    media = attach_binary_payload(d, id_col="doc_id", text_col="text")
+    sizes = {r.doc_id: r.meta.n_bytes for r in media.collect()}
+
+    rs = resize_media(media)
+    assert rs.schema["payload_resized"].dataType.typeName() == "binary"
+    for r in rs.collect():
+        assert r.n_bytes_resized == min(sizes[r.doc_id], 256)
+        assert len(bytes(r.payload_resized)) == r.n_bytes_resized
+
+    fr = sample_frames(media, stride=2)
+    rows = fr.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    for doc_id, idxs in by_doc.items():
+        n_frames = max(1, sizes[doc_id] // 64)
+        assert sorted(idxs) == list(range(0, n_frames, 2))
