@@ -111,3 +111,14 @@ def stream_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_watermarked_tumbling(spark, sf_dir)
+
+
+@query("stream_stateful_totals")  # rows-only: stateful streaming semantics
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals carried by the state store across
+    micro-batches, update output mode. Convergence to the batch groupBy
+    totals is asserted in tests/test_streaming.py."""
+    from multiomix_aws_emr_spark.streaming.stateful import run_running_totals
+
+    return run_running_totals(spark, sf_dir)

@@ -199,3 +199,51 @@ def test_multimodal_resize_and_frames(spark):
     for doc_id, idxs in by_doc.items():
         n_frames = max(1, sizes[doc_id] // 64)
         assert sorted(idxs) == list(range(0, n_frames, 2))
+
+
+def test_salted_join_matches_plain_join(spark):
+    from multiomix_aws_emr_spark.operators.skew import salted_join
+
+    rng = np.random.RandomState(7)
+    # skewed probe: 90% of rows share key 0
+    keys = np.where(rng.rand(2000) < 0.9, 0, rng.randint(1, 20, 2000))
+    probe = spark.createDataFrame(
+        pd.DataFrame({"k": keys, "v": np.arange(2000)})
+    )
+    build = spark.createDataFrame(
+        pd.DataFrame({"k": np.arange(20), "name": [f"n{i}" for i in range(20)]})
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            map(tuple, salted_join(probe, build, "k", n_salts=4, how=how)
+                .select("k", "v", "name").collect())
+        )
+        exp = sorted(
+            map(tuple, probe.join(build, "k", how).select("k", "v", "name").collect())
+        )
+        assert got == exp
+
+
+def test_sinks_roundtrip(spark, tmp_path):
+    from multiomix_aws_emr_spark.sources.sinks import (
+        read_model_artifact,
+        write_json,
+        write_model_artifact,
+        write_parquet,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a", 1.5), (1, "b", 2.5), (2, "a", 3.5)], "id bigint, g string, x double"
+    )
+    write_json(df, str(tmp_path / "j"))
+    assert spark.read.json(str(tmp_path / "j")).count() == 3
+
+    write_parquet(df, str(tmp_path / "p"), partition_by=["g"])
+    back = spark.read.parquet(str(tmp_path / "p"))
+    assert sorted(r.id for r in back.filter(F.col("g") == "a").collect()) == [0, 2]
+    # partition pruning reaches the scan
+    plan = back.filter(F.col("g") == "a")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+    path = write_model_artifact({"weights": [1, 2, 3]}, str(tmp_path / "m"))
+    assert read_model_artifact(path) == {"weights": [1, 2, 3]}

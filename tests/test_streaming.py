@@ -84,3 +84,69 @@ def test_declared_watermark_query_runs(spark, sf_dir):
     out = run_watermarked_tumbling(spark, sf_dir)
     assert out.count() > 0
     assert set(out.columns) == {"window_start_ms", "event_type", "n", "sum_v"}
+
+
+def _write_user_events(path, rows, mtime):
+    """rows: (event_id, user_id, value)"""
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([_BASE * 1_000_000] * len(rows), pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows), pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, path)
+    os.utime(path, (mtime, mtime))
+
+
+def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
+    from multiomix_aws_emr_spark.streaming.stateful import run_running_totals
+
+    now = time.time()
+    # user 1 appears in both micro-batches: its state must carry over
+    _write_user_events(
+        str(tmp_path / "b1.parquet"), [(0, 1, 10.0), (1, 2, 5.0)], now - 60
+    )
+    _write_user_events(
+        str(tmp_path / "b2.parquet"), [(2, 1, 7.0), (3, 3, 1.5)], now
+    )
+    out = run_running_totals(spark, str(tmp_path), glob="*.parquet")
+    rows = out.collect()
+    # update mode: last emitted row per user is the running total
+    last = {}
+    for r in rows:
+        last[r.user_id] = (r.n_events, r.sum_value)
+    assert last[1] == (2, 17.0)  # accumulated across batches
+    assert last[2] == (1, 5.0)
+    assert last[3] == (1, 1.5)
+    # user 1 must have been emitted twice (once per batch) with growing n
+    u1 = sorted(r.n_events for r in rows if r.user_id == 1)
+    assert u1 == [1, 2]
+
+
+def test_declared_stateful_query_matches_batch_totals(spark, sf_dir):
+    from multiomix_aws_emr_spark.queries.registry import QUERIES
+
+    out = QUERIES["stream_stateful_totals"](spark, sf_dir)
+    got = {r.user_id: (r.n_events, r.sum_value) for r in out.collect()}
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    import pyspark.sql.functions as F
+
+    exp = {
+        r.user_id: (r.n, r.s)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("value").alias("c"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for u, (n, s) in exp.items():
+        assert got[u][0] == n
+        assert abs((got[u][1] or 0) - (s or 0)) < 1e-6
