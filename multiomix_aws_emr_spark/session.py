@@ -80,6 +80,18 @@ def configure(spark: SparkSession) -> SparkSession:
             # session having been built via build_session().
             pass
     try:
+        # Right-size shuffles for an externally-built session, but only when
+        # it still carries the stock default: batch stages are saved by AQE
+        # coalescing anyway, streaming stateful stages are NOT (no AQE) and
+        # would otherwise run 200 tasks per micro-batch regardless of size.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
+    except Exception:
+        pass
+    try:
         _ship_package(spark)
     except Exception:
         # Shipping is best-effort: in-repo launches resolve the package via

@@ -1,0 +1,87 @@
+"""Physical-plan audits: the properties that make the declared queries hold
+at 100 TB, asserted on the optimized plans so regressions fail loudly.
+
+- column pruning + predicate pushdown reach the parquet scan,
+- small/dimension sides broadcast (no shuffled join for them),
+- global top-k plans as TakeOrderedAndProject (no full sort),
+- similarity/dedup candidate generation never plans a CartesianProduct
+  (the one deliberate exception: join_theta_range, a declared non-equi
+  join, which must plan BroadcastNestedLoopJoin — still not a shuffled
+  cartesian).
+"""
+
+import pytest
+
+from multiomix_aws_emr_spark.queries import QUERIES
+
+
+def _plan(spark, sf_dir, qid: str) -> str:
+    df = QUERIES[qid](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_projection_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scan_projection")
+    assert "ReadSchema: struct<l_orderkey" in plan
+    # none of the other 8 lineitem columns may be read
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1]
+
+
+def test_filter_predicate_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_predicate")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity,30.0)" in plan
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multiway_join_broadcasts_dims(spark, sf_dir):
+    # nation/region are tiny: both hops must be broadcast, not shuffled
+    plan = _plan(spark, sf_dir, "join_multiway")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sort_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no global sort stage
+
+
+def test_similarity_never_cartesian(spark, sf_dir):
+    for qid in (
+        "similarity_pairwise",
+        "similarity_topk",
+        "dedup_embedding_cosine",
+        "dedup_ngram_jaccard",
+        "dedup_near_minhash",
+        "similarity_ann_lsh",
+        "similarity_ivf",
+    ):
+        plan = _plan(spark, sf_dir, qid)
+        assert "CartesianProduct" not in plan, qid
+        # any nested-loop fallback must at least be broadcast-side
+        if "NestedLoopJoin" in plan:
+            assert "BroadcastNestedLoopJoin" in plan, qid
+
+
+def test_theta_join_is_broadcast_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_theta_range")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_anti_joins_stay_semi(spark, sf_dir):
+    assert "LeftSemi" in _plan(spark, sf_dir, "filter_exists_semi")
+    assert "LeftAnti" in _plan(spark, sf_dir, "join_anti")
+
+
+def test_agg_has_partial_phase(spark, sf_dir):
+    # two-phase hash aggregation: partial before the exchange
+    plan = _plan(spark, sf_dir, "agg_groupby")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
