@@ -183,6 +183,29 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_approx_quantiles")  # rows-only: sketch result has no exact oracle
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna quantile sketch (approx_percentile) of order
+    totals per status — the mergeable one-pass replacement for exact
+    percentiles at 100 TB (no global sort, no full materialization).
+    Accuracy vs the exact quantile is unit-tested in tests/test_queries
+    via percentile_approx's documented error bound."""
+    q = F.expr(
+        "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 1000)"
+    ).alias("p")
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(q)
+        .select(
+            "o_orderstatus",
+            F.round(F.element_at("p", 1), 2).alias("p50"),
+            F.round(F.element_at("p", 2), 2).alias("p90"),
+            F.round(F.element_at("p", 3), 2).alias("p99"),
+        )
+    )
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 

@@ -26,12 +26,15 @@ def fs_bbha_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = (
         load(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(200)
+        # vec_id < 200 == first 200 ids, as a pushed-down scan filter (no
+        # global sort); slice the 16 dims server-side so the bounded
+        # driver collect moves 16 floats/row, not the full vector
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
         .collect()
     )
-    mat = np.array([r.embedding[:16] for r in rows], dtype=np.float64)
+    rows = sorted(rows, key=lambda r: r.vec_id)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
     x = pd.DataFrame(
         mat,
         index=[r.vec_id for r in rows],

@@ -247,3 +247,19 @@ def test_sinks_roundtrip(spark, tmp_path):
 
     path = write_model_artifact({"weights": [1, 2, 3]}, str(tmp_path / "m"))
     assert read_model_artifact(path) == {"weights": [1, 2, 3]}
+
+
+def test_approx_quantiles_within_error_bound(spark, sf_dir):
+    from multiomix_aws_emr_spark.queries.registry import QUERIES
+
+    got = {
+        r.o_orderstatus: (r.p50, r.p90, r.p99)
+        for r in QUERIES["agg_approx_quantiles"](spark, sf_dir).collect()
+    }
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("p")
+    )
+    for r in exact.collect():
+        for i in range(3):
+            assert abs(got[r.o_orderstatus][i] - r.p[i]) / r.p[i] < 0.02
