@@ -1,0 +1,171 @@
+"""End-to-end BBHA experiment runner — the spark-submit entry point.
+
+The Spark-native analog of the reference's `scripts/main.py:252-296` +
+`scripts/core.py:80-291`: parse CLI parameters (the operative subset of the
+reference's 28, `scripts/parameters.py:75-173`), ingest the survival TSVs,
+clean, run BBHA feature selection, and write the three artifacts the
+reference emits — `result.json` (R24, `core.py:277-285`), the per-star
+metrics (R24, tidied to parquet instead of a dict-of-parallel-lists), and
+the best-model artifact (R25, `core.py:265-269`).
+
+Run:
+
+    spark-submit -py-files <pkg.zip> -m multiomix_aws_emr_spark.experiment \
+        --app-name exp1 --molecules-dataset m.tsv --clinical-dataset c.tsv \
+        --results-dir /tmp/out --n-stars 8 --bbha-iterations 4
+
+or locally: ``python -m multiomix_aws_emr_spark.experiment ...``.
+
+Model selection mirrors `scripts/main.py:29-42`: the built-in fitness is
+the dependency-free linear Cox CV (fs/fitness.py); the reference's
+survival-SVM / random-survival-forest / clustering+CoxPH fitness functions
+require scikit-survival / lifelines, which are import-gated — requesting
+them without the libraries installed fails with a clear message rather
+than at first use on an executor.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import time as _time
+
+import numpy as np
+
+from pyspark.sql import SparkSession
+
+
+def _cox_fitness(folds: int, seed: int):
+    from multiomix_aws_emr_spark.fs.fitness import cv_linear_cox_fitness
+
+    return functools.partial(cv_linear_cox_fitness, folds=folds, seed=seed)
+
+
+def _svm_or_rf_fitness(model: str, folds: int, seed: int):
+    try:
+        import sksurv  # noqa: F401  (`scripts/main.py:14-16`)
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"--model {model} needs scikit-survival, which is not installed; "
+            "the built-in dependency-free fitness is --model cox"
+        ) from exc
+    raise NotImplementedError(
+        f"--model {model}: wire sksurv estimator into fs/fitness.py "
+        "(seam: FitnessFn(x, time, event, sample_ids) -> float)"
+    )
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    """The operative parameter subset of `scripts/parameters.py:75-173`."""
+    p = argparse.ArgumentParser(prog="multiomix_aws_emr_spark.experiment")
+    p.add_argument("--app-name", required=True)
+    p.add_argument("--molecules-dataset", required=True)
+    p.add_argument("--clinical-dataset", required=True)
+    p.add_argument("--results-dir", default="results")
+    p.add_argument(
+        "--model", default="cox", choices=("cox", "svm", "rf", "clustering")
+    )
+    p.add_argument("--n-stars", type=int, default=30)
+    p.add_argument("--bbha-iterations", type=int, default=30)
+    p.add_argument("--cv-folds", type=int, default=10)
+    p.add_argument("--random-state", type=int, default=42)
+    return p
+
+
+def run_experiment(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """Ingest -> clean -> BBHA -> write artifacts. Returns result dict."""
+    from multiomix_aws_emr_spark.fs.bbha import run_bbha
+    from multiomix_aws_emr_spark.sources.sinks import (
+        write_model_artifact,
+        write_parquet,
+    )
+    from multiomix_aws_emr_spark.sources.survival import (
+        clean_wide,
+        long_to_wide,
+        read_clinical_tsv,
+        read_molecules_tsv,
+    )
+
+    t0 = _time.perf_counter()
+    if args.model == "cox":
+        fitness = _cox_fitness(args.cv_folds, args.random_state)
+    elif args.model in ("svm", "rf"):
+        fitness = _svm_or_rf_fitness(args.model, args.cv_folds, args.random_state)
+    else:  # clustering (`scripts/main.py:79-112`) needs lifelines' CoxPH
+        raise NotImplementedError(
+            "--model clustering needs lifelines (import-gated); "
+            "the built-in fitness is --model cox"
+        )
+
+    molecules = read_molecules_tsv(spark, args.molecules_dataset)
+    wide = clean_wide(long_to_wide(molecules))
+    clinical = read_clinical_tsv(spark, args.clinical_dataset)
+
+    # The cleaned molecules matrix joins clinical on sample_id, then lands
+    # on the driver as the bounded pandas frame the metaheuristic needs
+    # (the reference broadcasts exactly this object, core.py:167-169).
+    joined = wide.join(clinical, "sample_id", "inner")
+    pdf = joined.toPandas().set_index("sample_id").sort_index()
+    time_col = pdf.pop("time").to_numpy(dtype=np.float64)
+    event_col = pdf.pop("event").to_numpy(dtype=bool)
+
+    result = run_bbha(
+        spark,
+        pdf,
+        time_col,
+        event_col,
+        n_stars=args.n_stars,
+        n_iterations=args.bbha_iterations,
+        random_state=args.random_state,
+        fitness_fn=fitness,
+    )
+
+    os.makedirs(args.results_dir, exist_ok=True)
+    # result.json (R24: core.py:277-285 — same shape)
+    result_path = os.path.join(args.results_dir, "result.json")
+    with open(result_path, "w") as fh:
+        fh.write(result.to_result_json())
+    # tidy per-(iteration, star) metrics (replaces D6)
+    write_parquet(
+        result.history_df(spark),
+        os.path.join(args.results_dir, "metrics.parquet"),
+        partition_by=["iteration"],
+    )
+    # model artifact by path (R25)
+    model_path = write_model_artifact(
+        {
+            "model": args.model,
+            "mask": result.best_mask.tolist(),
+            "features": result.selected_features,
+            "best_fitness": result.best_fitness,
+            "random_state": args.random_state,
+        },
+        args.results_dir,
+    )
+    return {
+        "app_name": args.app_name,
+        "result_json": result_path,
+        "model_path": model_path,
+        "best_metric": round(result.best_fitness, 4),
+        "n_features": len(result.selected_features),
+        "wall_seconds": round(_time.perf_counter() - t0, 4),
+    }
+
+
+def main(argv: list[str] | None = None) -> dict:
+    args = build_arg_parser().parse_args(argv)
+    from multiomix_aws_emr_spark.session import build_session
+
+    spark = build_session(app_name=args.app_name)
+    try:
+        summary = run_experiment(spark, args)
+        print(json.dumps(summary))
+        return summary
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
