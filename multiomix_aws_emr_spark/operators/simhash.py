@@ -48,11 +48,12 @@ def simhash(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_bands(
-    sig: DataFrame, *, id_col: str, bands: int = 4
+    sig: DataFrame, *, id_col: str, bands: int = 4, carry: tuple = ()
 ) -> DataFrame:
-    """(id, band, bucket) — split the 64-bit fingerprint into equal bands;
-    candidates for near-dup share (band, bucket). Equi-join key, no cross
-    join."""
+    """(id, *carry, band, bucket) — split the 64-bit fingerprint into equal
+    bands; candidates for near-dup share (band, bucket). Equi-join key, no
+    cross join. ``carry`` columns ride along through the explode, so
+    callers that want signature + bands together need no self-join."""
     width = _BITS // bands
     mask = (1 << width) - 1
     rows = [
@@ -64,9 +65,9 @@ def simhash_bands(
         )
         for b in range(bands)
     ]
-    return sig.select(id_col, F.explode(F.array(*rows)).alias("bb")).select(
-        id_col, "bb.band", "bb.bucket"
-    )
+    return sig.select(
+        id_col, *carry, F.explode(F.array(*rows)).alias("bb")
+    ).select(id_col, *carry, "bb.band", "bb.bucket")
 
 
 def hamming_distance(a, b):

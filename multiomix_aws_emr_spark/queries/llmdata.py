@@ -111,8 +111,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = scan_parallel(load(spark, sf_dir, "documents"))
     sig = simhash(d, id_col="doc_id", text_col="text")
-    bands = simhash_bands(sig, id_col="doc_id")
-    return sig.join(bands, "doc_id").select("doc_id", "simhash", "band", "bucket")
+    # carry the fingerprint through the band explode: one pipeline, no
+    # self-join (the signature aggregate would otherwise run twice)
+    return simhash_bands(sig, id_col="doc_id", carry=("simhash",)).select(
+        "doc_id", "simhash", "band", "bucket"
+    )
 
 
 @query(
@@ -271,4 +274,34 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = sample_frames(media, stride=4)
     return frames.select(
         "doc_id", "frame_idx", F.octet_length("frame").alias("n_frame_bytes")
+    )
+
+
+@query("dedup_minhash_components")  # rows-only: iterative fixpoint
+def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full transitive near-dup clusters: MinHash-LSH one-step edges
+    (operators/dedup.py) closed to connected components by min-label
+    propagation (operators/components.py). Output (doc_id, component) is
+    total over the corpus; component ids are the minimum doc_id of each
+    cluster."""
+    from multiomix_aws_emr_spark.operators.components import connected_components
+    from multiomix_aws_emr_spark.operators.dedup import minhash_lsh_clusters
+
+    d = load(spark, sf_dir, "documents")
+    # Materialize the sketch output once: it feeds BOTH the fixpoint and
+    # the final stitch join, and is (doc, rep) pairs — small relative to
+    # the corpus text it derives from.
+    one_step = minhash_lsh_clusters(
+        d, text_col="text", id_col="doc_id"
+    ).localCheckpoint()
+    # The fixpoint only concerns docs in non-trivial clusters; most of a
+    # real corpus is singletons (doc_id == rep_id), which would bloat every
+    # propagation round. Run CC on the dup subgraph only, then stitch
+    # singletons back with their identity label.
+    dup_edges = one_step.filter(F.col("doc_id") != F.col("rep_id"))
+    cc = connected_components(dup_edges, src="doc_id", dst="rep_id")
+    return one_step.join(
+        cc, one_step.doc_id == cc.node, "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
     )

@@ -263,3 +263,39 @@ def test_approx_quantiles_within_error_bound(spark, sf_dir):
     for r in exact.collect():
         for i in range(3):
             assert abs(got[r.o_orderstatus][i] - r.p[i]) / r.p[i] < 0.02
+
+
+def test_connected_components_closes_chains(spark):
+    from multiomix_aws_emr_spark.operators.components import connected_components
+
+    # chain 1-2, 2-3, 3-4 plus separate 10-11 and singleton self-loop 20
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], "src bigint, dst bigint"
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_minhash_plus_components_transitive(spark):
+    from multiomix_aws_emr_spark.operators.components import connected_components
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    mid = base.replace("gamma", "GAMMA").replace("eta", "ETA")
+    far = mid.replace("alpha", "ALPHA").replace("iota", "IOTA")
+    rows = [
+        (0, base),
+        (1, mid),    # near dup of 0
+        (2, far),    # near dup of 1, farther from 0
+        (3, "unrelated totally different content here about engines"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    one_step = minhash_lsh_clusters(d, text_col="text", id_col="doc_id")
+    cc = connected_components(one_step, src="doc_id", dst="rep_id")
+    comp = {r.node: r.component for r in cc.collect()}
+    # whatever the one-step pairs were, the closure must be transitive:
+    # docs sharing any chain end in the same component
+    if comp[1] == comp[0] and comp[2] == comp[1]:
+        assert comp[2] == comp[0]
+    assert comp[3] == 3  # unrelated stays alone
