@@ -41,6 +41,19 @@ def main() -> None:
     for t in TABLE_NAMES:
         load(spark, sf_dir, t).write.mode("overwrite").format("noop").save()
 
+    # Warm the Python-UDF worker pool (one worker per core imports
+    # pandas/numpy/pyarrow on first use — otherwise the alphabetically
+    # first applyInPandas query absorbs the whole spin-up).
+    import pandas as _pd
+
+    def _identity(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(0, 10_000, 1, spark.sparkContext.defaultParallelism).mapInPandas(
+        _identity, schema="id long"
+    ).write.mode("overwrite").format("noop").save()
+
     timings: dict[str, float] = {}
     for qid in sorted(QUERIES):
         start = time.perf_counter()

@@ -44,13 +44,19 @@ def connected_components(
         fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint()
 
+    # Initial labels fold the first propagation round into one aggregate:
+    # node -> min(node, direct neighbors). Star-shaped graphs (the near-dup
+    # common case) converge here, leaving a single confirmation round.
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        sym.groupBy("a")
+        .agg(F.min("b").alias("_mb"))
+        .select(
+            F.col("a").alias("node"),
+            F.least("a", "_mb").alias("component"),
+        )
         .localCheckpoint()
     )
-    prev_sum = None
+    prev_sum = labels.agg(F.sum("component")).first()[0]
     for _ in range(max_rounds):
         neighbor_min = (
             sym.join(labels, sym.a == labels.node)
