@@ -71,6 +71,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--bbha-iterations", type=int, default=30)
     p.add_argument("--cv-folds", type=int, default=10)
     p.add_argument("--random-state", type=int, default=42)
+    # improved-BBHA surface (`scripts/parameters.py` --coeff-1/--coeff-2;
+    # the variant itself is the reference's gated TODO, SURVEY.md §7.6)
+    p.add_argument("--bbha-variant", default="classic", choices=("classic", "improved"))
+    p.add_argument("--coeff-1", type=float, default=2.2)
+    p.add_argument("--coeff-2", type=float, default=0.1)
     return p
 
 
@@ -120,6 +125,9 @@ def run_experiment(spark: SparkSession, args: argparse.Namespace) -> dict:
         n_iterations=args.bbha_iterations,
         random_state=args.random_state,
         fitness_fn=fitness,
+        variant=getattr(args, "bbha_variant", "classic"),
+        coeff_1=getattr(args, "coeff_1", 2.2),
+        coeff_2=getattr(args, "coeff_2", 0.1),
     )
 
     os.makedirs(args.results_dir, exist_ok=True)

@@ -150,6 +150,13 @@ _EVAL_SCHEMA = (
 )
 
 
+#: Admissible improved-variant coefficients (`metaheuristics.py:358-367`,
+#: from Gholizadeh/Razavi/Shojaei, "Improved black hole and multiverse
+#: algorithms for discrete sizing optimization of planar structures").
+IMPROVED_COEFF_1 = (2.2, 2.35)
+IMPROVED_COEFF_2 = (0.1, 0.2, 0.3)
+
+
 def run_bbha(
     spark: SparkSession,
     x: pd.DataFrame,
@@ -159,10 +166,13 @@ def run_bbha(
     n_stars: int = 10,
     n_iterations: int = 5,
     random_state: int = 42,
-    binarization_threshold: float = 0.6,
+    binarization_threshold: Optional[float] = 0.6,
     n_bins: Optional[int] = None,
     cost_fn: Optional[Callable[[np.ndarray], float]] = None,
     fitness_fn: FitnessFn = cv_linear_cox_fitness,
+    variant: str = "classic",
+    coeff_1: float = 2.2,
+    coeff_2: float = 0.1,
 ) -> BBHAResult:
     """Run BBHA feature selection over a samples x features pandas frame.
 
@@ -171,7 +181,28 @@ def run_bbha(
     reference's learned-cost load balancer (R30/R31): predicted per-star
     cost -> greedy bin-packing -> ``bin_id``; default is the sequential
     partitioner (R8).
+
+    ``variant='improved'`` applies the three modifications of the improved
+    BBHA the reference gates behind a flag (`metaheuristics.py:342-465`,
+    a declared TODO there — SURVEY.md §7.6):
+
+    1. event horizon ``(1/f_bh) / sum(1/f)`` instead of ``f_bh / sum(f)``
+       (`:441`);
+    2. a captured star toggles ONE random dimension instead of full
+       re-initialization (`:449-451`);
+    3. the position update blends attraction to the black hole with the
+       star's own best position, with iteration-decaying weights
+       ``d{1,2} = coeff_{1,2} + (1 - i/n)`` (`:453-465`); a ``None``
+       binarization threshold draws a fresh uniform threshold per
+       dimension, as the paper specifies.
     """
+    if variant not in ("classic", "improved"):
+        raise ValueError("variant must be 'classic' or 'improved'")
+    if variant == "improved":
+        if coeff_1 not in IMPROVED_COEFF_1:
+            raise ValueError(f"coeff_1 must be one of {IMPROVED_COEFF_1}")
+        if coeff_2 not in IMPROVED_COEFF_2:
+            raise ValueError(f"coeff_2 must be one of {IMPROVED_COEFF_2}")
     t_start = _time.perf_counter()
     sc = spark.sparkContext
     n_features = x.shape[1]
@@ -220,6 +251,9 @@ def run_bbha(
 
     history: list[dict] = []
     bh_idx, bh_fitness = -1, -np.inf
+    # improved variant: per-star personal bests (`metaheuristics.py:371-374`)
+    best_masks = [m.copy() for m in masks]
+    best_fitnesses = np.full(n_stars, -np.inf)
 
     for iteration in range(n_iterations):
         results = evaluate_all(iteration)
@@ -235,6 +269,10 @@ def run_bbha(
                     "hostname": host,
                 }
             )
+        improved = fitnesses > best_fitnesses
+        for i in np.nonzero(improved)[0]:
+            best_fitnesses[i] = fitnesses[i]
+            best_masks[i] = masks[i].copy()
 
         # Black-hole selection: arg-best with fewer-features tie-break
         # (metaheuristics.py:647-681, R14/R15).
@@ -253,31 +291,67 @@ def run_bbha(
         if iteration == n_iterations - 1:
             break
 
-        # Event horizon radius: f_bh / sum(f) (metaheuristics.py:684, R16);
-        # fitness clipped at 0 so worst-fitness sentinels don't flip signs.
-        total = float(np.clip(fitnesses, 0, None).sum()) or 1.0
-        horizon = max(bh_fitness, 0.0) / total
+        if variant == "improved":
+            # Improvement 1: reciprocal event horizon (`:441`).
+            safe = np.clip(fitnesses, 1e-9, None)
+            horizon = (1.0 / max(bh_fitness, 1e-9)) / float((1.0 / safe).sum())
+        else:
+            # Classic radius: f_bh / sum(f) (metaheuristics.py:684, R16);
+            # fitness clipped at 0 so worst sentinels don't flip signs.
+            total = float(np.clip(fitnesses, 0, None).sum()) or 1.0
+            horizon = max(bh_fitness, 0.0) / total
+
+        # Improvement 3 weights: iteration-decaying pull toward the black
+        # hole (d1) and the star's own best (d2) (`:453-456`).
+        w = 1.0 - iteration / n_iterations
+        d1, d2 = coeff_1 + w, coeff_2 + w
 
         for i in range(n_stars):
             if i == bh_idx:
                 continue
-            # Position update + tanh binarization (metaheuristics.py:696-705,
-            # R17): x_new = x + rand * (bh - x); bit = |tanh(x_new)| > thr.
             rand = loop_rng.random_sample(n_features)
-            x_new = masks[i] + rand * (bh_mask - masks[i])
-            masks[i] = (
-                np.abs(np.tanh(x_new)) > binarization_threshold
-            ).astype(np.int32)
-            # Event-horizon capture -> seeded re-initialization
-            # (metaheuristics.py:683-694, R16/R18).
-            dist = float(np.linalg.norm(bh_mask - masks[i]))
-            if dist < horizon or masks[i].sum() == 0:
-                masks[i] = random_mask(
-                    n_features,
-                    np.random.RandomState(
-                        random_state * (i + 1) + 1000 * (iteration + 1)
-                    ),
+            if variant == "improved":
+                rand2 = loop_rng.random_sample(n_features)
+                x_new = (
+                    masks[i]
+                    + d1 * rand * (bh_mask - masks[i])
+                    + d2 * rand2 * (best_masks[i] - masks[i])
                 )
+            else:
+                # Position update (metaheuristics.py:696-705, R17):
+                # x_new = x + rand * (bh - x).
+                x_new = masks[i] + rand * (bh_mask - masks[i])
+            if binarization_threshold is None:
+                thr = loop_rng.random_sample(n_features)
+            else:
+                thr = binarization_threshold
+            masks[i] = (np.abs(np.tanh(x_new)) > thr).astype(np.int32)
+
+            dist = float(np.linalg.norm(bh_mask - masks[i]))
+            if variant == "improved":
+                # Improvement 2: capture toggles ONE random dimension
+                # (`:449-451`); an all-zero mask still re-randomizes (the
+                # zero subset is invalid by R13).
+                if dist < horizon:
+                    flip = loop_rng.randint(0, n_features)
+                    masks[i][flip] ^= 1
+                if masks[i].sum() == 0:
+                    masks[i] = random_mask(
+                        n_features,
+                        np.random.RandomState(
+                            random_state * (i + 1) + 1000 * (iteration + 1)
+                        ),
+                    )
+            else:
+                # Event-horizon capture -> seeded re-initialization
+                # (metaheuristics.py:683-694, R16/R18).
+                if dist < horizon or masks[i].sum() == 0:
+                    masks[i] = random_mask(
+                        n_features,
+                        np.random.RandomState(
+                            random_state * (i + 1) + 1000 * (iteration + 1)
+                        ),
+                    )
 
     best_mask = masks[bh_idx]
     return BBHAResult(

@@ -77,3 +77,27 @@ def test_random_mask_seeded():
     m2 = random_mask(20, np.random.RandomState(42))
     assert (m1 == m2).all()
     assert 1 <= m1.sum() <= 20
+
+
+def test_improved_variant_deterministic_and_converges(spark, dataset):
+    x, time_col, event_col = dataset
+
+    kw = dict(
+        n_stars=6, n_iterations=4, random_state=42,
+        variant="improved", coeff_1=2.2, coeff_2=0.1,
+        binarization_threshold=None,
+    )
+    r1 = run_bbha(spark, x, time_col, event_col, **kw)
+    r2 = run_bbha(spark, x, time_col, event_col, **kw)
+    assert r1.selected_features == r2.selected_features
+    assert r1.best_fitness == r2.best_fitness
+    assert r1.best_fitness > 0.5  # beats random ordering
+
+
+def test_improved_variant_rejects_bad_coeffs(spark, dataset):
+    x, time_col, event_col = dataset
+
+    with pytest.raises(ValueError, match="coeff_1"):
+        run_bbha(spark, x, time_col, event_col, variant="improved", coeff_1=9.9)
+    with pytest.raises(ValueError, match="coeff_2"):
+        run_bbha(spark, x, time_col, event_col, variant="improved", coeff_2=0.9)
