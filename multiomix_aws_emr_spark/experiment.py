@@ -67,6 +67,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--model", default="cox", choices=("cox", "svm", "rf", "clustering")
     )
+    # both values of the reference's algorithm enum (`src/emr.py:10-14`);
+    # blind search is implemented here (the reference left it a TODO)
+    p.add_argument(
+        "--algorithm", default="bbha", choices=("bbha", "blind_search")
+    )
     p.add_argument("--n-stars", type=int, default=30)
     p.add_argument("--bbha-iterations", type=int, default=30)
     p.add_argument("--cv-folds", type=int, default=10)
@@ -116,19 +121,32 @@ def run_experiment(spark: SparkSession, args: argparse.Namespace) -> dict:
     time_col = pdf.pop("time").to_numpy(dtype=np.float64)
     event_col = pdf.pop("event").to_numpy(dtype=bool)
 
-    result = run_bbha(
-        spark,
-        pdf,
-        time_col,
-        event_col,
-        n_stars=args.n_stars,
-        n_iterations=args.bbha_iterations,
-        random_state=args.random_state,
-        fitness_fn=fitness,
-        variant=getattr(args, "bbha_variant", "classic"),
-        coeff_1=getattr(args, "coeff_1", 2.2),
-        coeff_2=getattr(args, "coeff_2", 0.1),
-    )
+    if getattr(args, "algorithm", "bbha") == "blind_search":
+        from multiomix_aws_emr_spark.fs.blind import run_blind_search
+
+        result = run_blind_search(
+            spark,
+            pdf,
+            time_col,
+            event_col,
+            n_subsets=args.n_stars,
+            random_state=args.random_state,
+            fitness_fn=fitness,
+        )
+    else:
+        result = run_bbha(
+            spark,
+            pdf,
+            time_col,
+            event_col,
+            n_stars=args.n_stars,
+            n_iterations=args.bbha_iterations,
+            random_state=args.random_state,
+            fitness_fn=fitness,
+            variant=getattr(args, "bbha_variant", "classic"),
+            coeff_1=getattr(args, "coeff_1", 2.2),
+            coeff_2=getattr(args, "coeff_2", 0.1),
+        )
 
     os.makedirs(args.results_dir, exist_ok=True)
     # result.json (R24: core.py:277-285 — same shape)
@@ -145,6 +163,7 @@ def run_experiment(spark: SparkSession, args: argparse.Namespace) -> dict:
     model_path = write_model_artifact(
         {
             "model": args.model,
+            "algorithm": getattr(args, "algorithm", "bbha"),
             "mask": result.best_mask.tolist(),
             "features": result.selected_features,
             "best_fitness": result.best_fitness,

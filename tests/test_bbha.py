@@ -101,3 +101,22 @@ def test_improved_variant_rejects_bad_coeffs(spark, dataset):
         run_bbha(spark, x, time_col, event_col, variant="improved", coeff_1=9.9)
     with pytest.raises(ValueError, match="coeff_2"):
         run_bbha(spark, x, time_col, event_col, variant="improved", coeff_2=0.9)
+
+
+def test_blind_search_one_pass(spark, dataset):
+    from multiomix_aws_emr_spark.fs.blind import run_blind_search
+
+    x, time_col, event_col = dataset
+    r1 = run_blind_search(
+        spark, x, time_col, event_col, n_subsets=12, random_state=42
+    )
+    r2 = run_blind_search(
+        spark, x, time_col, event_col, n_subsets=12, random_state=42
+    )
+    assert r1.selected_features == r2.selected_features  # seeded
+    assert len(r1.history) == 12 and r1.n_iterations == 1
+    # best-of-12 must match a driver-side argmax over its own history
+    best = max(r1.history, key=lambda h: (h["fitness"], -h["n_features"]))
+    assert r1.best_fitness == best["fitness"]
+    # with informative features planted, random search still beats chance
+    assert r1.best_fitness > 0.5
