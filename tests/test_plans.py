@@ -85,3 +85,12 @@ def test_agg_has_partial_phase(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_groupby")
     assert plan.count("HashAggregate") >= 2
     assert "partial_" in plan
+
+
+def test_flagship_broadcasts_all_dims(spark, sf_dir):
+    # region ⋈ nation ⋈ customer ⋈ orders: every dimension hop must be a
+    # broadcast join; the only shuffle is the final aggregation
+    plan = _plan(spark, sf_dir, "flagship_revenue_by_region")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "TakeOrderedAndProject" in plan
