@@ -305,3 +305,56 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.coalesce("component", "doc_id").alias("component")
     )
+
+
+@query("pipeline_curation")  # rows-only: composes sketch-based dedup
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation flow as ONE composed Spark plan:
+
+    language filter -> quality threshold -> exact dedup -> MinHash near-dup
+    representative filter -> per-language corpus stats with provenance
+    counts. Every stage is a declared operator elsewhere in this package;
+    composing them exercises what a corpus pipeline actually ships, and the
+    whole thing stays a single Catalyst plan (filters push into the scan;
+    the only shuffles are the two dedup aggregates and the final stats
+    groupBy).
+    """
+    from multiomix_aws_emr_spark.operators.dedup import minhash_lsh_clusters
+
+    d = load(spark, sf_dir, "documents")
+    base = d.filter(F.col("lang").isin("en", "es", "de")).filter(
+        F.col("n_chars") >= 100
+    )
+    # exact dedup: keep the minimum doc_id per identical text
+    keeper = base.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    exact = base.join(keeper.select("doc_id"), "doc_id", "left_semi")
+    # near-dup: keep only cluster representatives (doc == its rep)
+    reps = minhash_lsh_clusters(exact, text_col="text", id_col="doc_id").filter(
+        F.col("doc_id") == F.col("rep_id")
+    )
+    curated = exact.join(reps.select("doc_id"), "doc_id", "left_semi")
+    return (
+        curated.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query("sample_stratified")  # rows-only: sampling has no cross-engine oracle
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sampling by language (``sampleBy`` — per-stratum
+    Bernoulli with deterministic seed): the standard mixture-rebalancing
+    step of training-data pipelines. Emits per-language sampled counts so
+    the result is stable-schema regardless of which rows the sampler
+    keeps."""
+    d = load(spark, sf_dir, "documents")
+    fracs = {"en": 0.5, "es": 1.0, "de": 1.0, "fr": 0.25}
+    sampled = d.sampleBy("lang", fractions=fracs, seed=42)
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )
