@@ -220,3 +220,28 @@ def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         _expand_chunks, schema="doc_id bigint, chunk_idx int, chunk string"
     )
+
+
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@query(
+    "text_token_count_bpe",
+    oracle=(
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+        r"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_subtokens "
+        "FROM documents"
+    ),
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenizer counting: letter runs, digit runs, and
+    single punctuation marks (the GPT-2 pre-tokenization shape, reduced to
+    an RE2-compatible pattern both engines segment identically). The regex
+    runs JVM-side via regexp_extract_all — no Python in the loop."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).alias(
+            "n_subtokens"
+        ),
+    )
