@@ -206,6 +206,37 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_percentiles",
+    oracle=(
+        "SELECT o_orderstatus, "
+        "ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25, "
+        "ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50, "
+        "ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75 "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (``percentile``,
+    same interpolation rule as DuckDB ``quantile_cont``). The exact twin of
+    ``agg_approx_quantiles``: use this when the group cardinality is small
+    enough to sort within the aggregate buffer; the sketch form when it
+    isn't. One shuffle on the group key either way."""
+    p = F.expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))").alias("p")
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(p)
+        .select(
+            "o_orderstatus",
+            F.round(F.element_at("p", 1), 4).alias("p25"),
+            F.round(F.element_at("p", 2), 4).alias("p50"),
+            F.round(F.element_at("p", 3), 4).alias("p75"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 

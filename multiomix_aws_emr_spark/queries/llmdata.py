@@ -343,6 +343,31 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sample_hash_mod",
+    oracle=(
+        "SELECT doc_id, lang FROM documents "
+        "WHERE (doc_id * 2654435761) % 4294967296 < 1288490189 "
+        "ORDER BY doc_id"
+    ),
+)
+def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~30% sample via Knuth's multiplicative hash
+    (``(id * 2654435761) mod 2^32``) — the reproducible alternative to
+    Bernoulli ``sampleBy``: the same row set on every engine, every run,
+    any partitioning, which is what a training-data pipeline needs for
+    auditable corpus subsets. Pure narrow filter: pushes to the scan, no
+    shuffle. At petabyte scale (ids beyond ~2^31, where the product would
+    overflow int64) swap the multiplier for ``xxhash64(doc_id) % 2^32`` —
+    identical plan shape; this form is kept because it is expressible in
+    portable ANSI SQL for the oracle."""
+    d = load(spark, sf_dir, "documents")
+    keep = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) < F.lit(
+        1288490189
+    )
+    return d.filter(keep).select("doc_id", "lang").orderBy("doc_id")
+
+
 @query("sample_stratified")  # rows-only: sampling has no cross-engine oracle
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified sampling by language (``sampleBy`` — per-stratum

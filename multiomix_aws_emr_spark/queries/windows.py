@@ -152,3 +152,31 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_60s")
     )
+
+
+@query(
+    "window_ntile",
+    oracle=(
+        "SELECT o_orderkey, CAST(NTILE(4) OVER w AS INTEGER) AS tile, "
+        "ROUND(PERCENT_RANK() OVER w, 6) AS pr, "
+        "ROUND(CUME_DIST() OVER w, 6) AS cd "
+        "FROM orders WINDOW w AS "
+        "(PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)"
+    ),
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — quartile bucketing (``ntile``) plus
+    normalized ranks (``percent_rank``/``cume_dist``) under a total
+    deterministic order (price desc, orderkey tiebreak). Same single
+    shuffle-and-sort per partition key as the ranking windows; ntile adds
+    only a partition-count pass."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("tile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
