@@ -45,8 +45,6 @@ def shingle_rows(
     nothing.
     """
     w = Window.partitionBy(id_col).orderBy("pos")
-    wpart = Window.partitionBy(id_col)
-    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     # Explicit partition count: AQE would coalesce a bare
     # repartition(key) to one partition on small inputs, serializing the
     # token pipeline; hash(doc_id) at the cluster's parallelism holds at
@@ -59,32 +57,29 @@ def shingle_rows(
         df.repartition(n_parts, id_col)
         .select(id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"))
         .filter(F.col("tok") != "")
-        .withColumn("_n", F.count("*").over(wpart))
     )
+    # ONE window pass produces everything: the n-gram continuation tokens
+    # (lead) and the in-doc row number share the same window spec, so
+    # WindowExec evaluates them together. concat_ws skips NULLs, which
+    # makes the short-doc case free: at row 1 of a doc with fewer than
+    # ``shingle_words`` tokens the trailing leads are NULL and the concat
+    # is exactly the doc's full token string — no count window, no
+    # collect_list, no union branch.
     leads = [F.lead("tok", j).over(w) for j in range(1, shingle_words)]
-    grams = (
-        tok.filter(F.col("_n") >= shingle_words)
-        .select(
+    last = leads[-1] if leads else F.col("tok")
+    return (
+        tok.select(
             id_col,
             F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"),
-            (leads[-1] if leads else F.col("tok")).alias("_last"),
+            F.row_number().over(w).alias("_rn"),
+            last.alias("_last"),
         )
-        .filter(F.col("_last").isNotNull())
+        .filter(F.col("_last").isNotNull() | (F.col("_rn") == 1))
         # doc_id partitioning satisfies the (id, shingle) clustered
         # distribution, so this dedup aggregates without a new shuffle
         .dropDuplicates([id_col, "shingle"])
+        .select(id_col, "shingle")
     )
-    # Short-doc fallback: the ordered collect_list runs only over the
-    # (rare) docs with < shingle_words tokens, not the whole corpus.
-    shorts = (
-        tok.filter(F.col("_n") < shingle_words)
-        .withColumn("_minp", F.min("pos").over(wpart))
-        .withColumn("_full", F.concat_ws(" ", F.collect_list("tok").over(wfull)))
-        .filter(F.col("pos") == F.col("_minp"))
-        .select(id_col, F.col("_full").alias("shingle"))
-    )
-    # No doc appears on both sides, so the union needs no further dedup.
-    return grams.select(id_col, "shingle").unionByName(shorts)
 
 
 def minhash_signatures(
