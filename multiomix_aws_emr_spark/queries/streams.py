@@ -122,3 +122,25 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multiomix_aws_emr_spark.streaming.stateful import run_running_totals
 
     return run_running_totals(spark, sf_dir)
+
+
+@query(
+    "stream_interval_join",
+    oracle=with_events_v(
+        "SELECT p.user_id, p.event_id AS p_id, v.event_id AS v_id "
+        "FROM events_v p JOIN events_v v ON p.user_id = v.user_id "
+        "AND p.event_type = 'purchase' AND v.event_type = 'view' "
+        "AND v.ts_ms BETWEEN p.ts_ms - 1800000 AND p.ts_ms"
+    ),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join, batch twin: every purchase joined to the views of the
+    same user in the preceding 30 minutes. The IDENTICAL logical plan runs
+    as a watermarked stream-stream join (streaming/join.py — watermarks are
+    a no-op in batch); physically an equi-join on user_id with the time
+    bound as a post-join range filter, so it shuffles on the key, never
+    cross-scans."""
+    from multiomix_aws_emr_spark.sources.tables import load
+    from multiomix_aws_emr_spark.streaming.join import interval_join_plan
+
+    return interval_join_plan(load(spark, sf_dir, "events"))

@@ -1,0 +1,100 @@
+"""Structured Streaming: watermarked stream-stream interval join.
+
+The closure op the reference lacks entirely (it has no joins at all —
+SURVEY.md §2.1 tail note): correlate two event streams per key within a
+time bound, e.g. every purchase joined to the views that preceded it by at
+most 30 minutes. The batch twin (queries/streams.py:stream_interval_join)
+builds the SAME logical plan over a static frame — equality of the two is
+asserted in tests/test_streaming.py.
+
+Execution model notes:
+- both sides carry a watermark, and the join condition bounds view time to
+  a window ending at the purchase time; together these bound the state
+  store: a buffered view row is evictable once the view-side watermark
+  passes ``its ts + 30 minutes`` (no unbounded buffering, the property
+  that makes stream-stream joins runnable forever);
+- inner interval joins emit eagerly on match (append mode) — no
+  finalization wait, so a bounded (availableNow) run emits exactly the
+  batch result;
+- the equi-key (user_id) keeps the physical join a state-store hash
+  lookup per key, never a cross-stream scan.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multiomix_aws_emr_spark.session import configure
+
+INTERVAL_MS = 30 * 60 * 1000
+
+
+def interval_join_plan(events: DataFrame) -> DataFrame:
+    """purchases ⋈ prior-30-min views per user over an events frame
+    (static or streaming; ts as bigint ns as read with nanosAsLong).
+
+    Output: (user_id, p_id, v_id) — one row per qualifying pair.
+    """
+    ev = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_millis(F.expr("ts div 1000000")).alias("tts"),
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("p_id"), F.col("tts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("v_id"),
+            F.col("tts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    cond = (
+        (p.user_id == v.v_user)
+        & (v.v_ts >= p.p_ts - F.expr("INTERVAL 30 MINUTES"))
+        & (v.v_ts <= p.p_ts)
+    )
+    return p.join(v, cond, "inner").select("user_id", "p_id", "v_id")
+
+
+def run_stream_interval_join(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
+    """Run the interval join with BOTH sides as bounded streams
+    (availableNow, memory sink) and return the emitted rows."""
+    configure(spark)
+    static = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
+
+    def stream() -> DataFrame:
+        return (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", glob)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(sf_dir)
+        )
+
+    out = interval_join_plan(stream())
+    table = f"ssj_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    result = spark.table(table)
+    result.count()
+    return result

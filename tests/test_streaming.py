@@ -150,3 +150,19 @@ def test_declared_stateful_query_matches_batch_totals(spark, sf_dir):
     for u, (n, s) in exp.items():
         assert got[u][0] == n
         assert abs((got[u][1] or 0) - (s or 0)) < 1e-6
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir):
+    from multiomix_aws_emr_spark.sources.tables import load
+    from multiomix_aws_emr_spark.streaming.join import (
+        interval_join_plan,
+        run_stream_interval_join,
+    )
+
+    batch = set(
+        map(tuple, interval_join_plan(load(spark, sf_dir, "events")).collect())
+    )
+    streamed = set(map(tuple, run_stream_interval_join(spark, sf_dir).collect()))
+    assert len(batch) > 0
+    # inner interval joins emit eagerly: a bounded run is exactly the batch set
+    assert streamed == batch
