@@ -94,3 +94,35 @@ def test_flagship_broadcasts_all_dims(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    from multiomix_aws_emr_spark.sources.bucketed import bucketed_join, write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    write_bucketed(
+        orders, table="b_orders", path=str(tmp_path / "o"),
+        by=["o_custkey"], n_buckets=4, sort_cols=["o_custkey"],
+    )
+    write_bucketed(
+        cust, table="b_cust", path=str(tmp_path / "c"),
+        by=["c_custkey"], n_buckets=4, sort_cols=["c_custkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(
+            spark, "b_orders", "b_cust",
+            spark.table("b_orders").o_custkey == spark.table("b_cust").c_custkey,
+        ).select("o_orderkey", "c_name")
+        n = j.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # the whole point of bucketing: the shuffle was paid at write time
+        assert "Exchange hashpartitioning" not in plan, plan
+        plain = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+        assert n == plain > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
