@@ -282,6 +282,33 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_range_binned",
+    oracle=(
+        "SELECT p.p_partkey, s.s_suppkey FROM part p JOIN supplier s "
+        "ON p.p_retailprice BETWEEN s.s_acctbal - 500 AND s.s_acctbal + 500"
+    ),
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same band join as ``join_theta_range``, on the scale path: bin
+    quantization turns interval containment into a shuffled EQUI-join on a
+    long bin key (operators/rangejoin.py) — no nested loop, no requirement
+    that either side fit in memory. Bin width 1000 = the band length, so
+    each supplier interval lands in at most 2 bins."""
+    from multiomix_aws_emr_spark.operators.rangejoin import range_join_binned
+
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    return range_join_binned(
+        p,
+        s,
+        left_val="p_retailprice",
+        right_lo=F.col("s_acctbal") - 500,
+        right_hi=F.col("s_acctbal") + 500,
+        bin_width=1000.0,
+    ).select("p_partkey", "s_suppkey")
+
+
+@query(
     "join_asof_event",
     oracle=with_events_v(
         "SELECT p.event_id, p.user_id, MAX(s.ts_ms) AS signup_ts_ms "

@@ -126,3 +126,34 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_range_join_binned_is_equi_not_nested_loop(spark, sf_dir):
+    from multiomix_aws_emr_spark.queries import QUERIES
+
+    df = QUERIES["join_range_binned"](spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    # binned formulation must agree exactly with the nested-loop one
+    theta = set(map(tuple, QUERIES["join_theta_range"](spark, sf_dir).collect()))
+    binned = set(map(tuple, df.collect()))
+    assert binned == theta and len(binned) > 0
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from multiomix_aws_emr_spark.sources.sinks import write_parquet
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_parquet(orders, str(tmp_path / "po"), partition_by=["o_orderstatus"])
+    rd = spark.read.parquet(str(tmp_path / "po")).filter(
+        F.col("o_orderstatus") == "F"
+    )
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    # the filter must hit the directory layout, not the row data
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:160]
+    assert "o_orderstatus" in seg
+    assert rd.count() == orders.filter(F.col("o_orderstatus") == "F").count()
