@@ -429,6 +429,59 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.subtract(s)  # subtract == EXCEPT DISTINCT (exceptAll is bag-diff)
 
 
+@query(
+    "set_intersect_all",
+    oracle=(
+        "SELECT c_nationkey AS k FROM customer "
+        "INTERSECT ALL SELECT s_nationkey FROM supplier"
+    ),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics intersection (multiplicity = min of the two sides) —
+    the ALL variant completing the set-op closure; plans as a single
+    count-per-side aggregate + generate, one shuffle on the key."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersectAll(s)
+
+
+@query(
+    "set_except_all",
+    oracle=(
+        "SELECT c_nationkey AS k FROM customer "
+        "EXCEPT ALL SELECT s_nationkey FROM supplier"
+    ),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics difference (multiplicity = left minus right, floored
+    at zero) — ``exceptAll``, the ALL twin of ``set_except``."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.exceptAll(s)
+
+
+@query(
+    "unpivot_long",
+    oracle=(
+        "SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val "
+        "FROM part UNION ALL "
+        "SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val "
+        "FROM part"
+    ),
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (``melt``) — the inverse of ``pivot_wide`` and the
+    Spark-native form of the reference's transpose machinery (R1,
+    `scripts/utils.py:53`): narrow projection + Expand node, no shuffle at
+    all (verified: Generate/Expand is partition-local)."""
+    return load(spark, sf_dir, "part").unpivot(
+        "p_partkey",
+        [F.col("p_size").cast("double").alias("p_size"), F.col("p_retailprice")],
+        "attr",
+        "val",
+    )
+
+
 # --------------------------------------------------------------------------
 # flagship (entry() smoke query, SURVEY.md §7.1)
 # --------------------------------------------------------------------------

@@ -180,3 +180,33 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "window_first_last",
+    oracle=with_events_v(
+        "SELECT event_id, user_id, "
+        "FIRST_VALUE(event_id) OVER w AS first_ev, "
+        "LAST_VALUE(event_id) OVER "
+        "(PARTITION BY user_id ORDER BY ts_ms, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ev, "
+        "NTH_VALUE(event_id, 2) OVER w AS second_ev "
+        "FROM events_v WINDOW w AS "
+        "(PARTITION BY user_id ORDER BY ts_ms, event_id)"
+    ),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window values: first/last/nth event per user under a
+    total order. last_value needs the full-partition frame (the default
+    frame ends at CURRENT ROW — a classic correctness trap both engines
+    share, made explicit here); first/nth use the default growing frame."""
+    ev = events_v(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_id").over(w).alias("first_ev"),
+        F.last("event_id").over(wfull).alias("last_ev"),
+        F.nth_value("event_id", 2).over(w).alias("second_ev"),
+    )
