@@ -518,3 +518,29 @@ def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "r_name", "n_name")
         .limit(10)
     )
+
+
+_Q3_SQL = (
+    "SELECT o_orderkey, "
+    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+    "CAST(o_orderdate AS DATE) AS o_date, o_orderpriority "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "AND o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15' "
+    "GROUP BY o_orderkey, o_orderdate, o_orderpriority "
+    "ORDER BY revenue DESC, o_date, o_orderkey LIMIT 10"
+)
+
+
+@query("sql_shipping_priority", oracle=_Q3_SQL)
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-SQL entry path: TPC-H Q3 (shipping priority) submitted as ONE
+    ANSI SQL string through ``spark.sql`` over registered views — the
+    IDENTICAL text is the DuckDB oracle, demonstrating that the engine's
+    SQL surface is dialect-clean. Catalyst plans it exactly like the
+    DataFrame queries (broadcast dim hop on customer, shuffled agg,
+    TakeOrderedAndProject for the top-10)."""
+    for t in ("customer", "orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q3_SQL)
