@@ -33,11 +33,19 @@ from multiomix_aws_emr_spark.session import configure
 INTERVAL_MS = 30 * 60 * 1000
 
 
-def interval_join_plan(events: DataFrame) -> DataFrame:
+def interval_join_plan(events: DataFrame, *, how: str = "inner") -> DataFrame:
     """purchases ⋈ prior-30-min views per user over an events frame
     (static or streaming; ts as bigint ns as read with nanosAsLong).
 
     Output: (user_id, p_id, v_id) — one row per qualifying pair.
+
+    ``how='left_outer'`` keeps purchases with no qualifying view
+    (``v_id`` NULL). In streaming, an outer null can only be emitted once
+    the view-side watermark has passed the purchase's interval — before
+    that a matching view could still arrive — so a bounded run emits the
+    nulls for finalized regions only (the trailing horizon stays open;
+    asserted in tests/test_streaming.py). Inner results still emit
+    eagerly.
     """
     ev = events.select(
         "event_id",
@@ -64,11 +72,15 @@ def interval_join_plan(events: DataFrame) -> DataFrame:
         & (v.v_ts >= p.p_ts - F.expr("INTERVAL 30 MINUTES"))
         & (v.v_ts <= p.p_ts)
     )
-    return p.join(v, cond, "inner").select("user_id", "p_id", "v_id")
+    return p.join(v, cond, how).select("user_id", "p_id", "v_id")
 
 
 def run_stream_interval_join(
-    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    *,
+    how: str = "inner",
 ) -> DataFrame:
     """Run the interval join with BOTH sides as bounded streams
     (availableNow, memory sink) and return the emitted rows."""
@@ -83,7 +95,7 @@ def run_stream_interval_join(
             .parquet(sf_dir)
         )
 
-    out = interval_join_plan(stream())
+    out = interval_join_plan(stream(), how=how)
     table = f"ssj_{uuid.uuid4().hex[:8]}"
     with tempfile.TemporaryDirectory() as ckpt:
         q = (

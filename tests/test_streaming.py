@@ -166,3 +166,27 @@ def test_stream_interval_join_matches_batch(spark, sf_dir):
     assert len(batch) > 0
     # inner interval joins emit eagerly: a bounded run is exactly the batch set
     assert streamed == batch
+
+
+def test_stream_interval_join_left_outer_nulls(spark, sf_dir):
+    from multiomix_aws_emr_spark.sources.tables import load
+    from multiomix_aws_emr_spark.streaming.join import (
+        interval_join_plan,
+        run_stream_interval_join,
+    )
+
+    batch_inner = set(
+        map(tuple, interval_join_plan(load(spark, sf_dir, "events")).collect())
+    )
+    matched_p = {p for (_, p, _) in batch_inner}
+    out = run_stream_interval_join(spark, sf_dir, how="left_outer").collect()
+    inner = {tuple(r) for r in out if r.v_id is not None}
+    nulls = [r for r in out if r.v_id is None]
+    # eager inner emission: identical to the batch inner join
+    assert inner == batch_inner
+    # outer nulls appear once the watermark finalizes their interval, and
+    # only for purchases that truly had no qualifying view
+    assert nulls
+    assert all(r.p_id not in matched_p for r in nulls)
+    # no purchase is emitted both matched and null
+    assert not ({r.p_id for r in nulls} & matched_p)
