@@ -89,19 +89,30 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 16,
     shingle_words: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, h0..h{K-1}) MinHash signature table.
 
     One shingle-row pipeline + one hash aggregate; the shuffle key is the
-    doc id throughout.
+    doc id throughout. ``portable=True`` swaps xxhash64 for the 60-bit
+    cross-engine hash (functions/porthash.py, seeded by hash index) so a
+    DuckDB oracle can recompute the exact signatures.
     """
+    from multiomix_aws_emr_spark.functions.porthash import phash60
+
     sh = shingle_rows(
         df, id_col=id_col, text_col=text_col, shingle_words=shingle_words
     )
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if portable:
+        mins = [
+            F.min(phash60("shingle", seed=i)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     return sh.groupBy(id_col).agg(*mins)
 
 
@@ -113,12 +124,17 @@ def minhash_lsh_clusters(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_words: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup cluster assignment: (id, rep_id), total over the corpus.
 
     rep_id = smallest id sharing any LSH band bucket (itself when unique).
     With K=16, B=4 (R=4 rows/band) the candidate threshold sits near
     Jaccard ~ (1/B)^(1/R) ~ 0.5.
+
+    ``portable=True`` uses the cross-engine signature hash and an md5
+    string over the band's signature values as the bucket key (both
+    DuckDB-recomputable); default keeps xxhash64 throughout.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must divide evenly into bands")
@@ -130,14 +146,17 @@ def minhash_lsh_clusters(
         text_col=text_col,
         num_hashes=num_hashes,
         shingle_words=shingle_words,
+        portable=portable,
     )
+
+    def _bucket(b: int):
+        hs = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if portable:
+            return F.md5(F.concat_ws("|", *hs))
+        return F.xxhash64(*hs)
+
     band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("bucket"),
-        )
+        F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
         for b in range(bands)
     ]
     banded = sig.select(

@@ -103,19 +103,51 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
+def _simhash60_oracle() -> str:
+    """DuckDB SQL recomputing the portable 60-bit SimHash bit-for-bit:
+    per-token md5-derived hash (functions/porthash.py), 60 per-bit vote
+    sums, strict-majority fingerprint assembly, 4x15-bit band split."""
+    from multiomix_aws_emr_spark.functions.porthash import phash60_sql
+
+    votes = ", ".join(f"SUM((h >> {b}) & 1) AS c{b}" for b in range(60))
+    fp = " + ".join(
+        f"CASE WHEN 2*c{b} > n THEN {1 << b} ELSE 0 END" for b in range(60)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, {phash60_sql('tok')} AS h FROM t
+), v AS (
+  SELECT doc_id, COUNT(*) AS n, {votes} FROM h GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v
+)
+SELECT doc_id, simhash, band,
+       CAST((simhash >> (band * 15)) & 32767 AS BIGINT) AS bucket
+FROM fp, unnest([0, 1, 2, 3]) AS u(band)
+"""
+
+
+@query("dedup_simhash", oracle=_simhash60_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprint per document + its 4 LSH band buckets —
-    all JVM-side (see operators/simhash.py). Total over the corpus."""
+    """Portable 60-bit SimHash fingerprint per document + its 4 LSH band
+    buckets — all JVM-side (see operators/simhash.py). Total over the
+    corpus; the DuckDB oracle recomputes every fingerprint bit-for-bit
+    (votes + majority rule), so this is hash-checked, not rows-only.
+    Production corpora that don't need cross-engine parity flip
+    ``portable=False`` for the cheaper xxhash64 at the identical plan
+    shape."""
     from multiomix_aws_emr_spark.operators.simhash import simhash, simhash_bands
 
     d = scan_parallel(load(spark, sf_dir, "documents"))
-    sig = simhash(d, id_col="doc_id", text_col="text")
+    sig = simhash(d, id_col="doc_id", text_col="text", portable=True)
     # carry the fingerprint through the band explode: one pipeline, no
     # self-join (the signature aggregate would otherwise run twice)
-    return simhash_bands(sig, id_col="doc_id", carry=("simhash",)).select(
-        "doc_id", "simhash", "band", "bucket"
-    )
+    return simhash_bands(
+        sig, id_col="doc_id", carry=("simhash",), bits=60
+    ).select("doc_id", "simhash", "band", "bucket")
 
 
 @query(
@@ -277,13 +309,23 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_components")  # rows-only: iterative fixpoint
+def _minhash_components_oracle() -> str:
+    from multiomix_aws_emr_spark.queries.minhash_oracle import (
+        minhash_components_sql,
+    )
+
+    return minhash_components_sql()
+
+
+@query("dedup_minhash_components", oracle=_minhash_components_oracle())
 def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full transitive near-dup clusters: MinHash-LSH one-step edges
     (operators/dedup.py) closed to connected components by min-label
     propagation (operators/components.py). Output (doc_id, component) is
     total over the corpus; component ids are the minimum doc_id of each
-    cluster."""
+    cluster. The portable signature hash lets the DuckDB oracle recompute
+    the identical edges and close them with a recursive transitive-closure
+    CTE — the iterative fixpoint is hash-checked end to end."""
     from multiomix_aws_emr_spark.operators.components import connected_components
     from multiomix_aws_emr_spark.operators.dedup import minhash_lsh_clusters
 
@@ -292,7 +334,7 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the final stitch join, and is (doc, rep) pairs — small relative to
     # the corpus text it derives from.
     one_step = minhash_lsh_clusters(
-        d, text_col="text", id_col="doc_id"
+        d, text_col="text", id_col="doc_id", portable=True
     ).localCheckpoint()
     # The fixpoint only concerns docs in non-trivial clusters; most of a
     # real corpus is singletons (doc_id == rep_id), which would bloat every

@@ -115,18 +115,28 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_near_minhash")  # rows-only: LSH bucketing has no SQL oracle
+def _minhash_oracle() -> str:
+    from multiomix_aws_emr_spark.queries.minhash_oracle import minhash_onestep_sql
+
+    return minhash_onestep_sql()
+
+
+@query("dedup_near_minhash", oracle=_minhash_oracle())
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup clustering over documents (north star).
 
     Output: (doc_id, rep_id) — every doc mapped to the smallest doc_id it
     shares an LSH band-bucket with (itself when unique), so the result is
     total over the corpus. See operators/dedup.py for the implementation.
+    Uses the portable 60-bit signature hash so the DuckDB oracle
+    (queries/minhash_oracle.py) recomputes the exact signatures, band
+    buckets, and rep assignment — full hash-checked parity for an LSH
+    sketch pipeline. ``portable=False`` gives the same plan on xxhash64.
     """
     from multiomix_aws_emr_spark.operators.dedup import minhash_lsh_clusters
 
     d = load(spark, sf_dir, "documents")  # shingle_rows repartitions internally
-    return minhash_lsh_clusters(d, text_col="text", id_col="doc_id")
+    return minhash_lsh_clusters(d, text_col="text", id_col="doc_id", portable=True)
 
 
 @query("similarity_ann_lsh")  # rows-only: approximate by construction

@@ -53,6 +53,56 @@ def test_simhash_invariants(spark):
     assert dist[(0, 2)] < dist[(0, 3)]  # near dup closer than unrelated
 
 
+def test_simhash_portable_swar_matches_per_bit(spark):
+    """The 60-bit SWAR vote packing must be bit-exact vs the naive
+    per-bit majority formulation on the portable hash."""
+    from multiomix_aws_emr_spark.functions.porthash import phash60
+
+    d = _docs(spark)
+    swar = {
+        r.doc_id: r.simhash
+        for r in simhash(d, id_col="doc_id", text_col="text", portable=True).collect()
+    }
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t") != "").withColumn("h", phash60("t"))
+    per_bit = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+            for b in range(60)
+        ],
+    )
+    naive_fp = None
+    for b in range(60):
+        bit = F.when(F.col(f"c{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+        naive_fp = bit if naive_fp is None else naive_fp + bit
+    naive = {
+        r.doc_id: r.fp for r in per_bit.select("doc_id", naive_fp.alias("fp")).collect()
+    }
+    assert swar == naive
+    assert all(0 <= v < (1 << 60) for v in swar.values())
+
+
+def test_minhash_portable_matches_default_clustering(spark):
+    """Portable and xxhash64 signatures differ, but the near-dup
+    clustering decisions on this fixture must agree."""
+    d = _docs(spark)
+    default = {
+        r.doc_id: r.rep_id
+        for r in minhash_lsh_clusters(d, text_col="text", id_col="doc_id").collect()
+    }
+    portable = {
+        r.doc_id: r.rep_id
+        for r in minhash_lsh_clusters(
+            d, text_col="text", id_col="doc_id", portable=True
+        ).collect()
+    }
+    assert default == portable
+
+
 def test_minhash_clusters_group_near_dups(spark):
     d = _docs(spark)
     clusters = {
