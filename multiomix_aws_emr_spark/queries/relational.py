@@ -343,6 +343,59 @@ def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMPORAL_DIM_ORACLE = (
+    "WITH events_v AS (SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, "
+    "event_type, value, props FROM events), "
+    "v AS (SELECT user_id, ts_ms AS dim_ts_ms, "
+    "MAX(event_id) AS dim_event_id, "
+    "ROUND(arg_max(value, event_id), 2) AS dim_value "
+    "FROM events_v WHERE event_type = 'view' GROUP BY 1, 2), "
+    "p AS (SELECT event_id, user_id, ts_ms FROM events_v "
+    "WHERE event_type = 'purchase') "
+    "SELECT p.event_id, p.user_id, p.ts_ms, "
+    "v.dim_ts_ms, v.dim_event_id, v.dim_value "
+    "FROM p ASOF JOIN v ON p.user_id = v.user_id "
+    "AND p.ts_ms >= v.dim_ts_ms"
+)
+
+
+@query("join_temporal_dim", oracle=_TEMPORAL_DIM_ORACLE)
+def join_temporal_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal table join (Flink FOR SYSTEM_TIME AS OF): each purchase
+    picks up the full payload of the user's view-version valid at
+    purchase time — not just the match timestamp (that's
+    `join_asof_event`), the dimension attributes themselves.
+
+    The oracle is DuckDB's native ASOF JOIN; Spark has none, so the plan
+    is the union + single-window-scan temporal join of operators/asof.py
+    (one shuffle on user_id, struct payload carried forward with
+    `last(ignorenulls)`) — linear per key where a range-join formulation
+    is quadratic. Dim versions are pre-deduplicated per (user, ts) with
+    `max_by` on event_id so tie order is engine-independent.
+    """
+    from multiomix_aws_emr_spark.operators.asof import temporal_join
+
+    ev = events_v(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts_ms").alias("dim_ts_ms"))
+        .agg(
+            F.max("event_id").alias("dim_event_id"),
+            F.round(F.max_by("value", "event_id"), 2).alias("dim_value"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    return temporal_join(
+        purchases,
+        views.withColumn("ts_ms", F.col("dim_ts_ms")),
+        key_cols=["user_id"],
+        time_col="ts_ms",
+        payload_cols=["dim_ts_ms", "dim_event_id", "dim_value"],
+    )
+
+
 # --------------------------------------------------------------------------
 # sort / limit
 # --------------------------------------------------------------------------

@@ -53,6 +53,35 @@ def test_simhash_invariants(spark):
     assert dist[(0, 2)] < dist[(0, 3)]  # near dup closer than unrelated
 
 
+def test_temporal_join_versions_and_left_nulls(spark):
+    from multiomix_aws_emr_spark.operators.asof import temporal_join
+
+    dim = spark.createDataFrame(
+        [(1, 10, "v1"), (1, 20, "v2"), (2, 15, "w1")],
+        "k bigint, t bigint, ver string",
+    )
+    fact = spark.createDataFrame(
+        [(100, 1, 5), (101, 1, 10), (102, 1, 25), (103, 2, 14)],
+        "fid bigint, k bigint, t bigint",
+    )
+    inner = {
+        r.fid: r.ver
+        for r in temporal_join(
+            fact, dim, key_cols=["k"], time_col="t", payload_cols=["ver"]
+        ).collect()
+    }
+    # fid 100 precedes every version (dropped); 101 hits v1 at equal ts
+    # (inclusive); 102 gets the latest prior version; 103 precedes w1
+    assert inner == {101: "v1", 102: "v2"}
+    left = {
+        r.fid: r.ver
+        for r in temporal_join(
+            fact, dim, key_cols=["k"], time_col="t", payload_cols=["ver"], how="left"
+        ).collect()
+    }
+    assert left == {100: None, 101: "v1", 102: "v2", 103: None}
+
+
 def test_simhash_portable_swar_matches_per_bit(spark):
     """The 60-bit SWAR vote packing must be bit-exact vs the naive
     per-bit majority formulation on the portable hash."""
