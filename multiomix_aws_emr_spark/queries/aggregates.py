@@ -265,3 +265,86 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "user_id", *[F.round(F.col(t), 2).alias(t) for t in _EVENT_TYPES]
     )
+
+
+_HEAVY_HITTERS_ORACLE = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents
+), tot AS (SELECT COUNT(*) AS n FROM tok)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(COUNT(*) / (SELECT CAST(n AS DOUBLE) FROM tot), 6) AS support
+FROM tok GROUP BY word
+HAVING COUNT(*) > (SELECT n FROM tot) * 0.005
+"""
+
+
+@query("agg_heavy_hitters", oracle=_HEAVY_HITTERS_ORACLE)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent-item mining: every token whose corpus frequency
+    exceeds 0.5% support, with the support ratio.
+
+    Scale shape: token counts are a two-phase hash aggregate with
+    map-side combine (the word-count shuffle carries one row per distinct
+    word per partition, not per token); the corpus-total scalar joins
+    back as a broadcast, so the threshold filter is map-side and nothing
+    ever sorts or materializes globally. The approximate counterpart at
+    extreme cardinality is a count-min sketch / space-saving pass — here
+    cardinality is words, so exact is the right default even at 100 TB.
+    """
+    from multiomix_aws_emr_spark.sources.tables import scan_parallel
+
+    d = scan_parallel(load(spark, sf_dir, "documents"))
+    tok = d.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    counts = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > F.col("_n") * 0.005)
+        .select(
+            "word",
+            "cnt",
+            F.round(F.col("cnt") / F.col("_n").cast("double"), 6).alias("support"),
+        )
+    )
+
+
+@query("agg_kll_quantiles")  # rows-only: randomized sketch, no exact oracle
+def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketch (Karnin-Lang-Liberty, DataSketches) of the
+    extended price per return flag: one-pass, mergeable, bounded-memory —
+    the 100 TB quantile path where even GK's per-group state is too big.
+    Emits the sketch's p50/p95 estimates plus the exact stream length the
+    sketch itself tracks (an internal consistency check the rows-only
+    gate can at least schema-verify)."""
+    li = load(spark, sf_dir, "lineitem")
+    sk = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double("l_extendedprice").alias("_sk"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+    return sk.select(
+        "l_returnflag",
+        F.round(F.kll_sketch_get_quantile_double(F.col("_sk"), F.lit(0.5)), 2).alias("p50_est"),
+        F.round(F.kll_sketch_get_quantile_double(F.col("_sk"), F.lit(0.95)), 2).alias("p95_est"),
+        F.kll_sketch_get_n_double("_sk").alias("n_sketch"),
+        "n_exact",
+    )
+
+
+@query("agg_hll_reaggregate")  # rows-only: sketch estimate, no exact oracle
+def agg_hll_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch re-aggregation: per-status HLL sketches of the
+    distinct customer set, then a sketch UNION across groups for the
+    global distinct — the pattern that lets a 100 TB pipeline keep
+    per-shard sketches and combine them without touching raw data twice
+    (hll_sketch_agg -> hll_union_agg -> hll_sketch_estimate)."""
+    o = load(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("_sk")
+    )
+    return per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("n_custs_est"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )

@@ -1,0 +1,176 @@
+"""Source-format breadth: TSV / ORC / JSON-lines scan paths.
+
+The reference's only input format is headered TSV read with pandas
+(`scripts/utils.py:53-62`, R1/R2) — here that read is a real distributed
+`spark.read.csv(sep='\\t')` with an explicit schema (no inference pass,
+which at 100 TB would be a full extra scan). ORC and JSON-lines round out
+the formats a lake actually serves.
+
+Each query materializes a deterministic copy of a parquet fixture in the
+target format under a scratch dir, reads it back with the format's native
+reader, and aggregates — so the oracle is simply the same aggregate on
+the parquet view, and any loss of fidelity in the write/read hop
+(delimiters, quoting, type round-trips) breaks parity. Writes go through
+a content-independent fixed path per (sf, format) with overwrite mode:
+idempotent, safe to re-run.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from multiomix_aws_emr_spark.queries.registry import query
+from multiomix_aws_emr_spark.sources.tables import load
+
+_SCRATCH = "/tmp/spark_graft_formats"
+
+
+def _scratch(sf_dir: str, fmt: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return f"{_SCRATCH}/{tag}/{fmt}"
+
+
+_NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.LongType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.LongType()),
+        T.StructField("n_comment", T.StringType()),
+    ]
+)
+
+
+@query(
+    "scan_tsv_roundtrip",
+    oracle=(
+        "SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations, "
+        "SUM(n_nationkey) AS key_sum, MIN(n_name) AS first_name "
+        "FROM nation GROUP BY n_regionkey"
+    ),
+)
+def scan_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headered TSV write + schema'd distributed read (the reference's R1
+    molecules/clinical reader re-founded on spark.read.csv): parity with
+    the parquet original proves the hop is lossless."""
+    path = _scratch(sf_dir, "tsv_nation")
+    nation = load(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").options(sep="\t", header=True).csv(path)
+    back = spark.read.csv(path, sep="\t", header=True, schema=_NATION_SCHEMA)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("n_nationkey").alias("key_sum"),
+        F.min("n_name").alias("first_name"),
+    )
+
+
+@query(
+    "scan_orc_roundtrip",
+    oracle=(
+        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_price, "
+        "SUM(l_quantity) AS sum_qty "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write + read of a lineitem projection (exact double/decimal
+    round-trip — columnar format #2 beside parquet), then the standard
+    pricing rollup. Predicate/column pushdown works on ORC scans the same
+    as parquet; the projection keeps the scratch copy narrow."""
+    path = _scratch(sf_dir, "orc_lineitem")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+_ORDERS_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ]
+)
+
+
+@query(
+    "scan_json_roundtrip",
+    oracle=(
+        "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROUND(SUM(o_totalprice), 2) AS sum_total "
+        "FROM orders GROUP BY o_orderstatus"
+    ),
+)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write + schema'd read (no inference scan) of an orders
+    projection, then a status rollup. Doubles survive the decimal text
+    hop exactly (Spark prints shortest round-trip representation)."""
+    path = _scratch(sf_dir, "json_orders")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.mode("overwrite").json(path)
+    back = spark.read.json(path, schema=_ORDERS_JSON_SCHEMA)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    )
+
+
+@query(
+    "zorder_scan_pruned",
+    oracle=(
+        "WITH events_v AS (SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, "
+        "event_type, value FROM events) "
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROUND(SUM(value), 2) AS sum_value "
+        "FROM events_v "
+        "WHERE user_id BETWEEN 10 AND 20 "
+        "AND ts_ms BETWEEN 1704067200000 AND 1706745600000 "
+        "GROUP BY event_type"
+    ),
+)
+def zorder_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered copy of events + a 2-dimensional box predicate.
+
+    The scratch copy is laid out along the Morton curve of
+    (user_id, ts_ms) (operators/zorder.py), so every parquet file covers
+    a compact rectangle of that space and the (user range x time range)
+    filter prunes most files from their footer stats alone — the
+    multi-dimensional data-skipping layout a 100 TB event store needs
+    (a plain time-sorted layout skips on time but scans every file for a
+    user predicate). Parity with the un-clustered original proves the
+    layout hop changes nothing semantically; the pruning geometry itself
+    is asserted in tests/test_plans.py from the parquet footers.
+    """
+    from multiomix_aws_emr_spark.operators.zorder import write_zordered
+    from multiomix_aws_emr_spark.sources.tables import events_v
+
+    path = _scratch(sf_dir, "zorder_events")
+    ev = events_v(spark, sf_dir).select(
+        "event_id", "ts_ms", "user_id", "event_type", "value"
+    )
+    write_zordered(ev, path, zorder_by=["user_id", "ts_ms"], num_files=16)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(
+            F.col("user_id").between(10, 20)
+            & F.col("ts_ms").between(1704067200000, 1706745600000)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -157,3 +157,65 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     seg = plan.split("PartitionFilters", 1)[1][:160]
     assert "o_orderstatus" in seg
     assert rd.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Files written along the Morton curve must each cover a compact
+    rectangle of (user_id, ts_ms) space: a 2-D box predicate should be
+    able to prune most files from footer min/max stats alone."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from multiomix_aws_emr_spark.operators.zorder import write_zordered
+    from multiomix_aws_emr_spark.sources.tables import events_v
+
+    path = str(tmp_path / "zorder_events")
+    ev = events_v(spark, sf_dir).select("event_id", "ts_ms", "user_id", "value")
+    write_zordered(ev, path, zorder_by=["user_id", "ts_ms"], num_files=16)
+
+    boxes = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo = {"user_id": None, "ts_ms": None}
+        hi = {"user_id": None, "ts_ms": None}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if name in lo and col.statistics is not None:
+                    s = col.statistics
+                    lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                    hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+        if lo["user_id"] is not None:
+            boxes.append((lo["user_id"], hi["user_id"], lo["ts_ms"], hi["ts_ms"]))
+
+    assert len(boxes) >= 8  # layout actually produced multiple files
+    # normalized area of each file's bounding rectangle: z-order keeps it
+    # small; a single-dimension sort would leave the other dim at ~full
+    # span (area ~ 1/num_files only on one axis, ~1.0 on the other)
+    gu_lo = min(b[0] for b in boxes)
+    gu_hi = max(b[1] for b in boxes)
+    gt_lo = min(b[2] for b in boxes)
+    gt_hi = max(b[3] for b in boxes)
+    areas = [
+        ((b[1] - b[0]) / max(1, gu_hi - gu_lo))
+        * ((b[3] - b[2]) / max(1, gt_hi - gt_lo))
+        for b in boxes
+    ]
+    avg_area = sum(areas) / len(areas)
+    assert avg_area < 0.35, f"files not clustered: avg box area {avg_area:.3f}"
+
+    # and a box predicate of ~20% x ~25% of the data span (relative, so
+    # the test is meaningful at any sf): most files must be prunable
+    qu = (gu_lo + (gu_hi - gu_lo) * 0.4, gu_lo + (gu_hi - gu_lo) * 0.6)
+    qt = (gt_lo + (gt_hi - gt_lo) * 0.375, gt_lo + (gt_hi - gt_lo) * 0.625)
+    hit = [
+        b
+        for b in boxes
+        if not (b[1] < qu[0] or b[0] > qu[1] or b[3] < qt[0] or b[2] > qt[1])
+    ]
+    assert len(hit) <= len(boxes) // 2, (
+        f"box predicate hits {len(hit)}/{len(boxes)} files"
+    )
