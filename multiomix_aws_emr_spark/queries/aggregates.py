@@ -348,3 +348,61 @@ def agg_hll_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("n_custs_est"),
         F.count(F.lit(1)).alias("n_groups"),
     )
+
+
+_PROFILE_ORACLE = """
+SELECT 'o_orderkey' AS col_name,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+       CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+       NULL, NULL, MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+       ROUND(MIN(o_totalprice), 2), ROUND(MAX(o_totalprice), 2),
+       NULL, NULL FROM orders
+"""
+
+
+@query("profile_columns", oracle=_PROFILE_ORACLE)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling (the data-quality prelude every corpus
+    ingest runs): per-column non-null count, exact distinct, min/max —
+    computed in a SINGLE aggregate over one scan, then unpivoted to one
+    row per column with ``stack``. The multi-column exact distincts plan
+    as one Expand (x3) + hash aggregate — still one scan; at extreme
+    cardinality swap ``countDistinct`` for ``approx_count_distinct`` and
+    the Expand disappears. The reference's analog is the pandas
+    ``clean_dataset`` null scan (utils.py:33-35, R3)."""
+    o = load(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count("o_orderkey").alias("cnt_k"),
+        F.countDistinct("o_orderkey").alias("nd_k"),
+        F.min("o_orderkey").cast("double").alias("min_k"),
+        F.max("o_orderkey").cast("double").alias("max_k"),
+        F.count("o_orderstatus").alias("cnt_s"),
+        F.countDistinct("o_orderstatus").alias("nd_s"),
+        F.min("o_orderstatus").alias("min_s"),
+        F.max("o_orderstatus").alias("max_s"),
+        F.count("o_totalprice").alias("cnt_p"),
+        F.countDistinct("o_totalprice").alias("nd_p"),
+        F.round(F.min("o_totalprice"), 2).alias("min_p"),
+        F.round(F.max("o_totalprice"), 2).alias("max_p"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, "
+            "'o_orderkey', cnt_k, nd_k, min_k, max_k, "
+            "CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            "'o_orderstatus', cnt_s, nd_s, "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_s, max_s, "
+            "'o_totalprice', cnt_p, nd_p, min_p, max_p, "
+            "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+            ") AS (col_name, n_nonnull, n_distinct, min_num, max_num, "
+            "min_str, max_str)"
+        )
+    )

@@ -144,3 +144,15 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multiomix_aws_emr_spark.streaming.join import interval_join_plan
 
     return interval_join_plan(load(spark, sf_dir, "events"))
+
+
+@query("stream_session_window")  # rows-only: append emits only finalized
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization: the SAME session_window aggregate as the
+    batch `window_sessionize` query run as a watermarked stream (1h
+    watermark, append mode) — emitted rows are exactly the finalized
+    subset of the batch result, asserted in tests/test_streaming.py.
+    State is bounded by watermark horizon x active users."""
+    from multiomix_aws_emr_spark.streaming.sessions import run_streaming_sessions
+
+    return run_streaming_sessions(spark, sf_dir)

@@ -210,3 +210,83 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_id").over(wfull).alias("last_ev"),
         F.nth_value("event_id", 2).over(w).alias("second_ev"),
     )
+
+
+_SESSIONIZE_ORACLE = (
+    "WITH events_v AS (SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, "
+    "event_type, value FROM events), "
+    "g AS (SELECT user_id, ts_ms, value, "
+    "CASE WHEN ts_ms - LAG(ts_ms) OVER w >= 1800000 THEN 1 ELSE 0 END AS brk "
+    "FROM events_v WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)), "
+    "s AS (SELECT user_id, ts_ms, value, "
+    "SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms "
+    "ROWS UNBOUNDED PRECEDING) AS session_no FROM g) "
+    "SELECT user_id, MIN(ts_ms) AS session_start_ms, "
+    "MAX(ts_ms) + 1800000 AS session_end_ms, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "ROUND(SUM(value), 2) AS sum_value "
+    "FROM s GROUP BY user_id, session_no"
+)
+
+
+@query("window_sessionize", oracle=_SESSIONIZE_ORACLE)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap — Spark's native
+    ``session_window`` aggregate in BATCH mode (the same operator the
+    streaming path uses, so batch backfill and live sessions share
+    semantics). One shuffle on user_id; merging overlapping per-event
+    windows is done inside the aggregate, not via a sort + gaps-and-
+    islands window pass — the oracle recomputes it with the classic
+    lag/cumsum island formulation, proving the two agree. Session end =
+    last event + gap (Spark's convention, mirrored in the oracle)."""
+    ev = events_v(spark, sf_dir)
+    ts = F.timestamp_millis(F.col("ts_ms"))
+    return (
+        ev.groupBy(
+            "user_id", F.session_window(ts, "30 minutes").alias("_w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis("_w.start").alias("session_start_ms"),
+            F.unix_millis("_w.end").alias("session_end_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_LATEST_ORACLE = (
+    "WITH events_v AS (SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, "
+    "event_type, value FROM events), "
+    "r AS (SELECT user_id, event_id, ts_ms, value, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id "
+    "ORDER BY ts_ms DESC, event_id DESC) AS rn FROM events_v) "
+    "SELECT user_id, event_id AS last_event_id, ts_ms AS last_ts_ms, "
+    "ROUND(value, 2) AS last_value FROM r WHERE rn = 1"
+)
+
+
+@query("dedup_latest_version", oracle=_LATEST_ORACLE)
+def dedup_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key dedup (CDC compaction / upsert resolution) as a
+    SINGLE hash aggregate: ``max_by(payload struct, (ts, id) struct)``
+    picks each user's most recent event with lexicographic struct
+    comparison — no per-partition sort, no window pass, map-side partial
+    combine. The oracle states the same contract as the textbook
+    row_number()=1 formulation; at 100 TB the aggregate form shuffles one
+    pre-combined row per key per map task instead of sorting every row.
+    """
+    ev = events_v(spark, sf_dir)
+    payload = F.struct("event_id", "ts_ms", "value")
+    order = F.struct("ts_ms", "event_id")
+    latest = ev.groupBy("user_id").agg(F.max_by(payload, order).alias("_p"))
+    return latest.select(
+        "user_id",
+        F.col("_p.event_id").alias("last_event_id"),
+        F.col("_p.ts_ms").alias("last_ts_ms"),
+        F.round(F.col("_p.value"), 2).alias("last_value"),
+    )

@@ -1,0 +1,80 @@
+"""Structured Streaming: session windows with watermark-driven finalization.
+
+The logical plan is the SAME ``session_window`` aggregate as the batch
+`window_sessionize` query (queries/windows.py) — that is the point:
+sessionization written once runs as backfill (batch) and live (stream)
+with identical semantics, because Spark's session_window is a first-class
+aggregate in both modes.
+
+Execution model:
+- state per (user, open session), merged as events arrive out of order
+  within the watermark horizon;
+- append mode emits a session exactly once, when the watermark (max event
+  time - 1h) passes ``session.end`` (last event + gap) — so a bounded run
+  emits every session except the trailing not-yet-finalizable ones.
+  tests/test_streaming.py asserts emitted ⊆ batch and non-emptiness.
+- at scale, state is bounded by the watermark horizon x active users, not
+  by stream length.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multiomix_aws_emr_spark.session import configure
+
+
+def session_window_plan(events_stream: DataFrame) -> DataFrame:
+    """30-min-gap sessions per user over a (possibly streaming) events
+    DataFrame (ts as bigint ns): same output contract as the batch
+    `window_sessionize` query."""
+    ev = events_stream.select(
+        F.expr("ts div 1000000").alias("ts_ms"), "user_id", "value"
+    ).withColumn("tts", F.timestamp_millis("ts_ms"))
+    return (
+        ev.withWatermark("tts", "1 hour")
+        .groupBy("user_id", F.session_window("tts", "30 minutes").alias("_w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis("_w.start").alias("session_start_ms"),
+            F.unix_millis("_w.end").alias("session_end_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_streaming_sessions(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
+    """Run the session aggregate over parquet as a bounded stream
+    (availableNow, one file per micro-batch, memory sink) and return the
+    watermark-finalized sessions."""
+    configure(spark)
+    static = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    out = session_window_plan(stream)
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_sessions_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)

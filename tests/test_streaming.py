@@ -190,3 +190,20 @@ def test_stream_interval_join_left_outer_nulls(spark, sf_dir):
     assert all(r.p_id not in matched_p for r in nulls)
     # no purchase is emitted both matched and null
     assert not ({r.p_id for r in nulls} & matched_p)
+
+
+def test_stream_sessions_subset_of_batch(spark, sf_dir):
+    from multiomix_aws_emr_spark.queries import QUERIES
+
+    streamed = QUERIES["stream_session_window"](spark, sf_dir)
+    batch = QUERIES["window_sessionize"](spark, sf_dir)
+    s_rows = set(map(tuple, streamed.collect()))
+    b_rows = set(map(tuple, batch.collect()))
+    assert s_rows, "bounded stream emitted no finalized sessions"
+    assert s_rows <= b_rows, "streamed sessions disagree with batch"
+    # the only batch sessions a bounded stream may miss are the trailing
+    # ones the final watermark never passed
+    missed = b_rows - s_rows
+    if missed:
+        final_wm = max(r[2] for r in s_rows)  # last emitted session end
+        assert all(end >= final_wm - 3600000 for (_, _, end, _, _) in missed)
