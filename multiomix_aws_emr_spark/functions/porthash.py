@@ -39,3 +39,24 @@ def phash60_sql(expr: str, seed: Optional[int] = None) -> str:
     if seed is not None:
         expr = f"'{seed}|' || {expr}"
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def phash_pair(col: Union[Column, str]) -> tuple:
+    """(a, b) Kirsch-Mitzenmacher base pair from ONE md5 call: a = top 60
+    bits, b = 56 bits from the second digest half. A family of K seeded
+    hashes is then ``h_i = a + i*b`` — one md5 per input instead of K
+    (the K-M double-hashing construction; i <= 15 keeps ``a + i*b`` below
+    2^61, safely inside ANSI-checked signed-long range)."""
+    c = F.col(col) if isinstance(col, str) else col
+    m = F.md5(c)
+    a = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+    b = F.conv(F.substring(m, 17, 14), 16, 10).cast("long")
+    return a, b
+
+
+def phash_pair_sql(expr: str) -> tuple:
+    """DuckDB fragments computing the same (a, b) pair over ``expr``."""
+    return (
+        f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)",
+        f"CAST('0x' || substr(md5({expr}), 17, 14) AS BIGINT)",
+    )

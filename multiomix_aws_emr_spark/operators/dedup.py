@@ -94,20 +94,25 @@ def minhash_signatures(
     """(id, h0..h{K-1}) MinHash signature table.
 
     One shingle-row pipeline + one hash aggregate; the shuffle key is the
-    doc id throughout. ``portable=True`` swaps xxhash64 for the 60-bit
-    cross-engine hash (functions/porthash.py, seeded by hash index) so a
-    DuckDB oracle can recompute the exact signatures.
+    doc id throughout. ``portable=True`` swaps xxhash64 for the
+    cross-engine md5-derived family (functions/porthash.py): ONE md5 per
+    shingle expands to all K hashes by Kirsch-Mitzenmacher double hashing
+    ``h_i = a + i*b`` — same md5 cost as a single seeded hash, and a
+    DuckDB oracle recomputes the exact signatures.
     """
-    from multiomix_aws_emr_spark.functions.porthash import phash60
+    from multiomix_aws_emr_spark.functions.porthash import phash_pair
 
     sh = shingle_rows(
         df, id_col=id_col, text_col=text_col, shingle_words=shingle_words
     )
     if portable:
+        a, b = phash_pair("shingle")
+        pre = sh.select(id_col, a.alias("_a"), b.alias("_b"))
         mins = [
-            F.min(phash60("shingle", seed=i)).alias(f"h{i}")
+            F.min(F.col("_a") + i * F.col("_b")).alias(f"h{i}")
             for i in range(num_hashes)
         ]
+        return pre.groupBy(id_col).agg(*mins)
     else:
         mins = [
             F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")

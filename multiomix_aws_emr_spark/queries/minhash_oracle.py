@@ -9,7 +9,7 @@ the `dedup_near_minhash` and `dedup_minhash_components` oracles.
 
 from __future__ import annotations
 
-from multiomix_aws_emr_spark.functions.porthash import phash60_sql
+from multiomix_aws_emr_spark.functions.porthash import phash_pair_sql
 
 _NUM_HASHES = 16
 _BANDS = 4
@@ -18,10 +18,12 @@ _ROWS_PER_BAND = _NUM_HASHES // _BANDS
 
 def minhash_onestep_ctes(table: str = "documents") -> str:
     """CTE chain ending in ``onestep(doc_id, rep_id)`` — the one-step
-    MinHash-LSH cluster assignment, total over the corpus."""
+    MinHash-LSH cluster assignment, total over the corpus. Signatures use
+    the K-M double-hashing family ``h_i = a + i*b`` (one md5 per shingle),
+    mirroring operators/dedup.py's portable path exactly."""
+    a_sql, b_sql = phash_pair_sql("shingle")
     mins = ", ".join(
-        f"MIN({phash60_sql('shingle', seed=i)}) AS h{i}"
-        for i in range(_NUM_HASHES)
+        f"MIN(a + {i} * b) AS h{i}" for i in range(_NUM_HASHES)
     )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5(concat_ws('|', {hs})) AS bucket FROM sig".format(
@@ -46,8 +48,10 @@ t AS (
     SELECT doc_id, array_to_string(w, ' ') AS shingle
     FROM t WHERE len(w) BETWEEN 1 AND 2
   )
+), pre AS (
+  SELECT doc_id, {a_sql} AS a, {b_sql} AS b FROM sh
 ), sig AS (
-  SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+  SELECT doc_id, {mins} FROM pre GROUP BY doc_id
 ), banded AS (
   {band_selects}
 ), reps AS (

@@ -156,3 +156,15 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multiomix_aws_emr_spark.streaming.sessions import run_streaming_sessions
 
     return run_streaming_sessions(spark, sf_dir)
+
+
+@query("stream_dedup_watermark")  # rows-only: append emits finalized windows
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark on event_id
+    (state bounded by the watermark horizon — the scale-correct form;
+    plain streaming dropDuplicates grows state forever), then hourly
+    unique counts. Re-delivery suppression is exercised with controlled
+    duplicate injection in tests/test_streaming.py."""
+    from multiomix_aws_emr_spark.streaming.dedup import run_streaming_dedup
+
+    return run_streaming_dedup(spark, sf_dir)

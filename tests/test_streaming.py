@@ -207,3 +207,24 @@ def test_stream_sessions_subset_of_batch(spark, sf_dir):
     if missed:
         final_wm = max(r[2] for r in s_rows)  # last emitted session end
         assert all(end >= final_wm - 3600000 for (_, _, end, _, _) in missed)
+
+
+def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
+    """An event re-sent in a later micro-batch (same event_id, slightly
+    later event time — at-least-once redelivery) must be counted once."""
+    from multiomix_aws_emr_spark.streaming.dedup import run_streaming_dedup
+
+    now = time.time()
+    batch1 = [(1, _BASE + 60_000, "click", 1.0), (2, _BASE + 120_000, "click", 1.0)]
+    batch2 = [
+        (2, _BASE + 125_000, "click", 1.0),  # redelivery of event 2
+        (3, _BASE + 240_000, "click", 1.0),
+        (99, _BASE + 100 * _HOUR_MS, "click", 1.0),  # watermark pusher
+    ]
+    _write_events(str(tmp_path / "b1.parquet"), batch1, now - 60)
+    _write_events(str(tmp_path / "b2.parquet"), batch2, now)
+    out = run_streaming_dedup(spark, str(tmp_path), glob="*.parquet")
+    got = {r.window_start_ms: r.n_unique for r in out.collect()}
+    # events 1,2,3 land in the first hour window; the re-delivered copy
+    # of event 2 must not double-count
+    assert got[min(got)] == 3
