@@ -349,7 +349,35 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pipeline_curation")  # rows-only: composes sketch-based dedup
+def _curation_oracle() -> str:
+    """Full-pipeline oracle: every stage (filters, exact dedup, portable
+    MinHash-LSH rep selection, stats) restated in DuckDB SQL — the
+    composed plan is hash-checked end to end, not rows-only."""
+    from multiomix_aws_emr_spark.queries.minhash_oracle import (
+        minhash_onestep_ctes,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT * FROM documents
+  WHERE lang IN ('en', 'es', 'de') AND n_chars >= 100
+), keeper AS (
+  SELECT MIN(doc_id) AS doc_id FROM base GROUP BY text
+), exact AS (
+  SELECT b.* FROM base b JOIN keeper k USING (doc_id)
+), {minhash_onestep_ctes(table="exact")},
+keep_reps AS (
+  SELECT doc_id FROM onestep WHERE doc_id = rep_id
+), curated AS (
+  SELECT e.* FROM exact e JOIN keep_reps USING (doc_id)
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(n_chars), 2) AS avg_chars
+FROM curated GROUP BY lang ORDER BY lang
+"""
+
+
+@query("pipeline_curation", oracle=_curation_oracle())
 def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data curation flow as ONE composed Spark plan:
 
@@ -359,7 +387,8 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     composing them exercises what a corpus pipeline actually ships, and the
     whole thing stays a single Catalyst plan (filters push into the scan;
     the only shuffles are the two dedup aggregates and the final stats
-    groupBy).
+    groupBy). The portable signature hash makes the whole composition
+    DuckDB-recomputable, so the end-to-end pipeline is hash-checked.
     """
     from multiomix_aws_emr_spark.operators.dedup import minhash_lsh_clusters
 
@@ -371,9 +400,9 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper = base.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     exact = base.join(keeper.select("doc_id"), "doc_id", "left_semi")
     # near-dup: keep only cluster representatives (doc == its rep)
-    reps = minhash_lsh_clusters(exact, text_col="text", id_col="doc_id").filter(
-        F.col("doc_id") == F.col("rep_id")
-    )
+    reps = minhash_lsh_clusters(
+        exact, text_col="text", id_col="doc_id", portable=True
+    ).filter(F.col("doc_id") == F.col("rep_id"))
     curated = exact.join(reps.select("doc_id"), "doc_id", "left_semi")
     return (
         curated.groupBy("lang")
@@ -410,18 +439,46 @@ def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(keep).select("doc_id", "lang").orderBy("doc_id")
 
 
-@query("sample_stratified")  # rows-only: sampling has no cross-engine oracle
+_STRAT_FRACS = {"en": 0.5, "es": 1.0, "de": 1.0, "fr": 0.25}
+
+
+def _strat_oracle() -> str:
+    from multiomix_aws_emr_spark.functions.porthash import phash60_sql
+
+    h = phash60_sql("CAST(doc_id AS VARCHAR)", seed=42)
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {frac}" for lang, frac in _STRAT_FRACS.items()
+    )
+    return f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled FROM documents
+WHERE {h} < (CASE lang {cases} ELSE 0 END) * 1152921504606846976
+GROUP BY lang ORDER BY lang
+"""
+
+
+@query("sample_stratified", oracle=_strat_oracle())
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded stratified sampling by language (``sampleBy`` — per-stratum
-    Bernoulli with deterministic seed): the standard mixture-rebalancing
-    step of training-data pipelines. Emits per-language sampled counts so
-    the result is stable-schema regardless of which rows the sampler
-    keeps."""
+    """Stratified sampling by language with per-stratum rates — the
+    mixture-rebalancing step of training-data pipelines — implemented as
+    DETERMINISTIC hash sampling (keep iff the seeded portable hash of the
+    id falls below rate * 2^60) rather than ``sampleBy``'s RNG: the same
+    row set on every engine, every run, any partitioning — auditable
+    corpus subsets, and a cross-engine oracle. Pure narrow filter, no
+    shuffle before the count. Emits per-language sampled counts."""
     d = load(spark, sf_dir, "documents")
-    fracs = {"en": 0.5, "es": 1.0, "de": 1.0, "fr": 0.25}
-    sampled = d.sampleBy("lang", fractions=fracs, seed=42)
+    from multiomix_aws_emr_spark.functions.porthash import phash60
+
+    rate = None
+    for lang, frac in _STRAT_FRACS.items():
+        case = F.when(F.col("lang") == lang, F.lit(frac))
+        rate = case if rate is None else rate.when(F.col("lang") == lang, F.lit(frac))
+    rate = rate.otherwise(F.lit(0.0))
+    keep = phash60(F.col("doc_id").cast("string"), seed=42) < rate * F.lit(
+        1 << 60
+    )
     return (
-        sampled.groupBy("lang")
+        d.filter(keep)
+        .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("lang")
     )
