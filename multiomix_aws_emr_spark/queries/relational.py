@@ -597,3 +597,53 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q3_SQL)
+
+
+_Q10_SQL = (
+    "SELECT c_custkey, c_name, "
+    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+    "ROUND(c_acctbal, 2) AS acctbal, n_name "
+    "FROM customer "
+    "JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE l_returnflag = 'R' "
+    "GROUP BY c_custkey, c_name, c_acctbal, n_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20"
+)
+
+
+@query("sql_returned_items", oracle=_Q10_SQL)
+def sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting) through the raw-SQL path:
+    4-way join (two broadcastable dims), grouped revenue, global top-20 —
+    Catalyst plans the LIMIT as TakeOrderedAndProject (no full sort) and
+    broadcasts customer/nation; the identical text runs in DuckDB as the
+    oracle. Deterministic total order via the c_custkey tiebreak."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q10_SQL)
+
+
+_Q4_SQL = (
+    "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count "
+    "FROM orders "
+    "WHERE o_orderdate >= DATE '1995-01-01' "
+    "AND o_orderdate < DATE '1995-04-01' "
+    "AND EXISTS (SELECT 1 FROM lineitem "
+    "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+
+@query("sql_order_priority", oracle=_Q4_SQL)
+def sql_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking) through the raw-SQL path:
+    a correlated EXISTS that Catalyst decorrelates to a LEFT SEMI join on
+    l_orderkey (asserted in tests/test_plans.py) — no subquery per row,
+    one shuffle, identical text in both engines. (The fixture lacks
+    commit/receipt dates, so the existence predicate is 'any line shipped
+    after the order date'; the plan shape is Q4's.)"""
+    for t in ("orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q4_SQL)

@@ -219,3 +219,9 @@ def test_zorder_layout_clusters_both_dimensions(spark, sf_dir, tmp_path):
     assert len(hit) <= len(boxes) // 2, (
         f"box predicate hits {len(hit)}/{len(boxes)} files"
     )
+
+
+def test_sql_exists_decorrelates_to_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sql_order_priority")
+    assert "LeftSemi" in plan, "EXISTS did not decorrelate to a semi join"
+    assert "CartesianProduct" not in plan
