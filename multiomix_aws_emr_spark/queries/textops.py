@@ -245,3 +245,164 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_subtokens"
         ),
     )
+
+
+_CHUNK_SIZE = 8
+_CHUNK_STRIDE = 6
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), k AS (
+  SELECT doc_id, w, unnest(range(0, ((len(w) - 1) // {_CHUNK_STRIDE}) + 1)) AS chunk_idx
+  FROM t WHERE len(w) > 0
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(len(w[1 + chunk_idx * {_CHUNK_STRIDE} :
+                  chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}]) AS INTEGER)
+         AS n_chunk_tokens,
+       array_to_string(w[1 + chunk_idx * {_CHUNK_STRIDE} :
+                         chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}], ' ')
+         AS chunk_text
+FROM k
+"""
+
+
+@query("text_chunk_windows", oracle=_CHUNK_ORACLE)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (context-length prep for LLM
+    training): windows of 8 tokens at stride 6, chunk k covering token
+    positions [1 + 6k, 6k + 8].
+
+    Scale shape: tokens stay ROWS (posexplode + filter — the HOF-explode
+    form recompiles Janino per run); each token fans out to the chunks
+    containing it via ``explode(sequence(k_min, k_max))`` — at most
+    ceil(size/stride) = 2 rows per token — and chunks reassemble with one
+    grouped sort-free aggregate (array_sort over (pos, tok) structs).
+    One shuffle, clustered on (doc, chunk)."""
+    d = load(spark, sf_dir, "documents")
+    size, stride = _CHUNK_SIZE, _CHUNK_STRIDE
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).filter(F.col("tok") != "")
+    # re-number positions 1..n over only the non-empty tokens
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    tok = tok.select(
+        "doc_id", F.row_number().over(w).alias("p"), "tok"
+    )
+    k_min = F.greatest(
+        F.lit(0), F.ceil((F.col("p") - size) / F.lit(stride)).cast("int")
+    )
+    k_max = F.floor((F.col("p") - 1) / F.lit(stride)).cast("int")
+    fan = tok.select(
+        "doc_id", "p", "tok",
+        F.explode(F.sequence(k_min, k_max)).alias("chunk_idx"),
+    )
+    return (
+        fan.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunk_tokens"),
+            F.array_sort(F.collect_list(F.struct("p", "tok"))).alias("_st"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "n_chunk_tokens",
+            F.array_join(F.transform("_st", lambda s: s.tok), " ").alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+_PACK_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT lang, CAST(cum_before // 512 AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM c GROUP BY lang, bin
+"""
+
+
+@query("pipeline_pack_sequences", oracle=_PACK_ORACLE)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concatenate-and-split): docs stream in doc_id
+    order per language, and each doc lands in training bin
+    ``floor(tokens_before_it / 512)`` — the deterministic packing a
+    training pipeline uses to fill fixed context budgets without padding
+    waste. One window cumsum per language partition + one aggregate; both
+    reuse the same lang-clustered shuffle."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    t = d.select("doc_id", "lang", F.size(toks).alias("n_tok"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.select(
+        "lang",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return (
+        c.select("lang", F.floor(F.col("cum_before") / 512).alias("bin"), "n_tok")
+        .groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+_PII_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact' || CAST(doc_id AS VARCHAR) || '@example.com'
+           AS raw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw,
+         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) AS INTEGER) AS n_emails,
+       regexp_replace(raw, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+',
+         '[EMAIL]', 'g') AS redacted
+FROM t
+"""
+
+
+@query("text_redact_pii", oracle=_PII_ORACLE)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (email redaction) — the compliance pass every corpus
+    pipeline runs before training. A deterministic synthetic email is
+    appended per doc (the fixture contains none) so the scrub has an
+    observable effect; the pattern is RE2-and-Java-compatible so both
+    engines replace identical spans. Pure regexp expressions, narrow, no
+    shuffle."""
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+    )
+    pat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(pat), F.lit(0))).alias("n_emails"),
+        F.regexp_replace(raw, pat, "[EMAIL]").alias("redacted"),
+    )
