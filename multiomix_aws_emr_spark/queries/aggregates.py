@@ -406,3 +406,82 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_str, max_str)"
         )
     )
+
+
+_WINSOR_ORACLE = """
+WITH b AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.01) AS p01,
+         quantile_cont(l_extendedprice, 0.99) AS p99
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       ROUND(AVG(l.l_extendedprice), 2) AS avg_price_kept
+FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+WHERE l.l_extendedprice BETWEEN b.p01 AND b.p99
+GROUP BY l.l_returnflag
+"""
+
+
+@query("agg_winsorize_filter", oracle=_WINSOR_ORACLE)
+def agg_winsorize_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based outlier filtering (winsorize-style trim): keep
+    rows inside the per-group [p1, p99] band, then re-aggregate — the
+    data-cleaning two-pass every quality pipeline runs. The per-group
+    bounds table is tiny (one row per group) and BROADCASTS back onto the
+    fact scan, so pass 2 is a map-side filter: two scans, zero extra
+    shuffles of the fact table. Exact percentiles here (sort-based,
+    per-group); at extreme group cardinality swap approx_percentile —
+    same plan shape."""
+    li = load(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .filter(F.col("l_extendedprice").between(F.col("p01"), F.col("p99")))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price_kept"),
+        )
+    )
+
+
+_TIME_ROLLUP_ORACLE = (
+    "WITH events_v AS (SELECT epoch_ms(ts) AS ts_ms, event_type, value "
+    "FROM events) "
+    "SELECT (ts_ms // 86400000) * 86400000 AS day_ms, "
+    "CASE WHEN GROUPING(hr) = 0 THEN hr ELSE NULL END AS hour_ms, "
+    "event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+    "ROUND(SUM(value), 2) AS sum_value "
+    "FROM (SELECT ts_ms, (ts_ms // 3600000) * 3600000 AS hr, event_type, "
+    "value FROM events_v) "
+    "GROUP BY GROUPING SETS ((day_ms, hr, event_type), (day_ms, event_type))"
+)
+
+
+@query("agg_time_rollup_multi", oracle=_TIME_ROLLUP_ORACLE)
+def agg_time_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hourly AND daily
+    per-type event aggregates in ONE pass via GROUPING SETS — the Expand
+    operator emits both granularities into a single shuffle instead of
+    two scans/jobs (the timeseries-store pattern for maintaining
+    multi-resolution rollups). day_ms repeats on the hourly rows, so the
+    daily tier is a free re-aggregation of the same stream."""
+    ev = events_v(spark, sf_dir)
+    day = (F.col("ts_ms") / 86400000).cast("long") * 86400000
+    hr = (F.col("ts_ms") / 3600000).cast("long") * 3600000
+    base = ev.select(
+        day.alias("day_ms"), hr.alias("hr"), "event_type", "value"
+    )
+    base.createOrReplaceTempView("_time_rollup_base")
+    return spark.sql(
+        "SELECT day_ms, "
+        "CASE WHEN GROUPING(hr) = 0 THEN hr ELSE NULL END AS hour_ms, "
+        "event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROUND(SUM(value), 2) AS sum_value "
+        "FROM _time_rollup_base "
+        "GROUP BY GROUPING SETS ((day_ms, hr, event_type), (day_ms, event_type))"
+    )

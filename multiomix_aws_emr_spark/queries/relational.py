@@ -647,3 +647,37 @@ def sql_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "lineitem"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q4_SQL)
+
+
+_SALTED_ORACLE = (
+    "SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus, "
+    "ROUND(o.o_totalprice, 2) AS o_totalprice_r "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+)
+
+
+@query("join_salted_skew", oracle=_SALTED_ORACLE)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew mitigation by explicit salting (operators/skew.py):
+    the probe (lineitem) scatters each row across 8 salt sub-keys, the
+    build (orders) replicates to all of them, and the join key becomes
+    (key, salt) — a hot order's lines spread over 8 tasks instead of
+    hanging one straggler. The salt only changes ROW PLACEMENT, never the
+    match set, so the oracle is the PLAIN join: parity proves the rewrite
+    is semantics-preserving, which is the whole contract of the
+    technique. (AQE's skew splitting covers sort-merge joins at runtime;
+    salting is the explicit tool for the paths AQE can't rewrite.)"""
+    from multiomix_aws_emr_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias(
+            "o_totalprice_r"
+        )
+    )
+    return salted_join(
+        li,
+        o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey",
+        n_salts=8,
+    ).select("l_orderkey", "l_linenumber", "o_orderstatus", "o_totalprice_r")

@@ -225,3 +225,19 @@ def test_sql_exists_decorrelates_to_semi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sql_order_priority")
     assert "LeftSemi" in plan, "EXISTS did not decorrelate to a semi join"
     assert "CartesianProduct" not in plan
+
+
+def test_winsorize_bounds_broadcast_back(spark, sf_dir):
+    # the tiny per-group bounds table must broadcast onto the fact scan —
+    # pass 2 is a map-side filter, not a shuffled join
+    plan = _plan(spark, sf_dir, "agg_winsorize_filter")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_time_rollup_single_expand_pass(spark, sf_dir):
+    # both granularities must come from ONE Expand over one scan — not
+    # two separate aggregation jobs
+    plan = _plan(spark, sf_dir, "agg_time_rollup_multi")
+    assert plan.count("Expand") >= 1
+    assert plan.count("Scan parquet") == 1
