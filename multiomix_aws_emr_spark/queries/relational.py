@@ -681,3 +681,73 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         n_salts=8,
     ).select("l_orderkey", "l_linenumber", "o_orderstatus", "o_totalprice_r")
+
+
+_FULL_OUTER_ORACLE = """
+WITH oc AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(c.c_custkey, oc.o_custkey) AS custkey,
+       c.c_name, oc.n_orders
+FROM customer c FULL OUTER JOIN oc ON c.c_custkey = oc.o_custkey
+"""
+
+
+@query("join_full_outer", oracle=_FULL_OUTER_ORACLE)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: customers with no orders keep NULL counts, order
+    keys with no customer row keep NULL names — both dangling sides
+    preserved. Plans as sort-merge (full outer can't broadcast either
+    side); the pre-aggregation shrinks the right side to one row per key
+    so the shuffle carries counts, not order rows."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    oc = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = c.join(oc, c.c_custkey == oc.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        "n_orders",
+    )
+
+
+_NULL_SAFE_ORACLE = """
+WITH cn AS (
+  SELECT NULLIF(c_nationkey, 0) AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+  FROM customer GROUP BY 1
+), sn AS (
+  SELECT NULLIF(s_nationkey, 0) AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+  FROM supplier GROUP BY 1
+)
+SELECT cn.nk AS nationkey, cn.n_cust, sn.n_supp
+FROM cn JOIN sn ON cn.nk IS NOT DISTINCT FROM sn.nk
+"""
+
+
+@query("join_null_safe", oracle=_NULL_SAFE_ORACLE)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): the
+    NULL-keyed groups match each other instead of vanishing — the
+    semantics ETL needs when NULL is a real category (here nation 0 is
+    nulled to stand in for 'unknown'). Still a hash-partitionable
+    equi-join: Spark shuffles NULL like any other key value under <=>,
+    no fallback to nested loops (asserted in tests/test_plans.py)."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .select(F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nk_c"))
+        .groupBy("nk_c")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .select(F.nullif(F.col("s_nationkey"), F.lit(0)).alias("nk_s"))
+        .groupBy("nk_s")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, F.col("nk_c").eqNullSafe(F.col("nk_s"))).select(
+        F.col("nk_c").alias("nationkey"), "n_cust", "n_supp"
+    )

@@ -241,3 +241,8 @@ def test_time_rollup_single_expand_pass(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_time_rollup_multi")
     assert plan.count("Expand") >= 1
     assert plan.count("Scan parquet") == 1
+
+
+def test_null_safe_join_is_hash_not_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_null_safe")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
