@@ -103,10 +103,18 @@ def run_experiment(spark: SparkSession, args: argparse.Namespace) -> dict:
         fitness = _cox_fitness(args.cv_folds, args.random_state)
     elif args.model in ("svm", "rf"):
         fitness = _svm_or_rf_fitness(args.model, args.cv_folds, args.random_state)
-    else:  # clustering (`scripts/main.py:79-112`) needs lifelines' CoxPH
-        raise NotImplementedError(
-            "--model clustering needs lifelines (import-gated); "
-            "the built-in fitness is --model cox"
+    else:  # clustering (`scripts/main.py:79-112`): dependency-free
+        # k-means + log-rank separation fitness (fs/fitness.py R27)
+        import functools as _ft
+
+        from multiomix_aws_emr_spark.fs.fitness import (
+            cv_clustering_logrank_fitness,
+        )
+
+        fitness = _ft.partial(
+            cv_clustering_logrank_fitness,
+            folds=args.cv_folds,
+            seed=args.random_state,
         )
 
     molecules = read_molecules_tsv(spark, args.molecules_dataset)

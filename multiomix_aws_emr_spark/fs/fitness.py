@@ -105,3 +105,94 @@ def cv_linear_cox_fitness(
     if not scores:
         return WORST_FITNESS
     return float(np.mean(scores))
+
+
+def _kmeans_deterministic(
+    x: np.ndarray, ids: np.ndarray, k: int, *, iters: int = 10
+) -> np.ndarray:
+    """Tiny deterministic k-means: centroids seeded by the k samples with
+    the smallest (crc32(id), id) — stable across row order, partitioning,
+    and engines (no RNG) — then Lloyd iterations. Returns centroids."""
+    order = np.lexsort((ids, np.array([zlib.crc32(str(s).encode()) for s in ids])))
+    cent = x[order[:k]].astype(float).copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        for g in range(k):
+            m = lab == g
+            if m.any():
+                cent[g] = x[m].mean(axis=0)
+    return cent
+
+
+def logrank_chi2(
+    groups: np.ndarray, time: np.ndarray, event: np.ndarray
+) -> float:
+    """Multi-group log-rank statistic (conservative sum (O-E)^2/E form):
+    how differently the groups' survival curves behave. 0 when <2
+    populated groups or no events."""
+    groups = np.asarray(groups)
+    time = np.asarray(time, dtype=float)
+    event = np.asarray(event, dtype=bool)
+    labels = [g for g in np.unique(groups) if (groups == g).any()]
+    if len(labels) < 2 or not event.any():
+        return 0.0
+    event_times = np.unique(time[event])
+    O = {g: 0.0 for g in labels}
+    E = {g: 0.0 for g in labels}
+    for t in event_times:
+        at_risk = time >= t
+        n_j = float(at_risk.sum())
+        d_j = float((event & (time == t)).sum())
+        if n_j == 0 or d_j == 0:
+            continue
+        for g in labels:
+            in_g = groups == g
+            O[g] += float((event & (time == t) & in_g).sum())
+            E[g] += d_j * float((at_risk & in_g).sum()) / n_j
+    chi2 = 0.0
+    for g in labels:
+        if E[g] > 0:
+            chi2 += (O[g] - E[g]) ** 2 / E[g]
+    return float(chi2)
+
+
+def cv_clustering_logrank_fitness(
+    x: np.ndarray,
+    time: np.ndarray,
+    event: np.ndarray,
+    sample_ids: np.ndarray,
+    *,
+    n_clusters: int = 2,
+    folds: int = 3,
+    seed: int = 42,
+) -> float:
+    """The reference's clustering+Cox fitness family
+    (`scripts/main.py:79-112`, R27) re-founded dependency-free: per CV
+    fold, cluster the TRAIN samples in feature space (deterministic
+    k-means), assign TEST samples to the nearest centroid, and score how
+    strongly the induced test groups separate in survival via the
+    log-rank statistic, squashed to (0, 1) with chi2/(chi2+1) so it
+    composes with the same higher-is-better contract as the C-index
+    fitness. Empty subsets return WORST_FITNESS (the R13 guard)."""
+    if x.ndim != 2 or x.shape[1] == 0:
+        return WORST_FITNESS
+    fold_of = deterministic_folds(sample_ids, folds, seed)
+    scores = []
+    for f in range(folds):
+        train, test = fold_of != f, fold_of == f
+        if train.sum() < n_clusters or test.sum() < 2:
+            continue
+        xtr, xte = x[train].astype(float), x[test].astype(float)
+        mu, sigma = xtr.mean(axis=0), xtr.std(axis=0)
+        sigma[sigma == 0] = 1.0
+        xtr = (xtr - mu) / sigma
+        xte = (xte - mu) / sigma
+        cent = _kmeans_deterministic(xtr, sample_ids[train], n_clusters)
+        d = ((xte[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        chi2 = logrank_chi2(lab, time[test], event[test])
+        scores.append(chi2 / (chi2 + 1.0))
+    if not scores:
+        return WORST_FITNESS
+    return float(np.mean(scores))

@@ -87,8 +87,15 @@ def test_experiment_is_seed_deterministic(spark, tsvs, tmp_path):
 def test_unavailable_models_fail_clearly(spark, tsvs, tmp_path):
     with pytest.raises(NotImplementedError, match="scikit-survival"):
         run_experiment(spark, _args(tsvs, tmp_path / "c", model="svm"))
-    with pytest.raises(NotImplementedError, match="lifelines"):
-        run_experiment(spark, _args(tsvs, tmp_path / "d", model="clustering"))
+
+
+def test_clustering_model_runs_end_to_end(spark, tsvs, tmp_path):
+    # the reference's third fitness family (clustering + survival
+    # separation, main.py:79-112) runs dependency-free
+    out = tmp_path / "d"
+    res = run_experiment(spark, _args(tsvs, out, model="clustering"))
+    assert -1.0 <= res["best_metric"] <= 1.0
+    assert (out / "result.json").exists()
 
 
 def test_arg_parser_mirrors_reference_params():

@@ -55,3 +55,38 @@ def test_empty_subset_is_worst():
         )
         == WORST_FITNESS
     )
+
+
+def test_clustering_logrank_separates_risk_groups():
+    """Feature 0 defines two survival regimes; clustering on it must score
+    far above clustering on pure noise."""
+    import numpy as np
+
+    from multiomix_aws_emr_spark.fs.fitness import (
+        WORST_FITNESS,
+        cv_clustering_logrank_fitness,
+        logrank_chi2,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 120
+    group = (np.arange(n) % 2).astype(float)  # two latent risk groups
+    informative = group[:, None] * 3.0 + rng.normal(0, 0.2, (n, 1))
+    noise = rng.normal(0, 1.0, (n, 1))
+    time = np.where(group == 1, rng.uniform(1, 3, n), rng.uniform(6, 9, n))
+    event = np.ones(n, dtype=bool)
+    ids = np.array([f"s{i}" for i in range(n)])
+
+    good = cv_clustering_logrank_fitness(informative, time, event, ids)
+    bad = cv_clustering_logrank_fitness(noise, time, event, ids)
+    assert good > 0.9
+    assert good > bad + 0.2
+    # determinism and the zero-feature guard
+    again = cv_clustering_logrank_fitness(informative, time, event, ids)
+    assert good == again
+    assert (
+        cv_clustering_logrank_fitness(informative[:, :0], time, event, ids)
+        == WORST_FITNESS
+    )
+    # log-rank sanity: identical groups -> no separation
+    assert logrank_chi2(np.zeros(n), time, event) == 0.0
