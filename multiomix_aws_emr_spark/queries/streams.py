@@ -168,3 +168,29 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multiomix_aws_emr_spark.streaming.dedup import run_streaming_dedup
 
     return run_streaming_dedup(spark, sf_dir)
+
+
+_ROLLUP_UPSERT_ORACLE = (
+    "WITH events_v AS (SELECT epoch_ms(ts) AS ts_ms, event_type, value "
+    "FROM events) "
+    "SELECT (ts_ms // 3600000) * 3600000 AS window_start_ms, event_type, "
+    "CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sum_value "
+    "FROM events_v GROUP BY 1, 2"
+)
+
+
+@query("stream_rollup_upsert", oracle=_ROLLUP_UPSERT_ORACLE)
+def stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained rollup TABLE: an update-mode hourly
+    aggregate streamed through foreachBatch with dynamic-partition
+    overwrite (streaming/upsert.py) — each batch rewrites exactly the
+    (window, type) partitions it changed, so replays are idempotent and
+    the at-least-once stream yields an exactly-once table. The ORACLE is
+    the plain batch aggregate over all events: after the bounded run the
+    maintained table must equal it row for row — the strongest check a
+    streaming sink can get."""
+    from multiomix_aws_emr_spark.queries.formats import _scratch
+    from multiomix_aws_emr_spark.streaming.upsert import run_rollup_upsert
+
+    out_dir = _scratch(sf_dir, "rollup_upsert")
+    return run_rollup_upsert(spark, sf_dir, out_dir)

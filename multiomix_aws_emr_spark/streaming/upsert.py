@@ -1,0 +1,90 @@
+"""Streaming rollup maintenance: foreachBatch upsert into a parquet table.
+
+The production sink pattern when no transactional table format is
+available: an UPDATE-mode windowed aggregate feeds ``foreachBatch``, and
+each micro-batch overwrites exactly the (window, type) partitions it
+updated — ``spark.sql.sources.partitionOverwriteMode=dynamic`` scopes the
+``overwrite`` to the partitions present in the batch. Because update mode
+emits the CURRENT total for every changed key and the partition key
+equals the aggregate key, re-processing a batch after a failure rewrites
+the same partitions with the same content: idempotent, so an
+at-least-once stream yields an exactly-once TABLE (asserted by the
+double-run test in tests/test_streaming.py).
+
+This is the streaming half of the `agg_time_rollup_multi` continuous-
+aggregate story: the batch query computes multi-resolution rollups in one
+pass; this module keeps the hourly tier continuously maintained.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multiomix_aws_emr_spark.session import configure
+
+
+def rollup_plan(events_stream: DataFrame) -> DataFrame:
+    """Hourly count/sum per event_type (ts as bigint ns), keyed exactly
+    like the sink's partition layout."""
+    ev = events_stream.select(
+        F.expr("ts div 1000000").alias("ts_ms"), "event_type", "value"
+    ).withColumn("tts", F.timestamp_millis("ts_ms"))
+    return (
+        ev.withWatermark("tts", "1 hour")
+        .groupBy(F.window("tts", "1 hour").alias("_w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis("_w.start").alias("window_start_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_rollup_upsert(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    *,
+    glob: str = "events.parquet",
+) -> DataFrame:
+    """Run the hourly rollup as a bounded stream, maintaining ``out_dir``
+    as a partitioned parquet table via per-batch dynamic-partition
+    overwrite; returns the final table."""
+    configure(spark)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    static = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    out = rollup_plan(stream)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .partitionBy("window_start_ms", "event_type")
+            .parquet(out_dir)
+        )
+
+    q = (
+        out.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_upsert_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out_dir).select(
+        "window_start_ms", "event_type", "n", "sum_value"
+    )

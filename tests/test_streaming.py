@@ -228,3 +228,31 @@ def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
     # events 1,2,3 land in the first hour window; the re-delivered copy
     # of event 2 must not double-count
     assert got[min(got)] == 3
+
+
+def test_rollup_upsert_idempotent_double_run(spark, tmp_path):
+    """Re-running the same bounded stream into the same table (fresh
+    checkpoint — i.e. every batch replayed) must leave the table
+    byte-identical: the dynamic-partition overwrite makes replays
+    idempotent."""
+    from multiomix_aws_emr_spark.streaming.upsert import run_rollup_upsert
+
+    now = time.time()
+    b1 = [(1, _BASE + 60_000, "click", 1.5), (2, _BASE + _HOUR_MS, "view", 2.0)]
+    b2 = [(3, _BASE + 90_000, "click", 3.0), (4, _BASE + 2 * _HOUR_MS, "view", 4.0)]
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_events(str(src / "b1.parquet"), b1, now - 60)
+    _write_events(str(src / "b2.parquet"), b2, now)
+    out = str(tmp_path / "rollup")
+    first = run_rollup_upsert(spark, str(src), out, glob="b*.parquet")
+    rows1 = sorted(map(tuple, first.collect()))
+    second = run_rollup_upsert(spark, str(src), out, glob="b*.parquet")
+    rows2 = sorted(map(tuple, second.collect()))
+    assert rows1 == rows2
+    # and the table equals the batch aggregate
+    assert rows1 == [
+        (_BASE - _BASE % _HOUR_MS, "click", 2, 4.5),
+        ((_BASE + _HOUR_MS) - (_BASE + _HOUR_MS) % _HOUR_MS, "view", 1, 2.0),
+        ((_BASE + 2 * _HOUR_MS) - (_BASE + 2 * _HOUR_MS) % _HOUR_MS, "view", 1, 4.0),
+    ]
