@@ -485,3 +485,49 @@ def agg_time_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM _time_rollup_base "
         "GROUP BY GROUPING SETS ((day_ms, hr, event_type), (day_ms, event_type))"
     )
+
+
+_HISTOGRAM_ORACLE = """
+WITH b AS (
+  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem
+)
+SELECT CAST(LEAST(FLOOR((l_extendedprice - b.lo) * 10.0 / (b.hi - b.lo)), 9)
+            AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(l_extendedprice), 2) AS bucket_min,
+       ROUND(MAX(l_extendedprice), 2) AS bucket_max
+FROM lineitem, b GROUP BY 1
+"""
+
+
+@query("agg_histogram_equiwidth", oracle=_HISTOGRAM_ORACLE)
+def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (10 buckets over the global [min, max]): the
+    profiling primitive behind range-partition planning and data-quality
+    dashboards. Same two-pass broadcast shape as the winsorize filter —
+    the 1-row bounds aggregate joins back as a broadcast, bucketing is a
+    map-side expression, and one hash aggregate on a 10-value key
+    finishes it. IEEE double division + floor agree across engines, so
+    bucket boundaries are exact."""
+    li = load(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("l_extendedprice") - F.col("lo"))
+            * 10.0
+            / (F.col("hi") - F.col("lo"))
+        ),
+        F.lit(9),
+    ).cast("int")
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "l_extendedprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("bucket_min"),
+            F.round(F.max("l_extendedprice"), 2).alias("bucket_max"),
+        )
+    )

@@ -151,3 +151,45 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(
         e, id_col="vec_id", vec_col="embedding", query_ids=[0], k=5, n_planes=8
     )
+
+
+_FUZZY_ORACLE = """
+WITH b AS (
+  SELECT c_custkey, c_name, substr(c_name, 1, 15) AS blk FROM customer
+)
+SELECT a.c_custkey AS id_a, bb.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, bb.c_name) AS INTEGER) AS dist
+FROM b a JOIN b bb ON a.blk = bb.blk AND a.c_custkey < bb.c_custkey
+WHERE levenshtein(a.c_name, bb.c_name) <= 1
+"""
+
+
+@query("dedup_entity_fuzzy", oracle=_FUZZY_ORACLE)
+def dedup_entity_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked fuzzy matching: candidate pairs come
+    only from shared BLOCKING keys (here the name's id-prefix, leaving
+    the last 3 characters free), then exact edit-distance <= 1 confirms
+    single-typo matches — the classic blocking + verify shape that keeps
+    fuzzy dedup an equi-join (block sizes bound the quadratic verify;
+    never an all-pairs cross join). Both engines agree on Levenshtein
+    unit costs, so the pair set is oracle-checked exactly."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 15).alias("blk")
+    )
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        "blk",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("blk").alias("blk_b"),
+    )
+    pairs = a.join(
+        b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return pairs.select("id_a", "id_b", dist.cast("int").alias("dist")).filter(
+        F.col("dist") <= 1
+    )
