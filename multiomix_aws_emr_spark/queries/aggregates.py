@@ -531,3 +531,32 @@ def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l_extendedprice"), 2).alias("bucket_max"),
         )
     )
+
+
+_COLLECT_SORTED_ORACLE = """
+SELECT lang, (list(doc_id ORDER BY doc_id))[1:3] AS first_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+@query("agg_collect_sorted", oracle=_COLLECT_SORTED_ORACLE)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregate with deterministic order: the 3 smallest
+    doc_ids per language as a sorted array. ``collect_list`` order is
+    partition-dependent, so the contract is restored with ``array_sort``
+    + ``slice`` AFTER the aggregate — the pattern for any list-building
+    agg that must be reproducible across engines/partitionings. (At huge
+    groups, cap the state with a bounded top-k aggregate instead of
+    collecting everything; group sizes here are corpus-language counts.)
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 3).alias(
+                "first_docs"
+            ),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )

@@ -751,3 +751,77 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(s, F.col("nk_c").eqNullSafe(F.col("nk_s"))).select(
         F.col("nk_c").alias("nationkey"), "n_cust", "n_supp"
     )
+
+
+_UNION_EVOLVE_ORACLE = """
+SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS o_totalprice_r,
+       o_orderpriority
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL BY NAME
+SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice_r,
+       CAST(NULL AS VARCHAR) AS o_orderpriority
+FROM orders WHERE o_orderkey % 3 = 1
+"""
+
+
+@query("set_union_by_name_evolution", oracle=_UNION_EVOLVE_ORACLE)
+def set_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: an old extract lacking two columns unions
+    with the current one by COLUMN NAME (``unionByName(allowMissingColumns
+    =True)``), the missing fields padding to NULL — the append-only data
+    lake pattern when upstream schemas grow. Positional UNION would
+    silently misalign; by-name is the scale-safe operator (DuckDB's
+    UNION ALL BY NAME is the oracle twin)."""
+    o = load(spark, sf_dir, "orders")
+    new_extract = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice_r"),
+        "o_orderpriority",
+    )
+    old_extract = o.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    return new_extract.unionByName(old_extract, allowMissingColumns=True)
+
+
+_TOPK_HASH_ORACLE = """
+WITH h AS (
+  SELECT lang, doc_id,
+         CAST('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS hk
+  FROM documents
+), r AS (
+  SELECT lang, doc_id, hk,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+  FROM h
+)
+SELECT lang, doc_id, rn FROM r WHERE rn <= 5
+"""
+
+
+@query("sample_topk_hash", oracle=_TOPK_HASH_ORACLE)
+def sample_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum reservoir: the 5 docs with the smallest
+    seeded portable hash per language — a fixed-size sample that is
+    IDENTICAL on every engine, every run, any partitioning (a true
+    random reservoir is run-dependent; hash order is the auditable
+    substitute). One shuffle on lang; rank via a single window pass. At
+    extreme stratum cardinality the same result comes from a
+    ``min_by(array, k)``-style partial aggregate — no global sort either
+    way."""
+    from multiomix_aws_emr_spark.functions.porthash import phash60
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    h = d.select(
+        "lang",
+        "doc_id",
+        phash60(F.col("doc_id").cast("string"), seed=7).alias("hk"),
+    )
+    w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", "rn")
+    )
