@@ -246,3 +246,11 @@ def test_time_rollup_single_expand_pass(spark, sf_dir):
 def test_null_safe_join_is_hash_not_nested_loop(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_null_safe")
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_total_broadcasts(spark, sf_dir):
+    # the 1-row corpus-total must broadcast; the threshold filter is
+    # map-side, never a shuffled join
+    plan = _plan(spark, sf_dir, "agg_heavy_hitters")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
