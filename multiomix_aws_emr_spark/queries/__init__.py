@@ -5,6 +5,7 @@ from multiomix_aws_emr_spark.queries import (  # noqa: F401
     aggregates,
     formats,
     llmdata,
+    ml,
     omics,
     python_udfs,
     relational,

@@ -385,3 +385,18 @@ def test_minhash_plus_components_transitive(spark):
     if comp[1] == comp[0] and comp[2] == comp[1]:
         assert comp[2] == comp[0]
     assert comp[3] == 3  # unrelated stays alone
+
+
+def test_mlkmeans_invariants(spark, sf_dir):
+    from multiomix_aws_emr_spark.queries import QUERIES
+
+    out = QUERIES["ml_kmeans_embeddings"](spark, sf_dir)
+    rows = {r.prediction: r.n_vecs for r in out.collect()}
+    total = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(rows.values()) == total  # every vector assigned exactly once
+    assert 1 <= len(rows) <= 8
+    again = {
+        r.prediction: r.n_vecs
+        for r in QUERIES["ml_kmeans_embeddings"](spark, sf_dir).collect()
+    }
+    assert rows == again  # seeded fit on fixed data is deterministic
