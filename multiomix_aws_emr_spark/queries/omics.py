@@ -59,3 +59,101 @@ def fs_bbha_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("fitness", 4).alias("fitness"),
         "n_features",
     )
+
+
+_KM_ORACLE = """
+WITH events_v AS (
+  SELECT epoch_ms(ts) AS ts_ms, user_id, event_type FROM events
+), surv AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts_ms END) AS t0,
+         MIN(CASE WHEN event_type = 'error' THEN ts_ms END) AS t1
+  FROM events_v GROUP BY user_id
+), life AS (
+  SELECT user_id,
+         CASE WHEN t1 IS NOT NULL AND t1 >= t0 THEN t1 - t0
+              ELSE NULL END AS lifetime_ms
+  FROM surv WHERE t0 IS NOT NULL
+), risk AS (
+  SELECT lifetime_ms AS t, CAST(COUNT(*) AS BIGINT) AS d,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM life) AS n_total
+  FROM life WHERE lifetime_ms IS NOT NULL GROUP BY lifetime_ms
+), ordered AS (
+  SELECT t, d,
+         n_total
+           - COALESCE(SUM(d) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_at_risk
+  FROM risk
+)
+SELECT t AS lifetime_ms, d AS n_events, n_at_risk,
+       ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / n_at_risk))
+             OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 4) AS km_survival
+FROM ordered WHERE n_at_risk > d
+"""
+
+
+@query("omics_kaplan_meier", oracle=_KM_ORACLE)
+def omics_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve — the reference's survival-analysis
+    domain (clinical D2: (event, time) records; `scripts/utils.py:59-62`)
+    as a pure relational query over the event log: per-user lifetime =
+    signup -> first error (censored when error-free, which only affects
+    the at-risk denominator through total count here since all observed
+    lifetimes share one origin cohort).
+
+    Shape: one grouped pass builds the (time, deaths) risk table, a
+    window cumsum derives the at-risk counts, and the product-limit
+    estimator S(t) = prod(1 - d_i/n_i) computes as exp(cumsum(ln)) in a
+    second window pass — no iteration, no UDF, identical plan at any
+    cohort size (the risk table has one row per distinct event time).
+    Rows where everyone at risk dies (n == d) are excluded (S hits 0;
+    ln undefined) — same filter in the oracle.
+    """
+    from multiomix_aws_emr_spark.sources.tables import events_v
+    from pyspark.sql.window import Window
+
+    ev = events_v(spark, sf_dir)
+    surv = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_ms"))).alias("t0"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts_ms"))).alias("t1"),
+    )
+    life = surv.filter(F.col("t0").isNotNull()).select(
+        F.when(
+            F.col("t1").isNotNull() & (F.col("t1") >= F.col("t0")),
+            F.col("t1") - F.col("t0"),
+        ).alias("lifetime_ms")
+    )
+    n_total = life.agg(F.count(F.lit(1)).alias("n_total"))
+    risk = (
+        life.filter(F.col("lifetime_ms").isNotNull())
+        .groupBy(F.col("lifetime_ms").alias("t"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .crossJoin(F.broadcast(n_total))
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    ordered = risk.select(
+        "t",
+        "d",
+        (
+            F.col("n_total") - F.coalesce(F.sum("d").over(w_prev), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    km = F.round(
+        F.exp(
+            F.sum(
+                F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk"))
+            ).over(w_cum)
+        ),
+        4,
+    )
+    # filter BEFORE the window pass — SQL WHERE runs before window
+    # evaluation, so the oracle's cumulative product never sees the
+    # excluded all-die row either
+    return ordered.filter(F.col("n_at_risk") > F.col("d")).select(
+        F.col("t").alias("lifetime_ms"),
+        F.col("d").alias("n_events"),
+        "n_at_risk",
+        km.alias("km_survival"),
+    )
