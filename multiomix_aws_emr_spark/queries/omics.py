@@ -157,3 +157,105 @@ def omics_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_at_risk",
         km.alias("km_survival"),
     )
+
+
+_LOGRANK_CTES = """
+counts AS (
+  SELECT lifetime_ms AS t, grp,
+         SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS d,
+         COUNT(*) AS c
+  FROM life GROUP BY 1, 2
+), totals AS (
+  SELECT grp, SUM(c) AS total_g FROM counts GROUP BY grp
+), times AS (
+  SELECT DISTINCT t FROM counts
+), grid AS (
+  SELECT times.t, totals.grp, totals.total_g FROM times CROSS JOIN totals
+), dense AS (
+  SELECT g.t, g.grp,
+         COALESCE(c.d, 0) AS d, COALESCE(c.c, 0) AS c, g.total_g
+  FROM grid g LEFT JOIN counts c ON c.t = g.t AND c.grp = g.grp
+), at_risk AS (
+  SELECT t, grp, d,
+         total_g - COALESCE(SUM(c) OVER (PARTITION BY grp ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_g
+  FROM dense
+), per_time AS (
+  SELECT t, grp, d, n_g,
+         SUM(d) OVER (PARTITION BY t) AS d_tot,
+         SUM(n_g) OVER (PARTITION BY t) AS n_tot
+  FROM at_risk
+), oe AS (
+  SELECT grp,
+         SUM(d) AS o_g,
+         SUM(CAST(d_tot AS DOUBLE) * n_g / n_tot) AS e_g
+  FROM per_time WHERE d_tot > 0 AND n_tot > 0 GROUP BY grp
+)
+SELECT CAST(grp AS INTEGER) AS grp, CAST(o_g AS BIGINT) AS observed,
+       ROUND(e_g, 4) AS expected,
+       ROUND(SUM((o_g - e_g) * (o_g - e_g) / e_g) OVER (), 4) AS chi2
+FROM oe
+"""
+
+_LOGRANK_SQL = "WITH " + _LOGRANK_CTES
+
+
+def _life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(grp, lifetime_ms, observed): signup -> first-error lifetimes with
+    right-censoring at each user's last seen event; cohorts = user_id
+    parity."""
+    from multiomix_aws_emr_spark.sources.tables import events_v
+
+    ev = events_v(spark, sf_dir)
+    surv = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_ms"))).alias("t0"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts_ms"))).alias("t1"),
+        F.max("ts_ms").alias("t_end"),
+    )
+    return (
+        surv.filter(F.col("t0").isNotNull())
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("grp"),
+            F.when(
+                F.col("t1").isNotNull() & (F.col("t1") >= F.col("t0")),
+                F.col("t1") - F.col("t0"),
+            )
+            .otherwise(F.col("t_end") - F.col("t0"))
+            .alias("lifetime_ms"),
+            (F.col("t1").isNotNull() & (F.col("t1") >= F.col("t0"))).alias(
+                "observed"
+            ),
+        )
+        .filter(F.col("lifetime_ms") >= 0)
+    )
+
+
+@query(
+    "omics_logrank_test",
+    oracle=(
+        "WITH events_v AS (SELECT epoch_ms(ts) AS ts_ms, user_id, event_type "
+        "FROM events), surv AS (SELECT user_id, "
+        "MIN(CASE WHEN event_type = 'signup' THEN ts_ms END) AS t0, "
+        "MIN(CASE WHEN event_type = 'error' THEN ts_ms END) AS t1, "
+        "MAX(ts_ms) AS t_end FROM events_v GROUP BY user_id), "
+        "life AS (SELECT CAST(user_id % 2 AS INTEGER) AS grp, "
+        "CASE WHEN t1 IS NOT NULL AND t1 >= t0 THEN t1 - t0 "
+        "ELSE t_end - t0 END AS lifetime_ms, "
+        "(t1 IS NOT NULL AND t1 >= t0) AS observed "
+        "FROM surv WHERE t0 IS NOT NULL "
+        "AND (CASE WHEN t1 IS NOT NULL AND t1 >= t0 THEN t1 - t0 "
+        "ELSE t_end - t0 END) >= 0), "
+    )
+    + _LOGRANK_CTES,
+)
+def omics_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-cohort log-rank test (the survival-curve comparison behind the
+    clustering fitness, fs/fitness.py logrank_chi2) as ONE SQL text run
+    identically in both engines over a DataFrame-built life table:
+    censoring included, at-risk sets from a per-group window cumsum over
+    the dense (time x group) grid — one row per distinct lifetime per
+    group, so the plan is cohort-size independent (never per-user
+    quadratic). Output: per-group observed/expected + the chi-square
+    statistic (numpy-cross-checked in tests)."""
+    _life_table(spark, sf_dir).createOrReplaceTempView("life")
+    return spark.sql(_LOGRANK_SQL)

@@ -90,3 +90,23 @@ def test_clustering_logrank_separates_risk_groups():
     )
     # log-rank sanity: identical groups -> no separation
     assert logrank_chi2(np.zeros(n), time, event) == 0.0
+
+
+def test_logrank_sql_matches_numpy(spark, sf_dir):
+    """The relational log-rank query must agree with fs/fitness.py's
+    numpy logrank_chi2 on the same life table."""
+    import numpy as np
+
+    from multiomix_aws_emr_spark.fs.fitness import logrank_chi2
+    from multiomix_aws_emr_spark.queries import QUERIES
+    from multiomix_aws_emr_spark.queries.omics import _life_table
+
+    life = _life_table(spark, sf_dir).collect()
+    groups = np.array([r.grp for r in life])
+    time = np.array([float(r.lifetime_ms) for r in life])
+    event = np.array([bool(r.observed) for r in life])
+    expected = logrank_chi2(groups, time, event)
+
+    out = QUERIES["omics_logrank_test"](spark, sf_dir).collect()
+    got = out[0].chi2
+    assert abs(got - expected) < 1e-3, (got, expected)
