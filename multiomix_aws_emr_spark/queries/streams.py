@@ -173,7 +173,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROLLUP_UPSERT_ORACLE = (
     "WITH events_v AS (SELECT epoch_ms(ts) AS ts_ms, event_type, value "
     "FROM events) "
-    "SELECT (ts_ms // 3600000) * 3600000 AS window_start_ms, event_type, "
+    "SELECT (ts_ms // 86400000) * 86400000 AS window_start_ms, event_type, "
     "CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sum_value "
     "FROM events_v GROUP BY 1, 2"
 )
@@ -181,7 +181,7 @@ _ROLLUP_UPSERT_ORACLE = (
 
 @query("stream_rollup_upsert", oracle=_ROLLUP_UPSERT_ORACLE)
 def stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continuously-maintained rollup TABLE: an update-mode hourly
+    """Continuously-maintained rollup TABLE: an update-mode daily
     aggregate streamed through foreachBatch with dynamic-partition
     overwrite (streaming/upsert.py) — each batch rewrites exactly the
     (window, type) partitions it changed, so replays are idempotent and
@@ -189,8 +189,14 @@ def stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plain batch aggregate over all events: after the bounded run the
     maintained table must equal it row for row — the strongest check a
     streaming sink can get."""
+    import shutil
+
     from multiomix_aws_emr_spark.queries.formats import _scratch
     from multiomix_aws_emr_spark.streaming.upsert import run_rollup_upsert
 
     out_dir = _scratch(sf_dir, "rollup_upsert")
+    # fresh table per declared-query run: dynamic overwrite rewrites only
+    # the partitions a batch touches, so a layout change (or any stale
+    # partitions from prior runs) would otherwise leak into the result
+    shutil.rmtree(out_dir, ignore_errors=True)
     return run_rollup_upsert(spark, sf_dir, out_dir)

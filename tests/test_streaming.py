@@ -237,9 +237,10 @@ def test_rollup_upsert_idempotent_double_run(spark, tmp_path):
     idempotent."""
     from multiomix_aws_emr_spark.streaming.upsert import run_rollup_upsert
 
+    day_ms = 24 * _HOUR_MS
     now = time.time()
-    b1 = [(1, _BASE + 60_000, "click", 1.5), (2, _BASE + _HOUR_MS, "view", 2.0)]
-    b2 = [(3, _BASE + 90_000, "click", 3.0), (4, _BASE + 2 * _HOUR_MS, "view", 4.0)]
+    b1 = [(1, _BASE + 60_000, "click", 1.5), (2, _BASE + day_ms, "view", 2.0)]
+    b2 = [(3, _BASE + 90_000, "click", 3.0), (4, _BASE + 2 * day_ms, "view", 4.0)]
     src = tmp_path / "src"
     src.mkdir()
     _write_events(str(src / "b1.parquet"), b1, now - 60)
@@ -252,7 +253,7 @@ def test_rollup_upsert_idempotent_double_run(spark, tmp_path):
     assert rows1 == rows2
     # and the table equals the batch aggregate
     assert rows1 == [
-        (_BASE - _BASE % _HOUR_MS, "click", 2, 4.5),
-        ((_BASE + _HOUR_MS) - (_BASE + _HOUR_MS) % _HOUR_MS, "view", 1, 2.0),
-        ((_BASE + 2 * _HOUR_MS) - (_BASE + 2 * _HOUR_MS) % _HOUR_MS, "view", 1, 4.0),
+        (_BASE - _BASE % day_ms, "click", 2, 4.5),
+        ((_BASE + day_ms) - (_BASE + day_ms) % day_ms, "view", 1, 2.0),
+        ((_BASE + 2 * day_ms) - (_BASE + 2 * day_ms) % day_ms, "view", 1, 4.0),
     ]
