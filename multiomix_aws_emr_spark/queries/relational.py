@@ -825,3 +825,22 @@ def sample_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "doc_id", "rn")
     )
+
+
+_CORR_SCALAR_SQL = (
+    "SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice_r "
+    "FROM orders o "
+    "WHERE o_totalprice > 1.5 * (SELECT AVG(o2.o_totalprice) FROM orders o2 "
+    "WHERE o2.o_custkey = o.o_custkey)"
+)
+
+
+@query("sql_correlated_scalar", oracle=_CORR_SCALAR_SQL)
+def sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders 50% above their customer's own
+    average) through the raw-SQL path: Catalyst decorrelates the
+    per-row subquery into ONE aggregate over orders + an equi-join back
+    — no re-execution per outer row (plan-asserted: a single extra scan,
+    no nested loops). The identical text runs in DuckDB as the oracle."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CORR_SCALAR_SQL)

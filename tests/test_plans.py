@@ -254,3 +254,11 @@ def test_heavy_hitters_total_broadcasts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_heavy_hitters")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_correlated_scalar_decorrelates(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sql_correlated_scalar")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # decorrelation: the subquery becomes an aggregate joined back, so
+    # orders is scanned exactly twice (outer + aggregate), not per row
+    assert plan.count("Scan parquet") == 2
