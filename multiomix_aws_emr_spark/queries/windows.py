@@ -290,3 +290,147 @@ def dedup_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_p.ts_ms").alias("last_ts_ms"),
         F.round(F.col("_p.value"), 2).alias("last_value"),
     )
+
+
+_WDISTINCT_ORACLE = (
+    "WITH events_v AS (SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, "
+    "event_type FROM events) "
+    "SELECT event_id, user_id, "
+    "CAST(COUNT(DISTINCT event_type) OVER (PARTITION BY user_id "
+    "ORDER BY ts_ms, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) "
+    "AS INTEGER) AS n_distinct_types_10 "
+    "FROM events_v"
+)
+
+
+@query("window_distinct_count", oracle=_WDISTINCT_ORACLE)
+def window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct count over a sliding window (how varied were the user's
+    last 10 actions). Spark has no COUNT(DISTINCT) window — the
+    idiomatic rewrite is ``size(collect_set() OVER w)``, which keeps the
+    set in window state (bounded by the frame length, so safe for ROWS
+    frames; never use it UNBOUNDED over high-cardinality values). The
+    oracle uses DuckDB's native windowed distinct count, pinning the
+    rewrite's semantics."""
+    ev = events_v(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).alias(
+            "n_distinct_types_10"
+        ),
+    )
+
+
+_FUNNEL_ORACLE = (
+    "WITH events_v AS (SELECT epoch_ms(ts) AS ts_ms, user_id, event_type "
+    "FROM events), "
+    "u AS (SELECT user_id, "
+    "MIN(CASE WHEN event_type = 'signup' THEN ts_ms END) AS t_signup, "
+    "MIN(CASE WHEN event_type = 'view' THEN ts_ms END) AS t_view, "
+    "MIN(CASE WHEN event_type = 'purchase' THEN ts_ms END) AS t_purchase "
+    "FROM events_v GROUP BY user_id) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_signed_up, "
+    "CAST(COUNT(CASE WHEN t_view > t_signup THEN 1 END) AS BIGINT) "
+    "AS n_viewed_after, "
+    "CAST(COUNT(CASE WHEN t_view > t_signup AND t_purchase > t_view THEN 1 "
+    "END) AS BIGINT) AS n_purchased_after, "
+    "ROUND(COUNT(CASE WHEN t_view > t_signup AND t_purchase > t_view THEN 1 "
+    "END) / CAST(COUNT(*) AS DOUBLE), 4) AS conversion "
+    "FROM u WHERE t_signup IS NOT NULL"
+)
+
+
+@query("funnel_conversion", oracle=_FUNNEL_ORACLE)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup -> later view -> later purchase): per-user
+    first-touch timestamps from ONE conditional-aggregation pass, then
+    the stage predicates compose as ordinary boolean columns — no
+    sequential pattern-matching engine needed for first-touch funnels,
+    and the single shuffle is the per-user aggregate. (Multi-touch/
+    windowed funnels are where MATCH_RECOGNIZE-style logic would enter.)
+    """
+    ev = events_v(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_ms"))).alias(
+            "t_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_ms"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_ms"))).alias(
+            "t_purchase"
+        ),
+    )
+    u = u.filter(F.col("t_signup").isNotNull())
+    viewed = F.col("t_view") > F.col("t_signup")
+    purchased = viewed & (F.col("t_purchase") > F.col("t_view"))
+    return u.agg(
+        F.count(F.lit(1)).alias("n_signed_up"),
+        F.count(F.when(viewed, 1)).alias("n_viewed_after"),
+        F.count(F.when(purchased, 1)).alias("n_purchased_after"),
+        F.round(
+            F.count(F.when(purchased, 1)) / F.count(F.lit(1)).cast("double"), 4
+        ).alias("conversion"),
+    )
+
+
+_COHORT_ORACLE = (
+    "WITH events_v AS (SELECT epoch_ms(ts) AS ts_ms, user_id, event_type "
+    "FROM events), "
+    "cohort AS (SELECT user_id, "
+    "MIN(CASE WHEN event_type = 'signup' THEN ts_ms END) // 604800000 "
+    "AS signup_week FROM events_v GROUP BY user_id), "
+    "activity AS (SELECT DISTINCT e.user_id, c.signup_week, "
+    "(e.ts_ms // 604800000) - c.signup_week AS week_offset "
+    "FROM events_v e JOIN cohort c ON e.user_id = c.user_id "
+    "WHERE c.signup_week IS NOT NULL "
+    "AND (e.ts_ms // 604800000) >= c.signup_week) "
+    "SELECT signup_week, CAST(week_offset AS BIGINT) AS week_offset, "
+    "CAST(COUNT(*) AS BIGINT) AS n_active "
+    "FROM activity GROUP BY 1, 2"
+)
+
+
+@query("cohort_retention", oracle=_COHORT_ORACLE)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by signup week, counted
+    once per (cohort, weeks-since-signup) they were active in — the
+    product-analytics staple. The cohort table is one row per user and
+    broadcasts onto the event scan; the distinct collapses (user, week)
+    duplicates before the final count, all on the same user-keyed
+    shuffle."""
+    ev = events_v(spark, sf_dir)
+    wk = 604800000
+    # integer `div`, not double `/` + cast: a correctly-rounded double
+    # quotient can truncate to a different bucket than exact floor div
+    cohort = (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr(
+                "min(CASE WHEN event_type = 'signup' THEN ts_ms END) "
+                f"div {wk}"
+            ).alias("signup_week")
+        )
+        .filter(F.col("signup_week").isNotNull())
+    )
+    act = (
+        ev.join(F.broadcast(cohort), "user_id")
+        .select(
+            "user_id",
+            "signup_week",
+            (F.expr(f"ts_ms div {wk}") - F.col("signup_week")).alias(
+                "week_offset"
+            ),
+        )
+        .filter(F.col("week_offset") >= 0)
+        .distinct()
+    )
+    return act.groupBy("signup_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
