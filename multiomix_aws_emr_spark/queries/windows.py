@@ -434,3 +434,52 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.groupBy("signup_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+_GAPFILL_ORACLE = (
+    "WITH events_v AS (SELECT epoch_ms(ts) AS ts_ms, user_id, value "
+    "FROM events), "
+    "daily AS (SELECT user_id, ts_ms // 86400000 AS day, "
+    "CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sum_value "
+    "FROM events_v WHERE user_id < 10 GROUP BY 1, 2), "
+    "spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 "
+    "FROM daily GROUP BY user_id), "
+    "grid AS (SELECT s.user_id, unnest(generate_series(s.d0, s.d1)) AS day "
+    "FROM spans s) "
+    "SELECT g.user_id, CAST(g.day AS BIGINT) AS day, "
+    "COALESCE(d.n, 0) AS n, COALESCE(d.sum_value, 0.0) AS sum_value "
+    "FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day"
+)
+
+
+@query("timeseries_gapfill", oracle=_GAPFILL_ORACLE)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series from sparse events (users < 10): per-user
+    min..max day grids generated with ``sequence`` + ``explode`` —
+    server-side, proportional to the span, never a driver-side calendar
+    — left-joined back so silent days appear as explicit zeros (what
+    downstream window/forecast math needs). Grid generation and the
+    sparse aggregate share the user-keyed shuffle."""
+    ev = events_v(spark, sf_dir)
+    daily = (
+        ev.filter(F.col("user_id") < 10)
+        .groupBy("user_id", F.expr("ts_ms div 86400000").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    return grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
