@@ -200,3 +200,62 @@ def stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitions from prior runs) would otherwise leak into the result
     shutil.rmtree(out_dir, ignore_errors=True)
     return run_rollup_upsert(spark, sf_dir, out_dir)
+
+
+_SEGMENTS = [(i, f"segment_{i}") for i in range(5)]
+_SEG_VALUES = ", ".join(f"({i}, '{n}')" for i, n in _SEGMENTS)
+
+_STREAM_STATIC_ORACLE = (
+    "WITH events_v AS (SELECT epoch_ms(ts) AS ts_ms, user_id, value "
+    "FROM events), "
+    f"seg AS (SELECT * FROM (VALUES {_SEG_VALUES}) AS v(bucket, segment)) "
+    "SELECT s.segment, CAST(COUNT(*) AS BIGINT) AS n, "
+    "ROUND(SUM(e.value), 2) AS sum_value "
+    "FROM events_v e JOIN seg s ON e.user_id % 5 = s.bucket "
+    "GROUP BY s.segment"
+)
+
+
+@query("stream_static_join", oracle=_STREAM_STATIC_ORACLE)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a static
+    dimension (user-bucket -> segment) and aggregates per segment — the
+    everyday streaming pattern (facts enriched against a slowly-changing
+    dim loaded as a plain DataFrame; the static side broadcasts into
+    every micro-batch, no stream state). Complete-mode aggregate over a
+    bounded availableNow run must equal the batch join — which is the
+    oracle, so this streaming query is hash-checked, not rows-only."""
+    import uuid
+
+    from multiomix_aws_emr_spark.session import configure
+    from multiomix_aws_emr_spark.sources.tables import load
+
+    configure(spark)
+    static_dim = spark.createDataFrame(_SEGMENTS, "bucket int, segment string")
+    static_events = load(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(static_events.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    ev = stream.select(
+        F.expr("ts div 1000000").alias("ts_ms"), "user_id", "value"
+    )
+    joined = ev.join(
+        F.broadcast(static_dim), ev.user_id % 5 == static_dim.bucket
+    )
+    agg = joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    name = f"streamstatic_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
