@@ -560,3 +560,65 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
         )
     )
+
+
+_TTEST_ORACLE = (
+    "WITH events_v AS (SELECT user_id, event_type, value FROM events), "
+    "g AS (SELECT CAST(user_id % 2 AS INTEGER) AS grp, "
+    "CAST(COUNT(*) AS BIGINT) AS n, AVG(value) AS mean_v, "
+    "VAR_SAMP(value) AS var_v "
+    "FROM events_v WHERE event_type = 'click' GROUP BY 1), "
+    "w AS (SELECT MAX(CASE WHEN grp = 0 THEN n END) AS n0, "
+    "MAX(CASE WHEN grp = 0 THEN mean_v END) AS m0, "
+    "MAX(CASE WHEN grp = 0 THEN var_v END) AS v0, "
+    "MAX(CASE WHEN grp = 1 THEN n END) AS n1, "
+    "MAX(CASE WHEN grp = 1 THEN mean_v END) AS m1, "
+    "MAX(CASE WHEN grp = 1 THEN var_v END) AS v1 FROM g) "
+    "SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1, "
+    "ROUND(m0 - m1, 4) AS mean_diff, "
+    "ROUND((m0 - m1) / SQRT(v0 / n0 + v1 / n1), 4) AS t_stat, "
+    "ROUND(POWER(v0 / n0 + v1 / n1, 2) / "
+    "(POWER(v0 / n0, 2) / (n0 - 1) + POWER(v1 / n1, 2) / (n1 - 1)), 1) "
+    "AS welch_df FROM w"
+)
+
+
+@query("stats_ttest_welch", oracle=_TTEST_ORACLE)
+def stats_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test (A/B comparison of click values between
+    user-parity cohorts): per-group mean/variance from ONE grouped pass,
+    pivoted to a single row, then the t statistic and Welch-Satterthwaite
+    degrees of freedom as closed-form column math — experiment analysis
+    entirely in the engine, no statistics library, same formula text in
+    the oracle."""
+    ev = events_v(spark, sf_dir)
+    g = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy((F.col("user_id") % 2).cast("int").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("mean_v"),
+            F.var_samp("value").alias("var_v"),
+        )
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("mean_v"))).alias("m0"),
+        F.max(F.when(F.col("grp") == 0, F.col("var_v"))).alias("v0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("mean_v"))).alias("m1"),
+        F.max(F.when(F.col("grp") == 1, F.col("var_v"))).alias("v1"),
+    )
+    se2 = F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")
+    t = (F.col("m0") - F.col("m1")) / F.sqrt(se2)
+    df = F.pow(se2, 2) / (
+        F.pow(F.col("v0") / F.col("n0"), 2) / (F.col("n0") - 1)
+        + F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+    )
+    return w.select(
+        "n0",
+        "n1",
+        F.round(F.col("m0") - F.col("m1"), 4).alias("mean_diff"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(df, 1).alias("welch_df"),
+    )

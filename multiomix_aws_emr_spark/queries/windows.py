@@ -483,3 +483,90 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n"),
         F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
     )
+
+
+_PATTERN_ORACLE = (
+    "WITH events_v AS (SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, "
+    "event_type FROM events), "
+    "seq AS (SELECT event_id, user_id, ts_ms, event_type, "
+    "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) "
+    "AS prev_type, "
+    "LAG(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) "
+    "AS prev_ts FROM events_v) "
+    "SELECT event_id, user_id, ts_ms - prev_ts AS view_to_purchase_ms "
+    "FROM seq WHERE event_type = 'purchase' AND prev_type = 'view'"
+)
+
+
+@query("pattern_view_then_purchase", oracle=_PATTERN_ORACLE)
+def pattern_view_then_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-event sequence detection (a view immediately followed by
+    a purchase, per user) — the lag-comparison core of MATCH_RECOGNIZE-
+    style pattern queries, as one window pass. Longer fixed patterns
+    chain more lags on the SAME window spec (one WindowExec); variable-
+    length patterns escalate to applyInPandasWithState (streaming/
+    stateful.py)."""
+    ev = events_v(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    seq = ev.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts_ms").over(w).alias("prev_ts"),
+    )
+    return seq.filter(
+        (F.col("event_type") == "purchase") & (F.col("prev_type") == "view")
+    ).select(
+        "event_id",
+        "user_id",
+        (F.col("ts_ms") - F.col("prev_ts")).alias("view_to_purchase_ms"),
+    )
+
+
+_RFM_ORACLE = (
+    "WITH events_v AS (SELECT epoch_ms(ts) AS ts_ms, user_id, event_type, "
+    "value FROM events), "
+    "rfm AS (SELECT user_id, MAX(ts_ms) AS last_ts, "
+    "CAST(COUNT(*) AS BIGINT) AS frequency, "
+    "ROUND(SUM(value), 2) AS monetary "
+    "FROM events_v WHERE event_type = 'purchase' GROUP BY user_id) "
+    "SELECT user_id, frequency, monetary, "
+    "CAST(NTILE(4) OVER (ORDER BY last_ts DESC, user_id) AS INTEGER) AS r_quartile, "
+    "CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS INTEGER) AS f_quartile, "
+    "CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS INTEGER) AS m_quartile "
+    "FROM rfm"
+)
+
+
+@query("analytics_rfm_segments", oracle=_RFM_ORACLE)
+def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: one purchase aggregate per user, then
+    three ntile(4) windows assign recency/frequency/monetary quartiles
+    (user_id tiebreak makes the quartile boundaries deterministic). The
+    three windows share no partition key (global ordering) — fine at
+    user-cardinality scale since the input is already one row per user;
+    at extreme cardinality swap ntile for percent_rank thresholds, which
+    need no global sort."""
+    ev = events_v(spark, sf_dir)
+    rfm = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts_ms").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+    )
+    wr = Window.orderBy(F.col("last_ts").desc(), "user_id")
+    wf = Window.orderBy(F.col("frequency").desc(), "user_id")
+    wm = Window.orderBy(F.col("monetary").desc(), "user_id")
+    return rfm.select(
+        "user_id",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"),
+    )
