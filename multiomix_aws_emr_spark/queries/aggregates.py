@@ -622,3 +622,31 @@ def stats_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t, 4).alias("t_stat"),
         F.round(df, 1).alias("welch_df"),
     )
+
+
+_REGR_ORACLE = (
+    "SELECT l_returnflag, "
+    "ROUND(corr(l_quantity, l_extendedprice), 5) AS price_qty_corr, "
+    "ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope, "
+    "ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept, "
+    "ROUND(regr_r2(l_extendedprice, l_quantity), 5) AS r2 "
+    "FROM lineitem GROUP BY l_returnflag"
+)
+
+
+@query("stats_linear_regression", oracle=_REGR_ORACLE)
+def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS in one aggregate pass: corr / regr_slope /
+    regr_intercept / regr_r2 are single-pass moment aggregates (sums of
+    x, y, xy, x^2, y^2) with map-side partial combine — closed-form
+    regression at any scale with zero iteration, the degenerate-but-
+    ubiquitous case of the reference's model-fitting loop. Identical
+    built-ins exist in DuckDB, so coefficients match to rounding."""
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(x, y), 5).alias("price_qty_corr"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 5).alias("r2"),
+    )
