@@ -174,3 +174,39 @@ def zorder_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@query(
+    "maintenance_compact_files",
+    oracle=(
+        "WITH events_v AS (SELECT epoch_ms(ts) AS ts_ms, event_type, value "
+        "FROM events) "
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROUND(SUM(value), 2) AS sum_value "
+        "FROM events_v GROUP BY event_type"
+    ),
+)
+def maintenance_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance op every streaming
+    ingest eventually needs (micro-batches leave thousands of tiny
+    files; scans then pay per-file open cost). A 64-way fragmented copy
+    of events is rewritten as 4 right-sized files via repartition (a
+    real shuffle — ``coalesce`` would narrow-merge but can skew; for
+    sorted layouts use repartitionByRange, cf. operators/zorder.py), and
+    the aggregate over the compacted table must match the original —
+    compaction is pure layout, zero semantics. File counts are asserted
+    in tests/test_plans.py."""
+    from multiomix_aws_emr_spark.sources.tables import events_v
+
+    fragmented = _scratch(sf_dir, "fragmented_events")
+    compacted = _scratch(sf_dir, "compacted_events")
+    ev = events_v(spark, sf_dir).select("ts_ms", "event_type", "value")
+    ev.repartition(64).write.mode("overwrite").parquet(fragmented)
+    spark.read.parquet(fragmented).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(compacted)
+    back = spark.read.parquet(compacted)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -262,3 +262,20 @@ def test_correlated_scalar_decorrelates(spark, sf_dir):
     # decorrelation: the subquery becomes an aggregate joined back, so
     # orders is scanned exactly twice (outer + aggregate), not per row
     assert plan.count("Scan parquet") == 2
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    import glob
+
+    from multiomix_aws_emr_spark.queries import QUERIES
+    from multiomix_aws_emr_spark.queries.formats import _scratch
+
+    QUERIES["maintenance_compact_files"](spark, sf_dir).count()
+    frag = glob.glob(f"{_scratch(sf_dir, 'fragmented_events')}/*.parquet")
+    comp = glob.glob(f"{_scratch(sf_dir, 'compacted_events')}/*.parquet")
+    assert len(frag) == 64 and len(comp) == 4
+    # layout change only: identical content
+    a = spark.read.parquet(_scratch(sf_dir, "fragmented_events"))
+    b = spark.read.parquet(_scratch(sf_dir, "compacted_events"))
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
