@@ -400,3 +400,67 @@ def test_mlkmeans_invariants(spark, sf_dir):
         for r in QUERIES["ml_kmeans_embeddings"](spark, sf_dir).collect()
     }
     assert rows == again  # seeded fit on fixed data is deterministic
+
+
+def test_temporal_join_matches_pandas_reference(spark):
+    """Randomized differential test: the union+window temporal join must
+    agree with pandas merge_asof (backward, inclusive) on every key."""
+    from multiomix_aws_emr_spark.operators.asof import temporal_join
+
+    rng = np.random.RandomState(11)
+    n_dim, n_fact = 120, 300
+    dim = pd.DataFrame(
+        {
+            "k": rng.randint(0, 6, n_dim),
+            "t": rng.choice(np.arange(0, 5000, 7), n_dim, replace=False),
+        }
+    )
+    dim["ver"] = [f"v{i}" for i in range(n_dim)]
+    fact = pd.DataFrame(
+        {
+            "fid": np.arange(n_fact),
+            "k": rng.randint(0, 6, n_fact),
+            "t": rng.randint(0, 5200, n_fact),
+        }
+    )
+    got = {
+        r.fid: r.ver
+        for r in temporal_join(
+            spark.createDataFrame(fact),
+            spark.createDataFrame(dim),
+            key_cols=["k"],
+            time_col="t",
+            payload_cols=["ver"],
+            how="left",
+        ).collect()
+    }
+    expected = {}
+    for k, g in fact.groupby("k"):
+        d = dim[dim.k == k].sort_values("t")
+        m = pd.merge_asof(
+            g.sort_values("t"), d[["t", "ver"]], on="t", direction="backward"
+        )
+        for fid, ver in zip(m.fid, m.ver):
+            expected[fid] = None if pd.isna(ver) else ver
+    assert got == expected
+
+
+def test_zvalue_is_bijective_and_bounded(spark):
+    """Morton interleave: distinct (a, b) -> distinct z, and z stays
+    within 2*bits bits."""
+    from multiomix_aws_emr_spark.operators.zorder import zvalue
+
+    rng = np.random.RandomState(5)
+    pts = {(int(a), int(b)) for a, b in rng.randint(0, 1 << 16, (500, 2))}
+    df = spark.createDataFrame(
+        [(a, b) for a, b in sorted(pts)], "a long, b long"
+    )
+    out = df.select("a", "b", zvalue(["a", "b"], bits=16).alias("z")).collect()
+    zs = [r.z for r in out]
+    assert len(set(zs)) == len(pts)  # injective
+    assert all(0 <= z < (1 << 32) for z in zs)
+    # de-interleave round-trip
+    for r in out:
+        a = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+        b = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (a, b) == (r.a, r.b)
