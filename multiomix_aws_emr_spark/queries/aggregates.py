@@ -534,7 +534,10 @@ def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COLLECT_SORTED_ORACLE = """
-SELECT lang, (list(doc_id ORDER BY doc_id))[1:3] AS first_docs,
+SELECT lang,
+       array_to_string(
+         (list(CAST(doc_id AS VARCHAR) ORDER BY doc_id))[1:3], ','
+       ) AS first_docs,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY lang
 """
@@ -542,23 +545,33 @@ FROM documents GROUP BY lang
 
 @query("agg_collect_sorted", oracle=_COLLECT_SORTED_ORACLE)
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-valued aggregate with deterministic order: the 3 smallest
-    doc_ids per language as a sorted array. ``collect_list`` order is
-    partition-dependent, so the contract is restored with ``array_sort``
-    + ``slice`` AFTER the aggregate — the pattern for any list-building
-    agg that must be reproducible across engines/partitionings. (At huge
-    groups, cap the state with a bounded top-k aggregate instead of
-    collecting everything; group sizes here are corpus-language counts.)
+    """List-building aggregate with deterministic order AND bounded state:
+    the 3 smallest doc_ids per language, serialized as a CSV string.
+
+    Two scale rules demonstrated at once. (1) ``collect_list`` order is
+    partition-dependent and its state is unbounded, so the list is fed
+    only rows a per-group ``row_number`` pre-pass ranked into the top 3
+    — the aggregate buffer holds at most k elements per group no matter
+    the corpus size. (2) Array-typed result columns are not portably
+    hashable across engines (and crash pandas canonicalizers), so the
+    contract output is a scalar ``concat_ws`` string, with the DuckDB
+    oracle emitting the identical ``array_to_string`` encoding.
     """
+    from pyspark.sql.window import Window
+
     d = load(spark, sf_dir, "documents")
-    return (
-        d.groupBy("lang")
-        .agg(
-            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 3).alias(
-                "first_docs"
-            ),
-            F.count(F.lit(1)).alias("n_docs"),
-        )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    ranked = d.select(
+        "lang", "doc_id", F.row_number().over(w).alias("rn")
+    )
+    top3 = F.sort_array(
+        F.collect_list(F.when(F.col("rn") <= 3, F.col("doc_id")))
+    )
+    return ranked.groupBy("lang").agg(
+        F.concat_ws(",", F.transform(top3, lambda x: x.cast("string"))).alias(
+            "first_docs"
+        ),
+        F.count(F.lit(1)).alias("n_docs"),
     )
 
 

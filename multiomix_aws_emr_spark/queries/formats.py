@@ -48,7 +48,7 @@ _NATION_SCHEMA = T.StructType(
     "scan_tsv_roundtrip",
     oracle=(
         "SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations, "
-        "SUM(n_nationkey) AS key_sum, MIN(n_name) AS first_name "
+        "CAST(SUM(n_nationkey) AS BIGINT) AS key_sum, MIN(n_name) AS first_name "
         "FROM nation GROUP BY n_regionkey"
     ),
 )

@@ -80,10 +80,10 @@ WITH events_v AS (
   FROM life WHERE lifetime_ms IS NOT NULL GROUP BY lifetime_ms
 ), ordered AS (
   SELECT t, d,
-         n_total
+         CAST(n_total
            - COALESCE(SUM(d) OVER (ORDER BY t
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS n_at_risk
+           AS BIGINT) AS n_at_risk
   FROM risk
 )
 SELECT t AS lifetime_ms, d AS n_events, n_at_risk,

@@ -96,19 +96,22 @@ def project_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT o_orderkey, "
         "CAST(o_orderkey AS DOUBLE) AS orderkey_d, "
         "CAST(ROUND(o_totalprice, 0) AS BIGINT) AS totalprice_i, "
-        "CAST(o_orderdate AS DATE) AS orderdate_d "
+        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate_d "
         "FROM orders"
     ),
 )
 def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-cast surface (ref: utils.py:35 float64 cast, utils.py:59-62
-    bool/float clinical casts, R2/R5)."""
+    bool/float clinical casts, R2/R5). The date column round-trips
+    date -> ISO string because raw DATE output is not portably hashable
+    across engines (Spark hands pandas ``datetime.date`` objects, DuckDB
+    ``datetime64`` — same value, different canonical form)."""
     o = load(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
         F.col("o_orderkey").cast("double").alias("orderkey_d"),
         F.round("o_totalprice", 0).cast("bigint").alias("totalprice_i"),
-        F.col("o_orderdate").cast("date").alias("orderdate_d"),
+        F.col("o_orderdate").cast("date").cast("string").alias("orderdate_d"),
     )
 
 
@@ -576,7 +579,7 @@ def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q3_SQL = (
     "SELECT o_orderkey, "
     "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
-    "CAST(o_orderdate AS DATE) AS o_date, o_orderpriority "
+    "CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_date, o_orderpriority "
     "FROM customer JOIN orders ON c_custkey = o_custkey "
     "JOIN lineitem ON l_orderkey = o_orderkey "
     "WHERE c_mktsegment = 'BUILDING' "

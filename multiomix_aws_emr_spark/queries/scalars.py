@@ -50,8 +50,10 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y, "
         "CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m, "
         "CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS d, "
-        "CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start, "
-        "CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30, "
+        "CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) "
+        "AS month_start, "
+        "CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) "
+        "AS VARCHAR) AS plus30, "
         "CAST(datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) "
         "AS INTEGER) AS dd FROM orders"
     ),
@@ -67,8 +69,8 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year(d).alias("y"),
         F.month(d).alias("m"),
         F.dayofmonth(d).alias("d"),
-        F.trunc(d, "month").alias("month_start"),
-        F.date_add(d, 30).alias("plus30"),
+        F.trunc(d, "month").cast("string").alias("month_start"),
+        F.date_add(d, 30).cast("string").alias("plus30"),
         F.datediff(d, F.lit("2024-01-01").cast("date")).alias("dd"),
     )
 

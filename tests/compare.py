@@ -1,11 +1,19 @@
 """Order-insensitive result comparison between Spark and DuckDB results.
 
-Mirrors the driver's correctness gate (row-count + column names +
-order-insensitive value comparison after sorting columns by name). Values
-are canonicalized (dates -> ISO strings, Decimal -> float, numpy -> python,
-NaN == NaN) and compared exactly — the determinism rules (rounding, ms
-timestamps, total tie-break orders) are what make exact float equality
-achievable.
+Mirrors the driver's correctness gate *through pandas*, because that is
+what the driver does: it pulls both results into pandas DataFrames,
+sorts columns by name, sorts rows by all columns, and hashes the values.
+Two consequences the previous ``fetchall()``-based mirror missed:
+
+- DuckDB promotes SUM(BIGINT) to HUGEINT, which lands in pandas as
+  ``float64`` (or object) while Spark's long arrives as ``int64``. The
+  values are numerically equal but the canonical serialization differs,
+  so the driver records ``hash_match: false``. We therefore compare
+  pandas dtype KINDS per column (int vs float vs object vs bool vs
+  datetime) and fail on a mismatch — the fix is a CAST in the oracle.
+- Array-typed columns crash pandas' row sort (``TypeError: unhashable
+  type: 'numpy.ndarray'``) exactly as they crash the driver, so carrying
+  one is an error here too — serialize arrays to strings in both engines.
 """
 
 from __future__ import annotations
@@ -13,6 +21,8 @@ from __future__ import annotations
 import datetime
 import math
 from decimal import Decimal
+
+import pandas as pd
 
 
 def _canon(v):
@@ -30,40 +40,88 @@ def _canon(v):
         return "NaN"
     if isinstance(v, float) and v == 0.0:
         return 0.0  # fold -0.0 (engines disagree on round(-eps) sign)
-    if isinstance(v, bool):
-        return v
-    if isinstance(v, int):
-        return v
     return v
 
 
-def _normalize(columns, rows):
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    cols = [columns[i] for i in order]
-    out = [tuple(_canon(row[i]) for i in order) for row in rows]
-    out.sort(key=repr)
-    return cols, out
+def _dtype_kind(series: pd.Series) -> str:
+    kind = series.dtype.kind
+    if kind == "O":
+        # Distinguish "object because strings" from "object because the
+        # engine widened an integer past int64" — both engines must agree.
+        sample = series.dropna()
+        if len(sample) and all(isinstance(x, int) for x in sample.head(20)):
+            return "i-as-object"
+        return "O"
+    # pandas nullable / datetime unit variations collapse to the kind letter
+    if kind == "M":
+        return "M"
+    return kind
+
+
+def _sorted_frame(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # The driver sorts rows by all columns; unhashable cells (numpy arrays)
+    # raise here exactly as they raise there.
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def _canon_rows(df: pd.DataFrame) -> list[tuple]:
+    rows = [
+        tuple(_canon(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    ]
+    rows.sort(key=repr)
+    return rows
 
 
 def compare_results(spark_df, duck_rel) -> list[str]:
     """Return a list of mismatch descriptions (empty == match)."""
     problems: list[str] = []
-    s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    d_cols = [d[0] for d in duck_rel.description]
-    d_rows = duck_rel.fetchall()
+    s_pdf = spark_df.toPandas()
+    d_pdf = duck_rel.df()
 
-    if sorted(s_cols) != sorted(d_cols):
-        problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+    if sorted(s_pdf.columns) != sorted(d_pdf.columns):
+        problems.append(
+            f"columns differ: spark={sorted(s_pdf.columns)} "
+            f"duck={sorted(d_pdf.columns)}"
+        )
         return problems
-    if len(s_rows) != len(d_rows):
-        problems.append(f"row count differs: spark={len(s_rows)} duck={len(d_rows)}")
+    if len(s_pdf) != len(d_pdf):
+        problems.append(
+            f"row count differs: spark={len(s_pdf)} duck={len(d_pdf)}"
+        )
 
-    _, s_norm = _normalize(s_cols, s_rows)
-    _, d_norm = _normalize(d_cols, d_rows)
+    for c in sorted(s_pdf.columns):
+        sk, dk = _dtype_kind(s_pdf[c]), _dtype_kind(d_pdf[c])
+        # int vs float is the HUGEINT trap; int64 vs uint64 etc. also differ
+        if sk != dk:
+            problems.append(
+                f"dtype kind differs on {c!r}: spark={s_pdf[c].dtype}({sk}) "
+                f"duck={d_pdf[c].dtype}({dk}) — add a CAST in the oracle"
+            )
+    if problems:
+        return problems
+
+    # Mirror the driver's row sort (crashes on unhashable cells, as it should)
+    try:
+        _sorted_frame(s_pdf)
+        _sorted_frame(d_pdf)
+    except TypeError as e:
+        problems.append(
+            f"driver canonicalizer would crash on this result: {e!r} — "
+            "serialize array/map columns to strings in both engines"
+        )
+        return problems
+
+    s_norm = _canon_rows(s_pdf)
+    d_norm = _canon_rows(d_pdf)
     if s_norm != d_norm:
-        diff_s = [r for r in s_norm if r not in set(d_norm)][:5]
-        diff_d = [r for r in d_norm if r not in set(s_norm)][:5]
+        d_set = set(d_norm)
+        s_set = set(s_norm)
+        diff_s = [r for r in s_norm if r not in d_set][:5]
+        diff_d = [r for r in d_norm if r not in s_set][:5]
         problems.append(
             f"values differ; spark-only(first5)={diff_s} duck-only(first5)={diff_d}"
         )
