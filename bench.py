@@ -58,20 +58,40 @@ def main() -> None:
     for qid in sorted(QUERIES):
         start = time.perf_counter()
         _force(QUERIES[qid](spark, sf_dir))
-        timings[qid] = round(time.perf_counter() - start, 3)
+        timings[qid] = round(time.perf_counter() - start, 2)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    total = round(sum(timings.values()), 2)
+    # Host-load probe (BASELINE.md §B): a fixed 30M-iteration pure-Python
+    # loop — ~1.5 s on a quiet host, 2.5-3.7 s under load. Lets any reader
+    # of the record discount noisy-host rounds.
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(30_000_000):
+        acc += i
+    load_probe = round(time.perf_counter() - t0, 2)
+
+    record = {
+        "metric": "declared_query_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load_probe_sec": load_probe,
+    }
+    # Compact separators keep the line ~3.5 KB for 133 queries — round 1
+    # showed the harness capturing only a window of stdout, so the line is
+    # also mirrored to a fixed path for out-of-band pickup.
+    line = json.dumps(record, separators=(",", ":"))
+    print(line)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_result.json"),
+            "w",
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
     spark.stop()
 
 

@@ -33,10 +33,24 @@ TABLE_NAMES = (
 )
 
 
+# DataFrame handles are lazy plans, so one per (context, sf_dir, table) can
+# be shared by every query in a session: re-reading costs a file listing +
+# parquet footer/schema fetch per call, which at ~0.1 s × a few tables ×
+# 133 queries is pure overhead in the correctness/bench harnesses. Fixture
+# tables are immutable, so the cached plan never goes stale; keying on
+# applicationId drops entries from any stopped context.
+_LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table from an sf directory."""
+    """Load one fixture table from an sf directory (plan cached per session)."""
     configure(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _LOAD_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _LOAD_CACHE[key] = df
+    return df
 
 
 def scan_parallel(df: DataFrame) -> DataFrame:
