@@ -16,12 +16,13 @@ Run:
 
 or locally: ``python -m multiomix_aws_emr_spark.experiment ...``.
 
-Model selection mirrors `scripts/main.py:29-42`: the built-in fitness is
-the dependency-free linear Cox CV (fs/fitness.py); the reference's
-survival-SVM / random-survival-forest / clustering+CoxPH fitness functions
-require scikit-survival / lifelines, which are import-gated — requesting
-them without the libraries installed fails with a clear message rather
-than at first use on an executor.
+Model selection mirrors `scripts/main.py:29-42`: ``--model cox`` is the
+dependency-free linear Cox CV, ``--model clustering`` the k-means +
+log-rank family (fs/fitness.py), and ``--model svm|rf`` the reference's
+primary families — scikit-survival's FastKernelSurvivalSVM /
+RandomSurvivalForest when that library is installed (fs/sksurv_backend),
+otherwise the same-family NumPy implementations (fs/survival_models), so
+every model choice runs end-to-end in the baked environment.
 """
 
 from __future__ import annotations
@@ -44,17 +45,22 @@ def _cox_fitness(folds: int, seed: int):
 
 
 def _svm_or_rf_fitness(model: str, folds: int, seed: int):
-    try:
-        import sksurv  # noqa: F401  (`scripts/main.py:14-16`)
-    except ImportError as exc:
-        raise NotImplementedError(
-            f"--model {model} needs scikit-survival, which is not installed; "
-            "the built-in dependency-free fitness is --model cox"
-        ) from exc
-    raise NotImplementedError(
-        f"--model {model}: wire sksurv estimator into fs/fitness.py "
-        "(seam: FitnessFn(x, time, event, sample_ids) -> float)"
+    """R26 (`scripts/main.py:29-42,114-135`): prefer the real sksurv
+    estimators when the library is installed; otherwise the
+    dependency-free same-family implementations (fs/survival_models.py)
+    keep ``--model svm|rf`` runnable with the identical CV/C-index
+    contract."""
+    from multiomix_aws_emr_spark.fs import sksurv_backend
+
+    if sksurv_backend.available():
+        return sksurv_backend.make_fitness(model, folds=folds, seed=seed)
+    from multiomix_aws_emr_spark.fs.fitness import (
+        cv_rank_svm_fitness,
+        cv_survival_forest_fitness,
     )
+
+    fn = cv_rank_svm_fitness if model == "svm" else cv_survival_forest_fitness
+    return functools.partial(fn, folds=folds, seed=seed)
 
 
 def build_arg_parser() -> argparse.ArgumentParser:

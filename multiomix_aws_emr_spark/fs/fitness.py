@@ -107,6 +107,86 @@ def cv_linear_cox_fitness(
     return float(np.mean(scores))
 
 
+def cv_rank_svm_fitness(
+    x: np.ndarray,
+    time: np.ndarray,
+    event: np.ndarray,
+    sample_ids: np.ndarray,
+    *,
+    folds: int = 3,
+    seed: int = 42,
+    alpha: float = 1.0,
+    max_iter: int = 200,
+) -> float:
+    """R26 SVM family (`scripts/main.py:36-40` FastKernelSurvivalSVM with
+    rank_ratio=1.0, scored at `:114-135`): k-fold CV of the linear ranking
+    survival SVM, mean test C-index. Dependency-free implementation in
+    :mod:`multiomix_aws_emr_spark.fs.survival_models`; the sksurv-backed
+    twin (used when the library is installed) lives in
+    :mod:`multiomix_aws_emr_spark.fs.sksurv_backend`."""
+    from multiomix_aws_emr_spark.fs.survival_models import rank_svm_fit
+
+    if x.ndim != 2 or x.shape[1] == 0:
+        return WORST_FITNESS
+    fold_of = deterministic_folds(sample_ids, folds, seed)
+    scores = []
+    for f in range(folds):
+        train, test = fold_of != f, fold_of == f
+        if train.sum() < 2 or test.sum() < 2:
+            continue
+        xtr, xte = x[train].astype(float), x[test].astype(float)
+        mu, sigma = xtr.mean(axis=0), xtr.std(axis=0)
+        sigma[sigma == 0] = 1.0
+        xtr = (xtr - mu) / sigma
+        xte = (xte - mu) / sigma
+        w = rank_svm_fit(
+            xtr, time[train], event[train], alpha=alpha, max_iter=max_iter
+        )
+        risk = xte @ w
+        scores.append(concordance_index(risk, time[test], event[test]))
+    if not scores:
+        return WORST_FITNESS
+    return float(np.mean(scores))
+
+
+def cv_survival_forest_fitness(
+    x: np.ndarray,
+    time: np.ndarray,
+    event: np.ndarray,
+    sample_ids: np.ndarray,
+    *,
+    folds: int = 3,
+    seed: int = 42,
+    n_estimators: int = 10,
+    min_samples_leaf: int = 15,
+) -> float:
+    """R26 RF family (`scripts/main.py:30-35` RandomSurvivalForest, scored
+    at `:114-135`): k-fold CV of the random survival forest, mean test
+    C-index on ensemble mortality. Leaf-size default mirrors the
+    reference's min_samples_leaf=15."""
+    from multiomix_aws_emr_spark.fs.survival_models import SurvivalForest
+
+    if x.ndim != 2 or x.shape[1] == 0:
+        return WORST_FITNESS
+    fold_of = deterministic_folds(sample_ids, folds, seed)
+    scores = []
+    for f in range(folds):
+        train, test = fold_of != f, fold_of == f
+        # a forest needs enough rows to split; tiny folds score as skipped
+        if train.sum() < 2 * min_samples_leaf or test.sum() < 2:
+            continue
+        forest = SurvivalForest(
+            n_estimators=n_estimators,
+            min_samples_leaf=min_samples_leaf,
+            random_state=seed,
+        ).fit(x[train].astype(float), time[train], event[train])
+        risk = forest.predict_risk(x[test].astype(float))
+        scores.append(concordance_index(risk, time[test], event[test]))
+    if not scores:
+        return WORST_FITNESS
+    return float(np.mean(scores))
+
+
 def _kmeans_deterministic(
     x: np.ndarray, ids: np.ndarray, k: int, *, iters: int = 10
 ) -> np.ndarray:

@@ -84,9 +84,24 @@ def test_experiment_is_seed_deterministic(spark, tsvs, tmp_path):
     assert r1["best_metric"] == r2["best_metric"]
 
 
-def test_unavailable_models_fail_clearly(spark, tsvs, tmp_path):
-    with pytest.raises(NotImplementedError, match="scikit-survival"):
-        run_experiment(spark, _args(tsvs, tmp_path / "c", model="svm"))
+def test_svm_model_runs_end_to_end(spark, tsvs, tmp_path):
+    # R26 SVM family: ranking survival SVM fitness (sksurv when installed,
+    # NumPy twin otherwise) drives the full experiment
+    out = tmp_path / "c"
+    res = run_experiment(spark, _args(tsvs, out, model="svm"))
+    assert res["best_metric"] > 0.5  # linear signal fixture: beats random
+    assert (out / "result.json").exists()
+
+
+def test_rf_model_runs_end_to_end(spark, tsvs, tmp_path):
+    # R26 RF family: random survival forest fitness; the 40-sample fixture
+    # is below the reference's min_samples_leaf=15 split regime, so the
+    # contract here is "runs end-to-end, bounded metric", not signal
+    # recovery (covered at proper n in test_fitness.py)
+    out = tmp_path / "rf"
+    res = run_experiment(spark, _args(tsvs, out, model="rf"))
+    assert -1.0 <= res["best_metric"] <= 1.0
+    assert (out / "result.json").exists()
 
 
 def test_clustering_model_runs_end_to_end(spark, tsvs, tmp_path):

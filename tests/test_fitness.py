@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from multiomix_aws_emr_spark.fs.fitness import (
     WORST_FITNESS,
@@ -110,3 +111,92 @@ def test_logrank_sql_matches_numpy(spark, sf_dir):
     out = QUERIES["omics_logrank_test"](spark, sf_dir).collect()
     got = out[0].chi2
     assert abs(got - expected) < 1e-3, (got, expected)
+
+
+def test_rank_svm_recovers_signal_and_is_deterministic():
+    """R26 SVM family: the ranking SVM fitness must recover a linear risk
+    signal and be bit-identical across calls (no RNG in the model)."""
+    from multiomix_aws_emr_spark.fs.fitness import cv_rank_svm_fitness
+
+    rng = np.random.RandomState(3)
+    n = 80
+    x = rng.normal(size=(n, 6))
+    time = 10 + 4 * x[:, 0] + 4 * x[:, 1] + rng.normal(scale=0.2, size=n)
+    event = np.ones(n, dtype=bool)
+    ids = np.array([f"S{i}" for i in range(n)])
+
+    informative = cv_rank_svm_fitness(x[:, :2], time, event, ids, seed=1)
+    noise_only = cv_rank_svm_fitness(x[:, 4:], time, event, ids, seed=1)
+    assert informative > 0.9
+    assert noise_only < informative - 0.2
+    assert informative == cv_rank_svm_fitness(x[:, :2], time, event, ids, seed=1)
+    assert (
+        cv_rank_svm_fitness(x[:, :0], time, event, ids) == WORST_FITNESS
+    )
+
+
+def test_rank_svm_censoring_only_pairs():
+    """With zero events there are no comparable pairs: w stays 0 and every
+    fold scores the tie value 0.5."""
+    from multiomix_aws_emr_spark.fs.fitness import cv_rank_svm_fitness
+
+    rng = np.random.RandomState(5)
+    n = 30
+    x = rng.normal(size=(n, 3))
+    time = rng.uniform(1, 10, n)
+    event = np.zeros(n, dtype=bool)
+    ids = np.array([f"S{i}" for i in range(n)])
+    assert cv_rank_svm_fitness(x, time, event, ids) == 0.5
+
+
+def test_survival_forest_recovers_nonlinear_signal():
+    """R26 RF family: a threshold (non-linear) risk structure that defeats
+    a linear model is exactly what the forest should pick up."""
+    from multiomix_aws_emr_spark.fs.fitness import (
+        cv_survival_forest_fitness,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 240
+    x = rng.normal(size=(n, 5))
+    # risk depends on |x0| > 1 (symmetric -> linear w sees ~0 correlation)
+    risky = np.abs(x[:, 0]) > 1.0
+    time = np.where(risky, rng.uniform(1, 4, n), rng.uniform(8, 12, n))
+    event = np.ones(n, dtype=bool)
+    ids = np.array([f"S{i}" for i in range(n)])
+
+    good = cv_survival_forest_fitness(
+        x[:, :1], time, event, ids, seed=2, n_estimators=10
+    )
+    noise = cv_survival_forest_fitness(
+        x[:, 4:], time, event, ids, seed=2, n_estimators=10
+    )
+    # the reference-mirroring min_samples_leaf=15 bounds how sharply 10
+    # shallow trees can carve the symmetric two-cut region; ~0.72 here
+    assert good > 0.65, good
+    assert noise < good - 0.15, (good, noise)
+    again = cv_survival_forest_fitness(
+        x[:, :1], time, event, ids, seed=2, n_estimators=10
+    )
+    assert good == again
+    assert (
+        cv_survival_forest_fitness(x[:, :0], time, event, ids)
+        == WORST_FITNESS
+    )
+
+
+def test_sksurv_backend_matches_contract():
+    """When scikit-survival is installed, the backend's fitness obeys the
+    same contract on the linear fixture (importorskip-gated: the baked
+    environment does not carry sksurv)."""
+    pytest.importorskip("sksurv")
+    from multiomix_aws_emr_spark.fs.sksurv_backend import make_fitness
+
+    rng = np.random.RandomState(3)
+    n = 80
+    x = rng.normal(size=(n, 2))
+    time = 10 + 4 * x[:, 0] + 4 * x[:, 1] + rng.normal(scale=0.2, size=n)
+    event = np.ones(n, dtype=bool)
+    ids = np.array([f"S{i}" for i in range(n)])
+    fit = make_fitness("svm", folds=3, seed=1)
+    assert fit(x, time, event, ids) > 0.9
