@@ -42,13 +42,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multiomix_aws_emr_spark.fs.costmodel import (
+    RuntimeCostModel,
+    plan_star_bins,
+)
 from multiomix_aws_emr_spark.fs.fitness import (
     WORST_FITNESS,
     cv_linear_cox_fitness,
-)
-from multiomix_aws_emr_spark.plans.binpack import (
-    greedy_bin_assignment,
-    sequential_bin_assignment,
 )
 
 FitnessFn = Callable[[np.ndarray, np.ndarray, np.ndarray, np.ndarray], float]
@@ -177,10 +177,13 @@ def run_bbha(
     """Run BBHA feature selection over a samples x features pandas frame.
 
     ``x`` is broadcast once (bounded: the molecules matrix — the star
-    population, not the data, is what distributes). ``cost_fn`` enables the
-    reference's learned-cost load balancer (R30/R31): predicted per-star
-    cost -> greedy bin-packing -> ``bin_id``; default is the sequential
-    partitioner (R8).
+    population, not the data, is what distributes). Load balancing
+    (R30/R31): an explicit ``cost_fn`` injects a predictor directly;
+    otherwise a :class:`RuntimeCostModel` self-fits on the
+    (n_features, exec_time) observations of completed iterations and,
+    once ready, steers greedy bin-packing — iteration 0 (and any
+    constant-width population) falls back to the sequential partitioner
+    (R8), the reference's own no-model behavior.
 
     ``variant='improved'`` applies the three modifications of the improved
     BBHA the reference gates behind a flag (`metaheuristics.py:342-465`,
@@ -228,13 +231,13 @@ def run_bbha(
     ]
     loop_rng = np.random.RandomState(random_state)
 
+    cost_model = RuntimeCostModel()
+
     def evaluate_all(iteration: int) -> list[tuple[int, float, int, float, str]]:
         star_ids = list(range(n_stars))
-        if cost_fn is not None:
-            costs = {i: float(cost_fn(masks[i])) for i in star_ids}
-            bins = greedy_bin_assignment(costs, n_bins)
-        else:
-            bins = sequential_bin_assignment(star_ids, n_bins)
+        bins, _ = plan_star_bins(
+            masks, n_bins, cost_fn=cost_fn, cost_model=cost_model
+        )
         rows = [(i, bins[i], [int(b) for b in masks[i]]) for i in star_ids]
         sdf = spark.createDataFrame(
             rows, schema="star_id int, bin_id int, mask array<int>"
@@ -259,6 +262,7 @@ def run_bbha(
         results = evaluate_all(iteration)
         fitnesses = np.array([r[1] for r in results])
         for sid, fit, nf, dt, host in results:
+            cost_model.observe(nf, dt)  # R30: train the width->time curve
             history.append(
                 {
                     "iteration": iteration,
