@@ -15,10 +15,11 @@ Re-founds the reference's Flask + boto3 layer (`src/app.py`, `src/emr.py`,
   ``{id, createdAt, finishedAt, name, state, stateDetails}``.
 
 Backends are pluggable: :class:`LocalBackend` executes the job callable in
-a thread (real, testable end-to-end); an EMR-on-EKS backend belongs behind
-a boto3 import-try with the same interface (the boto3 calls themselves —
-start_job_run / describe_job_run / cancel_job_run — are a thin mechanical
-layer the reference already demonstrates).
+a thread (real, testable end-to-end);
+:class:`multiomix_aws_emr_spark.service.emr.EmrContainersBackend` speaks
+the reference's ``emr-containers`` API (start_job_run / describe_job_run
+/ cancel_job_run, `src/emr.py:17-102`) through an injected boto3-shaped
+client behind this same interface.
 """
 
 from __future__ import annotations
