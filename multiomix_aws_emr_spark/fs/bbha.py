@@ -22,10 +22,26 @@ Re-founds the reference's core compute job
 
 Algorithm semantics follow the published BBHA (Hatamlou 2013, "Black hole:
 a new heuristic optimization approach"; binary variant as described in the
-reference's docstrings). The RNG stream is NOT a bit-for-bit replay of the
-reference (NumPy legacy RandomState calls differ), but seed threading is
-the same shape: star i is initialized from seed ``random_state * (i + 1)``
-(`metaheuristics.py:524-527`) and the loop RNG from ``random_state``.
+reference's docstrings). Documented deviations from the reference's loop
+(search trajectories therefore differ; the final contract — best mask by
+CV fitness with the fewer-features tie-break — is the same):
+
+- RNG stream: NOT a bit-for-bit replay (NumPy legacy RandomState calls
+  differ), but seed threading has the same shape — star i initializes
+  from seed ``random_state * (i + 1)`` (`metaheuristics.py:524-527`) and
+  the loop RNG from ``random_state``.
+- Update/capture order: this loop applies the position update and THEN
+  tests event-horizon capture on the updated star; the reference captures
+  first and only updates survivors (`metaheuristics.py:683-705`). The
+  paper's formulation evaluates capture on current positions, so both
+  orders are published-BBHA-consistent; this one keeps the update
+  vectorizable over the whole population.
+- Horizon denominator: the radius here is ``f_bh / sum(all fitnesses)``
+  — the paper's definition. The reference computes ``f_bh /
+  np.sum(f_a)`` where ``f_a`` is a scalar, making an effectively
+  per-star horizon ``f_bh / f_a`` (`metaheuristics.py:684-694`); that
+  form captures far more aggressively. The paper form is kept
+  deliberately.
 """
 
 from __future__ import annotations

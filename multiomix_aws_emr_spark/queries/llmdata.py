@@ -252,10 +252,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("similarity_ivf")  # rows-only: approximate by construction
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: Voronoi-cell partition of the corpus, probe
-    the n_probe nearest cells per query (operators/similarity.ivf_topk).
-    The second ANN tier beside random-hyperplane LSH; accuracy is
-    unit-tested against brute force."""
+    """IVF approximate top-k: Voronoi-cell partition of the corpus under
+    fitted spherical-k-means centroids, probe the n_probe nearest cells
+    per query (operators/similarity.ivf_topk). The second ANN tier beside
+    random-hyperplane LSH; recall vs brute force (and vs the untrained
+    sample quantizer) is unit-tested."""
     from multiomix_aws_emr_spark.operators.similarity import ivf_topk
 
     e = scan_parallel(load(spark, sf_dir, "embeddings"))

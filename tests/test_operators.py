@@ -225,40 +225,58 @@ def test_asof_matches_pandas_reference(spark):
 
 
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF with fitted spherical-k-means centroids: hits must be real
+    near-neighbors, and recall must beat the lowest-id 'sample' quantizer
+    at the same n_probe (query ids chosen away from the sample centroids,
+    which would otherwise sit at their own cell centers and cheat)."""
     from multiomix_aws_emr_spark.operators.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    ivf = ivf_topk(
-        emb,
-        id_col="vec_id",
-        vec_col="embedding",
-        query_ids=[0, 1],
-        k=5,
-        n_centroids=8,
-        n_probe=4,
-    )
-    got = {}
-    for r in ivf.collect():
-        got.setdefault(r.query_id, []).append(r.id_b)
-    assert set(got) == {0, 1} and all(len(v) == 5 for v in got.values())
+    qids = [100, 101, 102, 103, 104, 105]
 
     rows = emb.select("vec_id", "embedding").collect()
     vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
-    for qid in (0, 1):
+
+    def true_top(qid, k):
         q = vecs[qid]
         sims = {
             vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
             for vid, v in vecs.items()
             if vid != qid
         }
-        true_top = [
+        return [
             v
-            for v, _ in sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[
-                :25
-            ]
+            for v, _ in sorted(
+                sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0])
+            )[:k]
         ]
+
+    def run(mode, n_probe):
+        r = ivf_topk(
+            emb, id_col="vec_id", vec_col="embedding", query_ids=qids,
+            k=5, n_centroids=8, n_probe=n_probe, centroids=mode,
+        )
+        got = {}
+        for row in r.collect():
+            got.setdefault(row.query_id, []).append(row.id_b)
+        return got
+
+    got = run("kmeans", 4)
+    assert set(got) == set(qids) and all(len(v) == 5 for v in got.values())
+    for qid in qids:
         # probing half the cells: every hit must sit in the true top-25
-        assert set(got[qid]) <= set(true_top)
+        assert set(got[qid]) <= set(true_top(qid, 25))
+
+    def recall(got):
+        return np.mean(
+            [len(set(got.get(q, [])) & set(true_top(q, 5))) / 5 for q in qids]
+        )
+
+    got_sample = run("sample", 2)
+    got_kmeans = run("kmeans", 2)
+    assert recall(got_kmeans) > recall(got_sample), (
+        recall(got_kmeans), recall(got_sample),
+    )
 
 
 def test_multimodal_resize_and_frames(spark):
