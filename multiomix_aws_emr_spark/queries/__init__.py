@@ -4,6 +4,7 @@ registers every query + oracle into the registry."""
 from multiomix_aws_emr_spark.queries import (  # noqa: F401
     aggregates,
     formats,
+    graphs,
     llmdata,
     ml,
     omics,

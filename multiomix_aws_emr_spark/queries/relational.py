@@ -847,3 +847,104 @@ def sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     no nested loops). The identical text runs in DuckDB as the oracle."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_CORR_SCALAR_SQL)
+
+
+def _register_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+_Q5_SQL = (
+    "SELECT n_name, "
+    "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM customer "
+    "JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey "
+    "AND o_orderdate >= DATE '1995-01-01' "
+    "AND o_orderdate < DATE '1999-01-01' "
+    "GROUP BY n_name ORDER BY revenue DESC, n_name"
+)
+
+
+@query("sql_local_supplier_volume", oracle=_Q5_SQL)
+def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume) as ONE dialect-clean SQL text on
+    both engines: a 6-way join where the interesting predicate
+    (c_nationkey = s_nationkey) correlates two dimension hops. Catalyst
+    broadcasts the four dimension tables and keeps the two fact-side
+    shuffles; the region filter prunes before the nation join."""
+    _register_views(
+        spark, sf_dir,
+        "customer", "orders", "lineitem", "supplier", "nation", "region",
+    )
+    return spark.sql(_Q5_SQL)
+
+
+_Q6_SQL = (
+    "SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue, "
+    "CAST(COUNT(*) AS BIGINT) AS n_lines "
+    "FROM lineitem "
+    "WHERE l_shipdate >= DATE '1996-01-01' "
+    "AND l_shipdate < DATE '1997-01-01' "
+    "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+)
+
+
+@query("sql_revenue_change", oracle=_Q6_SQL)
+def sql_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): a pure scan-side query —
+    every predicate (date range, discount band, quantity cap) reaches
+    the parquet scan as a pushed filter and the aggregate is one
+    map-side-combined global SUM. The plan-audit test asserts the
+    PushedFilters list is non-trivial: at 100 TB this query IS its
+    scan."""
+    _register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_Q6_SQL)
+
+
+_Q14_SQL = (
+    "SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO' "
+    "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+    "/ SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE l_shipdate >= DATE '1997-01-01' "
+    "AND l_shipdate < DATE '1997-07-01'"
+)
+
+
+@query("sql_promo_revenue", oracle=_Q14_SQL)
+def sql_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): conditional aggregation over a
+    fact-dimension join — part broadcasts, the date filter pushes to the
+    lineitem scan, and the CASE ratio folds into one aggregate pass."""
+    _register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q14_SQL)
+
+
+_Q19_SQL = (
+    "SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+    "CAST(COUNT(*) AS BIGINT) AS n_lines "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 "
+    "AND l_quantity >= 1 AND l_quantity <= 21) "
+    "OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 "
+    "AND l_quantity >= 10 AND l_quantity <= 30) "
+    "OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50 "
+    "AND l_quantity >= 20 AND l_quantity <= 40)"
+)
+
+
+@query("sql_disjunctive_join_filter", oracle=_Q19_SQL)
+def sql_disjunctive_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19's shape (discounted revenue under a 3-arm disjunctive
+    predicate spanning BOTH join sides): the optimizer-stressing case
+    where per-side implied predicates (p_brand IN (...), l_quantity
+    bounds) must be extracted from the OR to prune each scan before the
+    join. Catalyst derives them; the join itself stays a broadcast hash
+    join on the part key."""
+    _register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q19_SQL)

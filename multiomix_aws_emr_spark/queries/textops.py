@@ -406,3 +406,66 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(raw, F.lit(pat), F.lit(0))).alias("n_emails"),
         F.regexp_replace(raw, pat, "[EMAIL]").alias("redacted"),
     )
+
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, UNNEST(string_split(lower(text), ' ')) AS t(term)
+  WHERE length(t.term) > 3
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM toks GROUP BY term
+), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * LN((SELECT n FROM n) / df.df), 4) AS score
+  FROM tf JOIN df ON tf.term = df.term
+), ranked AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term AS top_term, score FROM ranked WHERE rn = 1
+"""
+
+
+@query("text_tfidf_topterm", oracle=_TFIDF_ORACLE)
+def text_tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document most-distinctive term by tf-idf: the corpus-statistics
+    primitive behind keyword extraction and quality filters. One token
+    explode feeds BOTH aggregates (term frequency per doc, document
+    frequency per term), idf joins back on the term key, and a per-doc
+    window takes the argmax. Ranking happens on the ROUNDED score so the
+    (score, term) tie-break is engine-exact. The token fan-out is
+    explode(split(...)) on rows — the shape that scales (and avoids the
+    lambda-HOF Generate recompile pathology documented in
+    dedup_ngram_jaccard)."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.length("term") > 3)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    n_docs = float(d.count())  # bounded: one scalar
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 4).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), "score")
+    )

@@ -570,3 +570,45 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(wf).alias("f_quartile"),
         F.ntile(4).over(wm).alias("m_quartile"),
     )
+
+
+_SCD2_ORACLE = """
+WITH events_v AS (
+  SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type FROM events
+), p AS (
+  SELECT user_id, event_id, ts_ms FROM events_v
+  WHERE event_type = 'purchase'
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       ts_ms AS valid_from,
+       LEAD(ts_ms) OVER w AS valid_to
+FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+"""
+
+
+@query("window_scd2_intervals", oracle=_SCD2_ORACLE)
+def window_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 reconstruction: each purchase
+    event opens a validity interval [valid_from, valid_to) closed by the
+    user's next purchase (NULL while current) — the standard
+    event-log -> dimension-history transform. ONE window specification
+    serves both the version number and the interval bound, so the plan
+    is a single partition-sort pass per user; the event_id in the sort
+    key makes same-millisecond ties deterministic across engines."""
+    from pyspark.sql.window import Window
+
+    from multiomix_aws_emr_spark.sources.tables import events_v
+
+    p = (
+        events_v(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts_ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    return p.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.col("ts_ms").alias("valid_from"),
+        F.lead("ts_ms").over(w).alias("valid_to"),
+    )

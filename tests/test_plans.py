@@ -279,3 +279,37 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     b = spark.read.parquet(_scratch(sf_dir, "compacted_events"))
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0
+
+
+def test_q6_predicates_all_reach_the_scan(spark, sf_dir):
+    """sql_revenue_change is a scan-side query: date range, discount band
+    and quantity cap must all appear as pushed parquet filters."""
+    plan = _plan(spark, sf_dir, "sql_revenue_change")
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+
+
+def test_q19_disjunction_derives_per_side_filters(spark, sf_dir):
+    """The 3-arm OR spans both join sides; Catalyst must extract implied
+    single-side predicates so each scan prunes before the broadcast
+    join."""
+    plan = _plan(spark, sf_dir, "sql_disjunctive_join_filter")
+    assert "BroadcastHashJoin" in plan
+    # implied part-side predicate (brand IN (...)) pushed to the part scan
+    assert "p_brand" in plan.split("PushedFilters: [", 2)[-1]
+
+
+def test_triangle_count_broadcasts_thresholded_edges(spark, sf_dir):
+    """The ~4k-row thresholded edge list must broadcast on both hops of
+    the 3-way self-join — no shuffle of an edge list this small."""
+    plan = _plan(spark, sf_dir, "graph_triangle_count")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_iterations_stay_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "graph_pagerank")
+    assert "CartesianProduct" not in plan
