@@ -210,3 +210,93 @@ def maintenance_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+_MERGE_ORACLE = """
+WITH events_v AS (
+  SELECT epoch_ms(ts) AS ts_ms, user_id, event_type, value FROM events
+), bounds AS (
+  SELECT (MIN(ts_ms) + MAX(ts_ms)) // 2 AS cutoff FROM events_v
+), base AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         SUM(value) AS total
+  FROM events_v, bounds
+  WHERE event_type = 'purchase' AND ts_ms <= cutoff
+  GROUP BY user_id
+), delta AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         SUM(value) AS total
+  FROM events_v, bounds
+  WHERE event_type = 'purchase' AND ts_ms > cutoff
+  GROUP BY user_id
+), tombstones AS (
+  SELECT user_id FROM events_v, bounds
+  WHERE event_type = 'error' AND ts_ms > cutoff
+  GROUP BY user_id HAVING COUNT(*) >= 2
+), merged AS (
+  SELECT COALESCE(b.user_id, d.user_id) AS user_id,
+         COALESCE(b.n_purchases, 0) + COALESCE(d.n_purchases, 0)
+           AS n_purchases,
+         ROUND(COALESCE(b.total, 0) + COALESCE(d.total, 0), 2) AS total
+  FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
+)
+SELECT m.user_id, m.n_purchases, m.total FROM merged m
+WHERE NOT EXISTS (SELECT 1 FROM tombstones t WHERE t.user_id = m.user_id)
+"""
+
+
+@query("maintenance_merge_upsert", oracle=_MERGE_ORACLE)
+def maintenance_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the lakehouse CDC-apply) as a pure batch
+    plan: a per-user purchase dimension at the mid-log cutoff is merged
+    with the post-cutoff delta — matched rows UPDATE (aggregates add),
+    unmatched rows INSERT (full outer join), and users with >= 2
+    post-cutoff errors are tombstoned out (left-anti). One events scan
+    feeds base, delta and tombstones; the cutoff is a 1-row bounds
+    aggregate broadcast back (the engine's standard scalar-broadcast
+    shape), and the merge itself is one full-outer shuffle on user_id
+    plus a broadcast anti join — exactly the plan a Delta/Iceberg MERGE
+    compiles to when the delta is small."""
+    from multiomix_aws_emr_spark.sources.tables import events_v
+
+    ev = events_v(spark, sf_dir).select("user_id", "ts_ms", "event_type", "value")
+    bounds = ev.agg(
+        ((F.min("ts_ms") + F.max("ts_ms")) / F.lit(2))
+        .cast("bigint")
+        .alias("cutoff")
+    )
+    with_cut = ev.crossJoin(F.broadcast(bounds))
+    purchases = with_cut.filter(F.col("event_type") == "purchase")
+
+    def _agg(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("value").alias("total"),
+        )
+
+    base = _agg(purchases.filter(F.col("ts_ms") <= F.col("cutoff")))
+    delta = _agg(purchases.filter(F.col("ts_ms") > F.col("cutoff")))
+    tombstones = (
+        with_cut.filter(
+            (F.col("event_type") == "error") & (F.col("ts_ms") > F.col("cutoff"))
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_err"))
+        .filter(F.col("n_err") >= 2)
+        .select("user_id")
+    )
+    b = base.alias("b")
+    d = delta.alias("d")
+    merged = b.join(d, F.col("b.user_id") == F.col("d.user_id"), "full_outer").select(
+        F.coalesce(F.col("b.user_id"), F.col("d.user_id")).alias("user_id"),
+        (
+            F.coalesce(F.col("b.n_purchases"), F.lit(0))
+            + F.coalesce(F.col("d.n_purchases"), F.lit(0))
+        ).alias("n_purchases"),
+        F.round(
+            F.coalesce(F.col("b.total"), F.lit(0.0))
+            + F.coalesce(F.col("d.total"), F.lit(0.0)),
+            2,
+        ).alias("total"),
+    )
+    return merged.join(F.broadcast(tombstones), "user_id", "left_anti")
