@@ -71,7 +71,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--clinical-dataset", required=True)
     p.add_argument("--results-dir", default="results")
     p.add_argument(
-        "--model", default="cox", choices=("cox", "svm", "rf", "clustering")
+        "--model",
+        default="cox",
+        choices=("cox", "coxph", "svm", "rf", "clustering"),
     )
     # both values of the reference's algorithm enum (`src/emr.py:10-14`);
     # blind search is implemented here (the reference left it a TODO)
@@ -107,6 +109,13 @@ def run_experiment(spark: SparkSession, args: argparse.Namespace) -> dict:
     t0 = _time.perf_counter()
     if args.model == "cox":
         fitness = _cox_fitness(args.cv_folds, args.random_state)
+    elif args.model == "coxph":
+        # the model-faithful R27 tier: Newton-fit Cox partial likelihood
+        from multiomix_aws_emr_spark.fs.fitness import cv_coxph_fitness
+
+        fitness = functools.partial(
+            cv_coxph_fitness, folds=args.cv_folds, seed=args.random_state
+        )
     elif args.model in ("svm", "rf"):
         fitness = _svm_or_rf_fitness(args.model, args.cv_folds, args.random_state)
     else:  # clustering (`scripts/main.py:79-112`): dependency-free

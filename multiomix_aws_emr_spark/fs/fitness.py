@@ -107,6 +107,44 @@ def cv_linear_cox_fitness(
     return float(np.mean(scores))
 
 
+def cv_coxph_fitness(
+    x: np.ndarray,
+    time: np.ndarray,
+    event: np.ndarray,
+    sample_ids: np.ndarray,
+    *,
+    folds: int = 3,
+    seed: int = 42,
+) -> float:
+    """R27's actual model family: Cox proportional hazards fit by Newton
+    iterations on the Breslow partial likelihood
+    (fs/survival_models.cox_ph_fit — the reference scores CoxPHFitter at
+    `scripts/main.py:97-102`), k-fold CV, mean test C-index. The
+    least-squares ``cv_linear_cox_fitness`` remains the cheap default for
+    BBHA inner loops; this one is the model-faithful tier."""
+    from multiomix_aws_emr_spark.fs.survival_models import cox_ph_fit
+
+    if x.ndim != 2 or x.shape[1] == 0:
+        return WORST_FITNESS
+    fold_of = deterministic_folds(sample_ids, folds, seed)
+    scores = []
+    for f in range(folds):
+        train, test = fold_of != f, fold_of == f
+        if train.sum() < 2 or test.sum() < 2:
+            continue
+        xtr, xte = x[train].astype(float), x[test].astype(float)
+        mu, sigma = xtr.mean(axis=0), xtr.std(axis=0)
+        sigma[sigma == 0] = 1.0
+        xtr = (xtr - mu) / sigma
+        xte = (xte - mu) / sigma
+        beta = cox_ph_fit(xtr, time[train], event[train])
+        risk = xte @ beta
+        scores.append(concordance_index(risk, time[test], event[test]))
+    if not scores:
+        return WORST_FITNESS
+    return float(np.mean(scores))
+
+
 def cv_rank_svm_fitness(
     x: np.ndarray,
     time: np.ndarray,

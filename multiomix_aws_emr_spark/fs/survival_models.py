@@ -267,3 +267,83 @@ class SurvivalForest:
         for tree in self._trees:
             out += np.array([self._score_one(tree, r) for r in x])
         return out / max(len(self._trees), 1)
+
+
+# --------------------------------------------------------------------------
+# Cox proportional hazards (partial likelihood, Breslow ties)
+# --------------------------------------------------------------------------
+
+
+def cox_ph_fit(
+    x: np.ndarray,
+    time: np.ndarray,
+    event: np.ndarray,
+    *,
+    ridge: float = 1e-4,
+    max_iter: int = 25,
+    tol: float = 1e-8,
+) -> np.ndarray:
+    """Newton-Raphson fit of the Cox proportional-hazards model on the
+    Breslow partial likelihood — the actual model family behind the
+    reference's CoxPHFitter scoring (`scripts/main.py:97-102`, R27),
+    implemented on NumPy alone. Deterministic (no RNG); a small ridge
+    keeps the Hessian invertible on separable or collinear subsets.
+    Returns beta; predict risk with ``x @ beta`` (higher == earlier
+    failure — the same orientation every fitness here scores).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    time = np.asarray(time, dtype=np.float64)
+    event = np.asarray(event, dtype=bool)
+    n, p = x.shape
+    if p == 0 or not event.any():
+        return np.zeros(p)
+    # sort descending by time: the risk set of time t is then a prefix,
+    # so cumulative sums give every denominator in one pass
+    order = np.argsort(-time, kind="mergesort")
+    xs, ts, es = x[order], time[order], event[order]
+
+    beta = np.zeros(p)
+    prev_ll = -np.inf
+    for _ in range(max_iter):
+        eta = xs @ beta
+        eta -= eta.max()  # overflow guard; cancels in all ratios
+        w = np.exp(eta)
+        s0 = np.cumsum(w)                      # sum_{risk set} exp(eta)
+        s1 = np.cumsum(w[:, None] * xs, axis=0)  # weighted feature sums
+        # Breslow: all events at a tied time share the denominator of the
+        # FULL risk set at that time == the last index of the tie block
+        last_of_block = np.searchsorted(-ts, -ts, side="right") - 1
+        d0 = s0[last_of_block][es]
+        d1 = s1[last_of_block][es]
+        xbar = d1 / d0[:, None]
+        ll = float((eta[es] - np.log(d0)).sum()) - 0.5 * ridge * float(
+            beta @ beta
+        )
+        grad = (xs[es] - xbar).sum(axis=0) - ridge * beta
+        # observed information: sum_events (S2/S0 - xbar xbar^T)
+        s2_rows = np.cumsum(
+            w[:, None, None] * (xs[:, :, None] * xs[:, None, :]), axis=0
+        )
+        d2 = s2_rows[last_of_block][es]
+        info = (
+            d2 / d0[:, None, None] - xbar[:, :, None] * xbar[:, None, :]
+        ).sum(axis=0) + ridge * np.eye(p)
+        step = np.linalg.solve(info, grad)
+        # step-halving keeps the ascent monotone on hard subsets
+        for _ in range(10):
+            cand = beta + step
+            eta_c = xs @ cand
+            eta_c -= eta_c.max()
+            w_c = np.exp(eta_c)
+            d0_c = np.cumsum(w_c)[last_of_block][es]
+            ll_c = float((eta_c[es] - np.log(d0_c)).sum()) - 0.5 * ridge * float(
+                cand @ cand
+            )
+            if ll_c >= ll or not np.isfinite(ll_c):
+                break
+            step = step / 2.0
+        beta = beta + step
+        if abs(ll - prev_ll) < tol * max(1.0, abs(prev_ll)):
+            break
+        prev_ll = ll
+    return beta

@@ -200,3 +200,37 @@ def test_sksurv_backend_matches_contract():
     ids = np.array([f"S{i}" for i in range(n)])
     fit = make_fitness("svm", folds=3, seed=1)
     assert fit(x, time, event, ids) > 0.9
+
+
+def test_coxph_recovers_true_hazard_ratios():
+    """R27 model-faithful tier: the Newton/Breslow Cox fit must recover
+    known coefficients from exponential survival data (within the
+    censoring+ridge shrinkage envelope), survive heavy ties, and be
+    deterministic."""
+    from multiomix_aws_emr_spark.fs.fitness import cv_coxph_fitness
+    from multiomix_aws_emr_spark.fs.survival_models import cox_ph_fit
+
+    rng = np.random.RandomState(0)
+    n = 300
+    x = rng.normal(size=(n, 3))
+    beta_true = np.array([1.0, -0.5, 0.0])
+    u = rng.uniform(size=n)
+    t = -np.log(u) / np.exp(x @ beta_true)
+    cens = rng.uniform(0, np.quantile(t, 0.9), n)
+    event = t <= cens
+    tobs = np.minimum(t, cens)
+
+    beta = cox_ph_fit(x, tobs, event)
+    assert abs(beta[0] - 1.0) < 0.2
+    assert abs(beta[1] + 0.5) < 0.2
+    assert abs(beta[2]) < 0.15
+    # Breslow ties: rounding times to 1 decimal creates heavy tie blocks
+    beta_tied = cox_ph_fit(x, np.round(tobs, 1), event)
+    assert np.isfinite(beta_tied).all()
+    assert np.sign(beta_tied[0]) > 0 and np.sign(beta_tied[1]) < 0
+
+    ids = np.array([f"S{i}" for i in range(n)])
+    fit = cv_coxph_fitness(x, tobs, event, ids, seed=1)
+    assert fit > 0.7
+    assert fit == cv_coxph_fitness(x, tobs, event, ids, seed=1)
+    assert cv_coxph_fitness(x[:, :0], tobs, event, ids) == WORST_FITNESS
