@@ -113,12 +113,21 @@ def stream_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_watermarked_tumbling(spark, sf_dir)
 
 
-@query("stream_stateful_totals")  # rows-only: stateful streaming semantics
+@query(
+    "stream_stateful_totals",
+    oracle=with_events_v(
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "ROUND(SUM(value), 2) AS sum_value FROM events_v GROUP BY user_id"
+    ),
+)
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user running totals carried by the state store across
-    micro-batches, update output mode. Convergence to the batch groupBy
-    totals is asserted in tests/test_streaming.py."""
+    micro-batches, update output mode. The bounded availableNow run's
+    final update per user must equal the plain batch groupBy — which is
+    the ORACLE, so the stateful path is hash-checked (rounding happens
+    JVM-side after the UDF; multi-batch state carry-over is separately
+    exercised with a two-batch injection in tests/test_streaming.py)."""
     from multiomix_aws_emr_spark.streaming.stateful import run_running_totals
 
     return run_running_totals(spark, sf_dir)

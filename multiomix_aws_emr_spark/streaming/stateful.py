@@ -42,8 +42,11 @@ def _update_totals(
         n += len(pdf)
         s += float(pdf["value"].dropna().sum())
     state.update((n, s))
+    # raw sum out; rounding happens JVM-side afterward (SQL ROUND is
+    # half-away-from-zero, Python's round is banker's — mixing them
+    # breaks cross-engine parity on .xx5 boundaries)
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
     )
 
 
@@ -87,6 +90,10 @@ def run_running_totals(
             .start()
         )
         q.awaitTermination()
+    from pyspark.sql import functions as F
+
     result = spark.table(table)
     result.count()
-    return result
+    return result.select(
+        "user_id", "n_events", F.round("sum_value", 2).alias("sum_value")
+    )
