@@ -100,12 +100,25 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_watermark_latedrop")  # rows-only: streaming semantics
+_LATEDROP_ORACLE = with_events_v(
+    "SELECT (ts_ms // 3600000) * 3600000 AS window_start_ms, event_type, "
+    "CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sum_v "
+    "FROM events_v GROUP BY 1, 2 "
+    "HAVING window_start_ms + 3600000 <= "
+    "(SELECT MAX(ts_ms) - 3600000 FROM events_v)"
+)
+
+
+@query("stream_watermark_latedrop", oracle=_LATEDROP_ORACLE)
 def stream_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True Structured Streaming run over the events parquet: 1-hour
     watermark + tumbling aggregate, append mode — only watermark-finalized
-    windows are emitted. Late-drop behavior is exercised with a controlled
-    two-batch injection in tests/test_streaming.py."""
+    windows are emitted. The finalized subset is DETERMINISTIC for a
+    bounded run (final watermark = max event time - 1h), so the ORACLE is
+    the batch hourly aggregate restricted to windows ending at or before
+    that watermark — append-mode emission semantics, hash-checked.
+    Late-row dropping itself is exercised with a controlled two-batch
+    injection in tests/test_streaming.py."""
     from multiomix_aws_emr_spark.streaming.watermark import (
         run_watermarked_tumbling,
     )
@@ -155,24 +168,57 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join_plan(load(spark, sf_dir, "events"))
 
 
-@query("stream_session_window")  # rows-only: append emits only finalized
+_STREAM_SESSION_ORACLE = with_events_v(
+    "SELECT user_id, MIN(ts_ms) AS session_start_ms, "
+    "MAX(ts_ms) + 1800000 AS session_end_ms, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "ROUND(SUM(value), 2) AS sum_value "
+    "FROM ("
+    "  SELECT user_id, ts_ms, value, SUM(new_s) OVER "
+    "    (PARTITION BY user_id ORDER BY ts_ms, event_id "
+    "     ROWS UNBOUNDED PRECEDING) AS sid "
+    "  FROM ("
+    "    SELECT user_id, ts_ms, value, event_id, "
+    "      CASE WHEN ts_ms - LAG(ts_ms) OVER "
+    "        (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000 "
+    "      THEN 1 ELSE 0 END AS new_s FROM events_v) o"
+    ") s GROUP BY user_id, sid "
+    "HAVING MAX(ts_ms) + 1800000 <= "
+    "(SELECT MAX(ts_ms) - 3600000 FROM events_v)"
+)
+
+
+@query("stream_session_window", oracle=_STREAM_SESSION_ORACLE)
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization: the SAME session_window aggregate as the
-    batch `window_sessionize` query run as a watermarked stream (1h
-    watermark, append mode) — emitted rows are exactly the finalized
-    subset of the batch result, asserted in tests/test_streaming.py.
-    State is bounded by watermark horizon x active users."""
+    batch sessionize query run as a watermarked stream (1h watermark,
+    append mode). A session finalizes when the watermark passes its end
+    (last event + 30-min gap), and the bounded run's final watermark is
+    max event time - 1h — so the ORACLE is the gaps-and-islands batch
+    sessionization restricted to sessions ending at or before that
+    watermark. State is bounded by watermark horizon x active users."""
     from multiomix_aws_emr_spark.streaming.sessions import run_streaming_sessions
 
     return run_streaming_sessions(spark, sf_dir)
 
 
-@query("stream_dedup_watermark")  # rows-only: append emits finalized windows
+_STREAM_DEDUP_ORACLE = with_events_v(
+    "SELECT (ts_ms // 3600000) * 3600000 AS window_start_ms, event_type, "
+    "CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique "
+    "FROM events_v GROUP BY 1, 2 "
+    "HAVING window_start_ms + 3600000 <= "
+    "(SELECT MAX(ts_ms) - 3600000 FROM events_v)"
+)
+
+
+@query("stream_dedup_watermark", oracle=_STREAM_DEDUP_ORACLE)
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: dropDuplicatesWithinWatermark on event_id
     (state bounded by the watermark horizon — the scale-correct form;
     plain streaming dropDuplicates grows state forever), then hourly
-    unique counts. Re-delivery suppression is exercised with controlled
+    unique counts in append mode. ORACLE: batch hourly DISTINCT event_id
+    counts over the same finalized-window subset (window end <= final
+    watermark). Re-delivery suppression is exercised with controlled
     duplicate injection in tests/test_streaming.py."""
     from multiomix_aws_emr_spark.streaming.dedup import run_streaming_dedup
 
