@@ -313,3 +313,51 @@ def test_triangle_count_broadcasts_thresholded_edges(spark, sf_dir):
 def test_pagerank_iterations_stay_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_pagerank")
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """AQE skew-join handling — the runtime half of the skew story beside
+    join_salted_skew's explicit salting: a hot key whose partition dwarfs
+    the median gets split into multiple tasks AT RUNTIME, visible as
+    SortMergeJoin(skew=true) over an `AQEShuffleRead skewed` node in the
+    final adaptive plan. Thresholds are lowered so local-scale data
+    triggers the same machinery a 100 TB skewed join relies on."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(0, 220000).select(
+            F.when(F.col("id") < 200000, F.lit(0))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.rand(1).alias("v"),
+        )
+        dim = spark.range(0, 2000).select(
+            (F.col("id") % 100).alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = fact.join(dim, "k")
+        assert len(j.collect()) == 4_400_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:1500]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
