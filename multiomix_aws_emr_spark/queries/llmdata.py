@@ -483,3 +483,74 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("lang")
     )
+
+
+_DECONTAMINATE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                        w[i+3] || ' ' || w[i+4]
+                        FOR i IN range(1, len(w) - 3)]) AS ws
+  FROM t WHERE len(w) >= 5
+), ev AS (
+  SELECT doc_id AS eval_doc, u.sh
+  FROM s, UNNEST(ws) AS u(sh) WHERE doc_id % 97 = 0
+), corpus AS (
+  SELECT doc_id, u.sh
+  FROM s, UNNEST(ws) AS u(sh) WHERE doc_id % 97 <> 0
+)
+SELECT c.doc_id,
+       CAST(COUNT(DISTINCT c.sh) AS BIGINT) AS n_shared,
+       MIN(e.eval_doc) AS first_eval_doc
+FROM corpus c JOIN ev e ON c.sh = e.sh
+GROUP BY c.doc_id
+"""
+
+
+@query("text_decontaminate", oracle=_DECONTAMINATE_ORACLE)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any 5-gram
+    with the held-out eval set (doc_id % 97 == 0 stands in for the
+    benchmark suite) — the hygiene pass every pre-training pipeline runs
+    so eval answers don't leak into training data. Distinct from
+    within-corpus near-dup (dedup_ngram_jaccard): the join is corpus x
+    EVAL shingles, and the eval side is tiny by construction, so it
+    BROADCASTS — the corpus is scanned once and never shuffled for the
+    probe, at any corpus size. Output: contaminated doc, how many
+    distinct 5-grams leaked, and the first eval doc hit."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    n_parts = max(
+        spark.sparkContext.defaultParallelism, d.rdd.getNumPartitions()
+    )
+    tok = (
+        d.repartition(n_parts, "doc_id")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+        .filter(F.col("tok") != "")
+    )
+    leads = [F.lead("tok", j).over(w) for j in range(1, 5)]
+    gram = tok.select(
+        "doc_id",
+        leads[-1].alias("_last"),
+        F.concat_ws(" ", "tok", *leads).alias("_s"),
+    ).filter(F.col("_last").isNotNull())
+    sh = gram.select("doc_id", F.xxhash64("_s").alias("s")).dropDuplicates(
+        ["doc_id", "s"]
+    )
+    ev = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_doc"), "s"
+    )
+    corpus = sh.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared"),
+            F.min("eval_doc").alias("first_eval_doc"),
+        )
+    )
