@@ -663,3 +663,69 @@ def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(y, x), 4).alias("intercept"),
         F.round(F.regr_r2(y, x), 5).alias("r2"),
     )
+
+
+_EXPECTATIONS_ORACLE = """
+WITH o AS (
+  SELECT CAST(COUNT(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS v_null,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_uniq,
+         CAST(COUNT(*) FILTER (o_totalprice <= 0) AS BIGINT) AS v_pos,
+         CAST(COUNT(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P'))
+              AS BIGINT) AS v_dom
+  FROM orders
+), ri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v_ri FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders x
+                    WHERE x.o_orderkey = l.l_orderkey)
+)
+SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+  SELECT 'o_orderkey_not_null' AS rule, v_null AS n_violations FROM o
+  UNION ALL SELECT 'o_orderkey_unique', v_uniq FROM o
+  UNION ALL SELECT 'o_totalprice_positive', v_pos FROM o
+  UNION ALL SELECT 'o_orderstatus_domain', v_dom FROM o
+  UNION ALL SELECT 'lineitem_orders_ri', v_ri FROM ri
+)
+"""
+
+
+@query("quality_expectations", oracle=_EXPECTATIONS_ORACLE)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (the Deequ/dbt-test
+    shape): completeness, uniqueness, range, domain, and referential
+    integrity evaluated as ONE aggregate pass over the fact table plus
+    one anti-join for the RI rule — violations come back as a tidy
+    (rule, n_violations, passed) report. Every single-table rule is a
+    conditional aggregate sharing the same scan (map-side combinable);
+    only the cross-table rule costs a join. At 100 TB this is the shape
+    that works: rule count doesn't multiply scans."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    one = o.agg(
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+            "v_null"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_uniq"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "v_pos"
+        ),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("v_dom"),
+    )
+    single = one.selectExpr(
+        "stack(4, "
+        "'o_orderkey_not_null', v_null, "
+        "'o_orderkey_unique', v_uniq, "
+        "'o_totalprice_positive', v_pos, "
+        "'o_orderstatus_domain', v_dom) AS (rule, n_violations)"
+    )
+    ri = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("lineitem_orders_ri").alias("rule"), "n_violations")
+    )
+    return single.unionAll(ri).select(
+        "rule",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
