@@ -314,3 +314,41 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+_OUTER_JOIN_ORACLE = with_events_v(
+    "SELECT user_id, p_id, v_id FROM ("
+    "  WITH p AS (SELECT user_id, event_id AS p_id, ts_ms AS p_ts "
+    "             FROM events_v WHERE event_type = 'purchase'), "
+    "       v AS (SELECT user_id, event_id AS v_id, ts_ms AS v_ts "
+    "             FROM events_v WHERE event_type = 'view'), "
+    "       wm AS (SELECT LEAST((SELECT MAX(p_ts) FROM p), "
+    "                           (SELECT MAX(v_ts) FROM v)) - 3600000 AS w) "
+    "  SELECT p.user_id, p.p_id, v.v_id FROM p JOIN v "
+    "    ON p.user_id = v.user_id "
+    "   AND v.v_ts BETWEEN p.p_ts - 1800000 AND p.p_ts "
+    "  UNION ALL "
+    "  SELECT p.user_id, p.p_id, CAST(NULL AS BIGINT) FROM p "
+    "  WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = p.user_id "
+    "        AND v.v_ts BETWEEN p.p_ts - 1800000 AND p.p_ts) "
+    "    AND p.p_ts < (SELECT w FROM wm)"
+    ")"
+)
+
+
+@query("stream_interval_join_outer", oracle=_OUTER_JOIN_ORACLE)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming left-outer interval join (both sides readStream,
+    availableNow): matches emit eagerly; a purchase with no qualifying
+    view emits its NULL row only once the join state can prove no late
+    view can still arrive. That proof point is deterministic for a
+    bounded run — the global watermark is the MIN over both sides' max
+    event time minus the 1h delay (each side carries its own watermark
+    node), and the left row finalizes when its timestamp falls below it.
+    The ORACLE is the batch left join with exactly that cutoff applied
+    to the unmatched side: matched pairs unconditionally, nulls only in
+    the finalized region. State stays bounded by watermark horizon x
+    key cardinality — the property that lets this run forever."""
+    from multiomix_aws_emr_spark.streaming.join import run_stream_interval_join
+
+    return run_stream_interval_join(spark, sf_dir, how="left_outer")
