@@ -554,3 +554,33 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("eval_doc").alias("first_eval_doc"),
         )
     )
+
+
+_IMPORTANCE_ORACLE = """
+SELECT doc_id, lang,
+       ROUND(LEAST(n_chars / 1000.0, 1.0), 6) AS keep_prob
+FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0
+      < LEAST(n_chars / 1000.0, 1.0)
+"""
+
+
+@query("sample_importance_weighted", oracle=_IMPORTANCE_ORACLE)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic downsampling: each document keeps
+    with probability proportional to a quality proxy (here length,
+    capped at 1) — the importance-sampling pass real curation pipelines
+    use to up-weight high-quality text without a separate RNG state.
+    Keep iff u(doc_id) < w(doc), where u is the Knuth multiplicative
+    hash mapped to [0, 1): same row set on every engine, every run, any
+    partitioning — an auditable corpus subset. Both u (an integer over
+    2^32, exact in binary) and w compare exactly across engines. Pure
+    narrow filter: no shuffle; at scale the filter sits on the scan."""
+    d = load(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars") / 1000.0, F.lit(1.0))
+    u = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    ) / F.lit(4294967296.0)
+    return d.filter(u < w).select(
+        "doc_id", "lang", F.round(w, 6).alias("keep_prob")
+    )
