@@ -259,3 +259,113 @@ def omics_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic (numpy-cross-checked in tests)."""
     _life_table(spark, sf_dir).createOrReplaceTempView("life")
     return spark.sql(_LOGRANK_SQL)
+
+
+_COX_SCREEN_ORACLE = """
+WITH events_v AS (
+  SELECT epoch_ms(ts) AS ts_ms, user_id, event_type, value FROM events
+), surv AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts_ms END) AS t0,
+         MIN(CASE WHEN event_type = 'error' THEN ts_ms END) AS t1
+  FROM events_v GROUP BY user_id
+), life AS (
+  SELECT user_id, t1 - t0 AS lifetime_ms FROM surv
+  WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+), feat AS (
+  SELECT user_id, event_type AS feature, AVG(value) AS x
+  FROM events_v WHERE event_type IN ('click', 'view', 'purchase')
+  GROUP BY user_id, event_type
+), xmat AS (
+  SELECT l.user_id, l.lifetime_ms, f.feature, COALESCE(f.x, 0.0) AS x
+  FROM life l JOIN feat f ON l.user_id = f.user_id
+), ranked AS (
+  SELECT feature, x,
+         ROW_NUMBER() OVER w AS rn,
+         SUM(x) OVER w AS cum_x,
+         SUM(x * x) OVER w AS cum_x2
+  FROM xmat
+  WINDOW w AS (PARTITION BY feature ORDER BY lifetime_ms DESC, user_id
+               ROWS UNBOUNDED PRECEDING)
+), terms AS (
+  SELECT feature,
+         x - cum_x / rn AS u_i,
+         cum_x2 / rn - (cum_x / rn) * (cum_x / rn) AS v_i
+  FROM ranked
+)
+SELECT feature, ROUND(SUM(u_i), 4) AS score_u,
+       ROUND(SUM(v_i), 4) AS score_v,
+       ROUND(SUM(u_i) * SUM(u_i) / NULLIF(SUM(v_i), 0), 4) AS chi2
+FROM terms GROUP BY feature
+"""
+
+
+@query("omics_cox_score_screen", oracle=_COX_SCREEN_ORACLE)
+def omics_cox_score_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feature univariate Cox SCORE-test screening — the multi-omics
+    'which molecules associate with survival' pass (the reference runs a
+    full CV model per candidate subset; the screening tier runs a
+    closed-form statistic per feature first) re-expressed as one
+    relational plan over a long (sample, feature, value) layout.
+
+    For each feature, samples sort by survival time DESCENDING so the
+    at-risk set at each failure is exactly the window prefix: running
+    count/sum/sum-of-squares give the at-risk mean and variance of the
+    covariate, and the score statistic is U = sum(x_i - mean_at_risk),
+    V = sum(var_at_risk), chi2 = U^2/V (all observed events; tie order
+    pinned by (lifetime DESC, user_id) in both engines). ONE window pass
+    per feature partition — the plan is feature-parallel and scales to
+    millions of features by adding partitions, never driver state.
+    Here the 'features' are per-user mean event values (click/view/
+    purchase) against the signup->error lifetime, matching the engine's
+    survival fixtures."""
+    from pyspark.sql.window import Window
+
+    from multiomix_aws_emr_spark.sources.tables import events_v
+
+    ev = events_v(spark, sf_dir)
+    surv = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_ms"))).alias("t0"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts_ms"))).alias("t1"),
+    )
+    life = surv.filter(
+        F.col("t0").isNotNull()
+        & F.col("t1").isNotNull()
+        & (F.col("t1") >= F.col("t0"))
+    ).select("user_id", (F.col("t1") - F.col("t0")).alias("lifetime_ms"))
+    feat = (
+        ev.filter(F.col("event_type").isin("click", "view", "purchase"))
+        .groupBy("user_id", F.col("event_type").alias("feature"))
+        .agg(F.avg("value").alias("x"))
+    )
+    xmat = life.join(feat, "user_id").select(
+        "user_id", "lifetime_ms", "feature", F.coalesce("x", F.lit(0.0)).alias("x")
+    )
+    w = (
+        Window.partitionBy("feature")
+        .orderBy(F.col("lifetime_ms").desc(), "user_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = xmat.select(
+        "feature",
+        "x",
+        F.row_number().over(
+            Window.partitionBy("feature").orderBy(
+                F.col("lifetime_ms").desc(), "user_id"
+            )
+        ).alias("rn"),
+        F.sum("x").over(w).alias("cum_x"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("cum_x2"),
+    )
+    mean_r = F.col("cum_x") / F.col("rn")
+    terms = ranked.select(
+        "feature",
+        (F.col("x") - mean_r).alias("u_i"),
+        (F.col("cum_x2") / F.col("rn") - mean_r * mean_r).alias("v_i"),
+    )
+    su, sv = F.sum("u_i"), F.sum("v_i")
+    return terms.groupBy("feature").agg(
+        F.round(su, 4).alias("score_u"),
+        F.round(sv, 4).alias("score_v"),
+        F.round(su * su / F.nullif(sv, F.lit(0)), 4).alias("chi2"),
+    )
