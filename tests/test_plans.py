@@ -402,3 +402,50 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_observation_audits_pipeline_without_extra_jobs(spark, sf_dir):
+    """with_audit counts rows at two points of a filter pipeline during
+    the ONE real action — the scan-free auditing primitive."""
+    from pyspark.sql import functions as F
+
+    from multiomix_aws_emr_spark.plans.observe import with_audit
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    staged, obs_in = with_audit(li, "ingest", F.count(F.lit(1)).alias("n"))
+    kept, obs_kept = with_audit(
+        staged.filter(F.col("l_quantity") > 30),
+        "kept",
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+    )
+    out = kept.groupBy("l_returnflag").count()
+    out.collect()
+    n_in, n_kept = obs_in.get["n"], obs_kept.get["n"]
+    assert n_in == li.count()
+    assert 0 < n_kept < n_in
+    assert obs_kept.get["price"] > 0
+
+
+def test_executed_metrics_expose_shuffle_accounting(spark, sf_dir):
+    """executed_metrics/shuffle_summary read the physical operators' SQL
+    metrics after an action: a grouped aggregate shuffles (records > 0),
+    a narrow projection must NOT — asserting zero shuffle is the
+    cheapest no-unnecessary-shuffle regression test."""
+    from pyspark.sql import functions as F
+
+    from multiomix_aws_emr_spark.plans.observe import shuffle_summary
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    agg.collect()
+    s = shuffle_summary(agg)
+    assert s["shuffle_records"] > 0
+    assert s["shuffle_bytes"] > 0
+
+    narrow = li.select("l_orderkey", "l_quantity").filter(
+        F.col("l_quantity") > 30
+    )
+    narrow.collect()
+    s2 = shuffle_summary(narrow)
+    assert s2["shuffle_records"] == 0 and s2["shuffle_bytes"] == 0
