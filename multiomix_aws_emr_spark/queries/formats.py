@@ -300,3 +300,46 @@ def maintenance_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total"),
     )
     return merged.join(F.broadcast(tombstones), "user_id", "left_anti")
+
+
+@query(
+    "scan_partitioned_pruned",
+    oracle=(
+        "WITH events_v AS (SELECT epoch_ms(ts) AS ts_ms, event_type, value "
+        "FROM events) "
+        "SELECT (ts_ms // 86400000) * 86400000 AS day_ms, "
+        "CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sum_value "
+        "FROM events_v WHERE event_type = 'click' GROUP BY 1"
+    ),
+)
+def scan_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning: events are
+    rewritten partitioned by event_type, and the 'click'-only read must
+    touch exactly ONE partition directory — the predicate prunes at
+    PLANNING time from directory names, before any file or footer is
+    opened (PartitionFilters in the scan, vs PushedFilters which still
+    opens files). Partition-by-low-cardinality-dimension + sort-within
+    is the first layout decision of any 100 TB event store; the z-order
+    query covers the complementary high-cardinality case. Parity with
+    the unpartitioned oracle proves the layout hop changes nothing."""
+    import shutil
+
+    from multiomix_aws_emr_spark.sources.tables import events_v
+
+    path = _scratch(sf_dir, "events_by_type")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = events_v(spark, sf_dir).select("ts_ms", "event_type", "value")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("event_type") == "click")
+        # integer div, not double-divide+cast: float division can round
+        # up across a bucket boundary; `div` matches DuckDB's `//` exactly
+        .groupBy(
+            (F.expr("ts_ms div 86400000") * 86400000).alias("day_ms")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -192,3 +192,41 @@ def udf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id bigint, user_id bigint, signup_ts_ms bigint",
         )
     )
+
+
+_UDTF_TOKENIZE_ORACLE = """
+SELECT doc_id, t.word, CAST(length(t.word) AS INTEGER) AS wlen
+FROM documents, UNNEST(string_split(text, ' ')) AS t(word)
+WHERE doc_id < 50 AND t.word <> ''
+"""
+
+
+@query("udtf_python_tokenize", oracle=_UDTF_TOKENIZE_ORACLE)
+def udtf_python_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python user-defined table function (the Spark 4 ``@udtf``
+    API): one input row yields N output rows from Python, invoked
+    through SQL LATERAL — the fourth Python surface beside scalar
+    pandas UDF, grouped-map, and cogroup. Held to the DuckDB UNNEST
+    oracle. Python-per-row is the slow path by design (the JVM twin is
+    ``udtf_expand``); the input is a pushed-down 50-doc slice, and the
+    same tokenization at corpus scale runs as explode(split()) —
+    this query exists to pin the API's semantics, not to race it."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, wlen int")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in (text or "").split(" "):
+                if w:
+                    yield (w, len(w))
+
+    spark.udtf.register("split_words_py", SplitWords)
+    from multiomix_aws_emr_spark.sources.tables import load
+
+    load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    ).createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, s.word, s.wlen "
+        "FROM docs_udtf d, LATERAL split_words_py(d.text) s"
+    )

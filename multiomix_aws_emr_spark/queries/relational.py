@@ -948,3 +948,26 @@ def sql_disjunctive_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on the part key."""
     _register_views(spark, sf_dir, "lineitem", "part")
     return spark.sql(_Q19_SQL)
+
+
+_LATERAL_SQL = (
+    "SELECT r.r_name, x.c_name, x.bal "
+    "FROM region r, LATERAL ("
+    "  SELECT c_name, ROUND(c_acctbal, 2) AS bal "
+    "  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "  WHERE n.n_regionkey = r.r_regionkey "
+    "  ORDER BY c_acctbal DESC, c_name LIMIT 2) x"
+)
+
+
+@query("sql_lateral_topk", oracle=_LATERAL_SQL)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 customers by balance per
+    region) — the for-each-row-run-a-subquery surface, identical SQL
+    text on both engines. Catalyst DECORRELATES it: the per-region
+    ORDER BY/LIMIT becomes a rank-filter over a join, so the plan is the
+    same window top-k every dashboard query compiles to — no per-row
+    re-execution survives optimization (DecorrelateInnerQuery), which is
+    why LATERAL is safe at fact-table cardinality here."""
+    _register_views(spark, sf_dir, "region", "nation", "customer")
+    return spark.sql(_LATERAL_SQL)

@@ -449,3 +449,12 @@ def test_executed_metrics_expose_shuffle_accounting(spark, sf_dir):
     narrow.collect()
     s2 = shuffle_summary(narrow)
     assert s2["shuffle_records"] == 0 and s2["shuffle_bytes"] == 0
+
+
+def test_partitioned_scan_prunes_at_planning_time(spark, sf_dir):
+    """scan_partitioned_pruned must carry the event_type predicate as a
+    PartitionFilter (directory-level pruning) — not merely a pushed
+    row-group filter."""
+    plan = _plan(spark, sf_dir, "scan_partitioned_pruned")
+    part = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "event_type" in part
