@@ -343,3 +343,61 @@ def scan_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@query(
+    "maintenance_recompress_zstd",
+    oracle=(
+        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_price "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def maintenance_recompress_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec migration — the cold-storage maintenance op: rewrite a
+    lineitem projection from the default codec to zstd (higher ratio,
+    cheap decompression; the standard archival choice) and prove the hop
+    is lossless by aggregating the read-back against the original as the
+    oracle. A pure storage-layer change: same rows, same schema, smaller
+    files — the compression test in tests/test_plans.py asserts the
+    zstd copy is actually smaller than an uncompressed one."""
+    path = _scratch(sf_dir, "zstd_lineitem")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    li.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+_MASKED_ORACLE = (
+    "SELECT c_custkey, "
+    "regexp_replace(c_name, 'Customer#[0-9]+', 'Customer#***') AS name_masked, "
+    "CAST(FLOOR(c_acctbal / 1000) * 1000 AS DOUBLE) AS acctbal_band, "
+    "c_mktsegment FROM customer"
+)
+
+
+@query("secure_masked_view", oracle=_MASKED_ORACLE)
+def secure_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column masking for a governed view — the row/column-security
+    pattern: identifying name suffix redacted by regexp, the exact
+    balance generalized to a 1000-unit band (k-anonymity-style
+    coarsening), raw columns never exposed past the view boundary. Pure
+    narrow projection: masking costs nothing at scan time and composes
+    under any downstream query, which is why masking belongs IN the
+    view, not in consumers."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace(
+            "c_name", "Customer#[0-9]+", "Customer#***"
+        ).alias("name_masked"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000)
+        .cast("double")
+        .alias("acctbal_band"),
+        "c_mktsegment",
+    )

@@ -369,3 +369,40 @@ def omics_cox_score_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sv, 4).alias("score_v"),
         F.round(su * su / F.nullif(sv, F.lit(0)), 4).alias("chi2"),
     )
+
+
+@query("fs_bbha_improved")  # rows-only: iterative seeded metaheuristic
+def fs_bbha_improved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IMPROVED BBHA variant (the reference's flag-gated TODO,
+    `scripts/metaheuristics.py:342-465`; SURVEY.md §7.6) driven
+    end-to-end: reciprocal event horizon, single-dimension capture
+    toggle, and personal-best-blended position updates with
+    iteration-decaying coefficients. Same fixture and contract as
+    fs_bbha_embeddings, so the two variants' histories are directly
+    comparable."""
+    from multiomix_aws_emr_spark.fs.bbha import run_bbha
+
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+        .collect()
+    )
+    rows = sorted(rows, key=lambda r: r.vec_id)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    x = pd.DataFrame(
+        mat,
+        index=[r.vec_id for r in rows],
+        columns=[f"dim_{i}" for i in range(16)],
+    )
+    time_col = 100.0 + 20.0 * (mat[:, 0] + mat[:, 1] + mat[:, 2])
+    event_col = np.ones(len(rows), dtype=bool)
+    result = run_bbha(
+        spark, x, time_col, event_col,
+        n_stars=8, n_iterations=2, random_state=42,
+        variant="improved", coeff_1=2.2, coeff_2=0.1,
+    )
+    return result.history_df(spark).select(
+        "iteration", "star_id",
+        F.round("fitness", 4).alias("fitness"), "n_features",
+    )

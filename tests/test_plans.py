@@ -458,3 +458,30 @@ def test_partitioned_scan_prunes_at_planning_time(spark, sf_dir):
     plan = _plan(spark, sf_dir, "scan_partitioned_pruned")
     part = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "event_type" in part
+
+
+def test_zstd_recompression_shrinks_files(spark, sf_dir):
+    """The zstd rewrite must actually compress: compare its on-disk size
+    against an uncompressed copy of the same projection."""
+    import os
+
+    from multiomix_aws_emr_spark.queries import QUERIES
+    from multiomix_aws_emr_spark.queries.formats import _scratch
+
+    QUERIES["maintenance_recompress_zstd"](spark, sf_dir).collect()
+    zstd_dir = _scratch(sf_dir, "zstd_lineitem")
+    raw_dir = _scratch(sf_dir, "none_lineitem")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    li.write.mode("overwrite").option("compression", "none").parquet(raw_dir)
+
+    def du(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    assert 0 < du(zstd_dir) < du(raw_dir)
