@@ -230,3 +230,45 @@ def udtf_python_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, s.word, s.wlen "
         "FROM docs_udtf d, LATERAL split_words_py(d.text) s"
     )
+
+
+@query(
+    "ps_pandas_api_groupby",
+    oracle=(
+        "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROUND(AVG(c_acctbal), 4) AS avg_bal, "
+        "ROUND(MAX(c_acctbal), 2) AS max_bal "
+        "FROM customer GROUP BY c_mktsegment"
+    ),
+)
+def ps_pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-API-on-Spark surface (``pyspark.pandas``): a
+    pandas-shaped groupby/agg that compiles to the SAME Catalyst hash
+    aggregate as the DataFrame API — the migration path for
+    pandas-native users of the reference's driver code
+    (`scripts/core.py:80-291` is pandas end to end). ``to_spark()``
+    hands the lazy plan back untouched; held to the standard DuckDB
+    oracle like every other query, proving API choice doesn't change
+    semantics. Index-free conversion, no driver materialization."""
+    import pyspark.pandas as ps
+
+    from multiomix_aws_emr_spark.sources.tables import load
+
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_ps")
+    pdf = ps.read_table("customer_ps")
+    agg = (
+        pdf.groupby("c_mktsegment")
+        .agg(
+            n=("c_custkey", "count"),
+            avg_bal=("c_acctbal", "mean"),
+            max_bal=("c_acctbal", "max"),
+        )
+        .reset_index()
+    )
+    out = agg.to_spark()
+    return out.select(
+        "c_mktsegment",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("avg_bal", 4).alias("avg_bal"),
+        F.round("max_bal", 2).alias("max_bal"),
+    )
