@@ -729,3 +729,40 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+@query(
+    "agg_mode_per_group",
+    oracle=with_events_v(
+        "SELECT user_id, event_type AS modal_type, "
+        "CAST(cnt AS BIGINT) AS n_modal FROM ("
+        "  SELECT user_id, event_type, cnt, ROW_NUMBER() OVER ("
+        "    PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn "
+        "  FROM (SELECT user_id, event_type, COUNT(*) AS cnt "
+        "        FROM events_v GROUP BY user_id, event_type)"
+        ") WHERE rn = 1"
+    ),
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mode (most frequent value, ties broken alphabetically):
+    two stacked hash aggregates — count per (group, value), then argmax
+    per group via max_by on a (count, reversed-value) sort key. No
+    window, no sort: both layers are map-side combinable, which is what
+    makes mode affordable at billions of groups (the window-rank
+    formulation pays a per-group sort instead). DuckDB mirrors with
+    arg_min over (-cnt, value)."""
+    ev = events_v(spark, sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # min_by needs ONE orderable key: struct(-cnt, type) compares
+    # lexicographically, so the smallest struct is the highest count with
+    # the alphabetically first type. The oracle uses the window-rank
+    # formulation instead (DuckDB 1.0 arg_min takes no struct key) — it
+    # need not scale; this side must.
+    return counts.groupBy("user_id").agg(
+        F.expr(
+            "min_by(event_type, struct(-cnt, event_type))"
+        ).alias("modal_type"),
+        F.max("cnt").cast("bigint").alias("n_modal"),
+    )

@@ -190,3 +190,36 @@ def map_from_json_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.element_at(m, F.lit("k")).cast("int").alias("k_from_map")
     )
+
+
+@query(
+    "variant_json_shred",
+    oracle=with_events_v(
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS k_sum, "
+        "CAST(MAX(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS k_max "
+        "FROM events_v GROUP BY event_type"
+    ),
+)
+def variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT semi-structured tier (Spark 4): ``parse_json`` turns
+    the raw JSON column into a binary variant ONCE, then typed
+    ``variant_get`` paths shred it into columns feeding a plain hash
+    aggregate. Against schema-on-read strings this is the 100 TB play:
+    variant parse cost is paid once per row at ingest (or in the scan),
+    every downstream path extraction is a cheap binary probe, and the
+    extracted columns join the columnar pipeline like any other. The
+    oracle reads the same paths via DuckDB's JSON operators — typed
+    parity across two different semi-structured engines."""
+    ev = events_v(spark, sf_dir)
+    shredded = ev.select(
+        "event_type",
+        F.expr(
+            "variant_get(parse_json(props), '$.k', 'int')"
+        ).alias("k"),
+    )
+    return shredded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("k_sum"),
+        F.max("k").alias("k_max"),
+    )
