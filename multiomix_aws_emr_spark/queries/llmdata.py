@@ -584,3 +584,123 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(u < w).select(
         "doc_id", "lang", F.round(w, 6).alias("keep_prob")
     )
+
+
+def _curation_v2_oracle() -> str:
+    from multiomix_aws_emr_spark.queries.minhash_oracle import (
+        minhash_onestep_ctes,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT * FROM documents
+  WHERE lang IN ('en', 'es', 'de') AND n_chars >= 100
+), keeper AS (
+  SELECT MIN(doc_id) AS doc_id FROM base GROUP BY text
+), exact AS (
+  SELECT b.* FROM base b JOIN keeper k USING (doc_id)
+), {minhash_onestep_ctes(table="exact")},
+keep_reps AS (
+  SELECT doc_id FROM onestep WHERE doc_id = rep_id
+), curated AS (
+  SELECT e.* FROM exact e JOIN keep_reps USING (doc_id)
+), tok5 AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                        w[i+3] || ' ' || w[i+4]
+                        FOR i IN range(1, len(w) - 3)]) AS ws
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents)
+  WHERE len(w) >= 5
+), ev_sh AS (
+  SELECT u.sh FROM tok5, UNNEST(ws) AS u(sh) WHERE doc_id % 97 = 0
+), contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM tok5 t, UNNEST(t.ws) AS u(sh)
+  WHERE t.doc_id % 97 <> 0 AND u.sh IN (SELECT sh FROM ev_sh)
+), clean AS (
+  SELECT * FROM curated
+  WHERE doc_id % 97 <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+), sampled AS (
+  SELECT * FROM clean
+  WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0
+        < LEAST(n_chars / 1000.0, 1.0)
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(n_chars), 2) AS avg_chars,
+       ROUND(SUM(LEAST(n_chars / 1000.0, 1.0)), 4) AS expected_mass
+FROM sampled GROUP BY lang ORDER BY lang
+"""
+
+
+@query("pipeline_curation_v2", oracle=_curation_v2_oracle())
+def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE curation flow as one composed Catalyst plan — the v1
+    pipeline (language/quality filter -> exact dedup -> MinHash-LSH
+    representative selection) extended with the two hygiene stages a
+    production corpus adds before training: benchmark DECONTAMINATION
+    (drop the eval partition and every doc sharing a 5-gram with it —
+    the eval shingle set broadcasts into a left-anti probe) and
+    IMPORTANCE SAMPLING (quality-proportional deterministic keep). Six
+    stages, one plan: the narrow filters push to the scan, the dedup
+    stages shuffle on their own keys, decontamination is a broadcast
+    anti join, sampling is a map-side expression — end-to-end
+    hash-checked against DuckDB restating every stage."""
+    from pyspark.sql.window import Window
+
+    from multiomix_aws_emr_spark.operators.dedup import minhash_lsh_clusters
+
+    d = load(spark, sf_dir, "documents")
+    base = d.filter(F.col("lang").isin("en", "es", "de")).filter(
+        F.col("n_chars") >= 100
+    )
+    keeper = base.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    exact = base.join(keeper.select("doc_id"), "doc_id", "left_semi")
+    reps = minhash_lsh_clusters(
+        exact, text_col="text", id_col="doc_id", portable=True
+    ).filter(F.col("doc_id") == F.col("rep_id"))
+    curated = exact.join(reps.select("doc_id"), "doc_id", "left_semi")
+
+    # 5-gram shingles over the full corpus (eval side needs all docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tok = (
+        d.repartition(
+            max(spark.sparkContext.defaultParallelism, d.rdd.getNumPartitions()),
+            "doc_id",
+        )
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+        .filter(F.col("tok") != "")
+    )
+    leads = [F.lead("tok", j).over(w) for j in range(1, 5)]
+    gram = tok.select(
+        "doc_id",
+        leads[-1].alias("_last"),
+        F.xxhash64(F.concat_ws(" ", "tok", *leads)).alias("s"),
+    ).filter(F.col("_last").isNotNull())
+    ev_sh = gram.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    contaminated = (
+        gram.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(ev_sh), "s")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = curated.filter(F.col("doc_id") % 97 != 0).join(
+        F.broadcast(contaminated), "doc_id", "left_anti"
+    )
+
+    wgt = F.least(F.col("n_chars") / 1000.0, F.lit(1.0))
+    u = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    ) / F.lit(4294967296.0)
+    sampled = clean.filter(u < wgt)
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.sum(wgt), 4).alias("expected_mass"),
+        )
+        .orderBy("lang")
+    )
