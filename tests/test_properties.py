@@ -72,3 +72,99 @@ def test_fitness_guards(n, seed):
     assert f == WORST_FITNESS or 0.0 <= f <= 1.0
     # deterministic in all inputs
     assert f == cv_linear_cox_fitness(x, time, event, ids, folds=3)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
+    """graph_pagerank vs a direct NumPy implementation of the same
+    3-iteration damped walk on the same trade matrix — independent of
+    the DuckDB oracle (which shares the SQL formulation)."""
+    import numpy as np
+
+    from multiomix_aws_emr_spark.queries import QUERIES
+
+    got = {
+        r.node: r.pagerank
+        for r in QUERIES["graph_pagerank"](spark, sf_dir).collect()
+    }
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter("s_nationkey <> c_nationkey")
+        .groupBy("s_nationkey", "c_nationkey")
+        .count()
+        .collect()
+    )
+    n = 25
+    w = np.zeros((n, n))
+    for r in edges:
+        w[r.s_nationkey][r.c_nationkey] = r["count"]
+    out = w.sum(axis=1)
+    p = np.divide(w, out[:, None], out=np.zeros_like(w), where=out[:, None] > 0)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(3):
+        pr = 0.15 / n + 0.85 * (p.T @ pr)
+    for node in range(n):
+        assert abs(got[node] - round(float(pr[node]), 6)) <= 1e-6, node
+
+
+def test_cox_score_screen_matches_numpy(spark, sf_dir):
+    """omics_cox_score_screen vs a direct NumPy evaluation of
+    U = sum(x_i - mean_at_risk), V = sum(var_at_risk) under the same
+    (lifetime DESC, user_id) ordering convention."""
+    import numpy as np
+
+    from multiomix_aws_emr_spark.queries import QUERIES
+    from multiomix_aws_emr_spark.sources.tables import events_v
+
+    got = {
+        r.feature: (r.score_u, r.score_v, r.chi2)
+        for r in QUERIES["omics_cox_score_screen"](spark, sf_dir).collect()
+    }
+
+    ev = events_v(spark, sf_dir).select(
+        "user_id", "event_type", "ts_ms", "value"
+    ).collect()
+    t0, t1, vals = {}, {}, {}
+    for r in ev:
+        if r.event_type == "signup":
+            t0[r.user_id] = min(t0.get(r.user_id, r.ts_ms), r.ts_ms)
+        elif r.event_type == "error":
+            t1[r.user_id] = min(t1.get(r.user_id, r.ts_ms), r.ts_ms)
+        elif r.event_type in ("click", "view", "purchase"):
+            vals.setdefault((r.user_id, r.event_type), []).append(r.value)
+    life = {
+        u: t1[u] - t0[u]
+        for u in t0
+        if u in t1 and t1[u] >= t0[u]
+    }
+    for feature in ("click", "view", "purchase"):
+        rows = [
+            (life[u], u, float(np.mean(vs)))
+            for (u, f), vs in vals.items()
+            if f == feature and u in life
+        ]
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        x = np.array([r[2] for r in rows])
+        rn = np.arange(1, len(x) + 1)
+        cum_x = np.cumsum(x)
+        cum_x2 = np.cumsum(x * x)
+        u_stat = float((x - cum_x / rn).sum())
+        v_stat = float((cum_x2 / rn - (cum_x / rn) ** 2).sum())
+        eu, ev_, ec = got[feature]
+        assert abs(eu - round(u_stat, 4)) <= 1e-4, feature
+        assert abs(ev_ - round(v_stat, 4)) <= 1e-4, feature
+        assert abs(ec - round(u_stat * u_stat / v_stat, 4)) <= 1e-3, feature
