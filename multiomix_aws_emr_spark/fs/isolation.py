@@ -72,7 +72,11 @@ def isolated(
             p.join(5.0)
             return on_failure
         try:
-            kind, payload = q.get_nowait()
+            # A short blocking get, not get_nowait(): after a clean child
+            # exit the queue's feeder-thread flush can race the parent's
+            # pipe poll, so an immediate read may spuriously raise Empty
+            # and score a successful evaluation as WORST_FITNESS.
+            kind, payload = q.get(timeout=1.0)
         except _queue.Empty:
             return on_failure  # died before reporting (segfault/_exit/OOM)
         if kind != "ok":

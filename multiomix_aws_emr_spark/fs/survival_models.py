@@ -329,7 +329,11 @@ def cox_ph_fit(
             d2 / d0[:, None, None] - xbar[:, :, None] * xbar[:, None, :]
         ).sum(axis=0) + ridge * np.eye(p)
         step = np.linalg.solve(info, grad)
-        # step-halving keeps the ascent monotone on hard subsets
+        # step-halving keeps the ascent monotone on hard subsets: accept a
+        # candidate only when its log-likelihood is FINITE and >= current
+        # (a non-finite ll_c means the step overflowed — keep halving);
+        # if every halving fails, keep the previous beta unchanged.
+        accepted = False
         for _ in range(10):
             cand = beta + step
             eta_c = xs @ cand
@@ -339,9 +343,12 @@ def cox_ph_fit(
             ll_c = float((eta_c[es] - np.log(d0_c)).sum()) - 0.5 * ridge * float(
                 cand @ cand
             )
-            if ll_c >= ll or not np.isfinite(ll_c):
+            if np.isfinite(ll_c) and ll_c >= ll:
+                accepted = True
                 break
             step = step / 2.0
+        if not accepted:
+            break
         beta = beta + step
         if abs(ll - prev_ll) < tol * max(1.0, abs(prev_ll)):
             break

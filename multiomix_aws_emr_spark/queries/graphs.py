@@ -24,7 +24,7 @@ from multiomix_aws_emr_spark.queries.registry import query
 from multiomix_aws_emr_spark.sources.tables import load
 
 _EDGE_CTE = """
-li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 edges AS (
   SELECT a.l_partkey AS p1, b.l_partkey AS p2,
          CAST(COUNT(*) AS BIGINT) AS n_orders
@@ -36,11 +36,18 @@ edges AS (
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(p1 < p2, n_orders) co-purchase pair counts: one self equi-join on
-    the order key + one hash aggregate. Per-order fanout is quadratic in
-    basket size but baskets are small and bounded — the blocking-key
-    pattern every pairwise op in this engine uses."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    """(p1 < p2, n_orders) distinct-order co-purchase counts: dedup
+    (order, part) pairs — a part listed on two lineitems of one order is
+    one basket membership, not two — then one self equi-join on the order
+    key + one hash aggregate, so n_orders really counts orders in which
+    the pair co-occurs. Per-order fanout is quadratic in basket size but
+    baskets are small and bounded — the blocking-key pattern every
+    pairwise op in this engine uses."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
     a, b = li.alias("a"), li.alias("b")
     return (
         a.join(

@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multiomix_aws_emr_spark.queries.registry import query
-from multiomix_aws_emr_spark.sources.tables import events_v, load, with_events_v
+from multiomix_aws_emr_spark.sources.tables import (
+    events_v,
+    load,
+    scan_parallel,
+    with_events_v,
+)
 
 
 @query(
@@ -110,8 +115,11 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_extract_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction from a string column (closure; the events fixture
-    carries JSON-in-string `props`)."""
-    ev = events_v(spark, sf_dir)
+    carries JSON-in-string `props`). ``get_json_object`` re-parses the string
+    per row, so the scan is spread across all cores first — the fixture is a
+    single-file/single-split parquet and would otherwise run serially
+    (``scan_parallel`` is a no-op on a many-file production scan)."""
+    ev = scan_parallel(events_v(spark, sf_dir))
     k = F.get_json_object("props", "$.k").cast("int")
     return ev.select("event_id", k.alias("k")).filter(F.col("k") > 50)
 
@@ -182,8 +190,10 @@ def map_from_json_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map construction + key extraction: build a map<string,string> from the
     flattened JSON body with str_to_map, then read key 'k' back out. The
     emitted column is scalar, so this hashes cross-engine (the oracle reads
-    the same key via the JSON path)."""
-    ev = events_v(spark, sf_dir)
+    the same key via the JSON path). regexp_replace + str_to_map cost real
+    CPU per row, so the single-split fixture scan is spread across cores
+    first (no-op at production split counts)."""
+    ev = scan_parallel(events_v(spark, sf_dir))
     m = F.expr(
         "str_to_map(regexp_replace(props, '[{}\" ]', ''), ',', ':')"
     )

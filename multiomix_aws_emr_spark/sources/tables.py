@@ -38,14 +38,20 @@ TABLE_NAMES = (
 # parquet footer/schema fetch per call, which at ~0.1 s × a few tables ×
 # 133 queries is pure overhead in the correctness/bench harnesses. Fixture
 # tables are immutable, so the cached plan never goes stale; keying on
-# applicationId drops entries from any stopped context.
+# applicationId makes a stopped context's entries unreachable, and the
+# eviction below drops them on the next access from a new context (so
+# stale DataFrames don't pin their stopped SparkSession for the process
+# lifetime).
 _LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from an sf directory (plan cached per session)."""
     configure(spark)
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _LOAD_CACHE if k[0] != app_id]:
+        del _LOAD_CACHE[k]
+    key = (app_id, sf_dir, name)
     df = _LOAD_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
