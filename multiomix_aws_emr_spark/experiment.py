@@ -80,6 +80,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--algorithm", default="bbha", choices=("bbha", "blind_search")
     )
+    # both values of the reference's clustering enum for --model clustering
+    # (`scripts/main.py:49,83-84`: kmeans | spectral)
+    p.add_argument(
+        "--clustering-algorithm",
+        default="kmeans",
+        choices=("kmeans", "spectral"),
+    )
     p.add_argument("--n-stars", type=int, default=30)
     p.add_argument("--bbha-iterations", type=int, default=30)
     p.add_argument("--cv-folds", type=int, default=10)
@@ -119,7 +126,8 @@ def run_experiment(spark: SparkSession, args: argparse.Namespace) -> dict:
     elif args.model in ("svm", "rf"):
         fitness = _svm_or_rf_fitness(args.model, args.cv_folds, args.random_state)
     else:  # clustering (`scripts/main.py:79-112`): dependency-free
-        # k-means + log-rank separation fitness (fs/fitness.py R27)
+        # k-means or spectral + log-rank separation fitness (fs/fitness.py
+        # R27; algorithm enum mirrors `scripts/main.py:49,83-84`)
         import functools as _ft
 
         from multiomix_aws_emr_spark.fs.fitness import (
@@ -130,6 +138,7 @@ def run_experiment(spark: SparkSession, args: argparse.Namespace) -> dict:
             cv_clustering_logrank_fitness,
             folds=args.cv_folds,
             seed=args.random_state,
+            algorithm=getattr(args, "clustering_algorithm", "kmeans"),
         )
 
     molecules = read_molecules_tsv(spark, args.molecules_dataset)

@@ -243,6 +243,50 @@ def _kmeans_deterministic(
     return cent
 
 
+def _spectral_embedding(x: np.ndarray, k: int, *, gamma: float | None = None) -> np.ndarray:
+    """NumPy spectral embedding: RBF affinity -> normalized Laplacian
+    L_sym = I - D^-1/2 W D^-1/2 -> k smallest eigenvectors, row-normalized.
+
+    The classic Ng-Jordan-Weiss construction (public algorithm; the
+    reference selects sklearn's SpectralClustering as its second
+    clustering family, `scripts/main.py:49,83-84` — sklearn is not in
+    this container, so the embedding is computed directly). O(n^2)
+    affinity + O(n^3) eigh is fine at fitness-evaluation scale: the
+    metaheuristic scores a few hundred samples per subset, never the
+    full table."""
+    n, p = x.shape
+    if gamma is None:
+        gamma = 1.0 / max(1, p)  # sklearn's default RBF width
+    sq = ((x[:, None, :] - x[None, :, :]) ** 2).sum(axis=2)
+    w = np.exp(-gamma * sq)
+    np.fill_diagonal(w, 0.0)
+    d = w.sum(axis=1)
+    d[d <= 0] = 1.0
+    dinv = 1.0 / np.sqrt(d)
+    lsym = np.eye(n) - dinv[:, None] * w * dinv[None, :]
+    # eigh: ascending eigenvalues; the k smallest span the cluster space
+    _, vecs = np.linalg.eigh(lsym)
+    emb = vecs[:, :k].copy()
+    # canonical sign per eigenvector (largest-|component| entry positive)
+    # so LAPACK sign flips can't reseed the downstream k-means
+    for j in range(emb.shape[1]):
+        i = int(np.abs(emb[:, j]).argmax())
+        if emb[i, j] < 0:
+            emb[:, j] = -emb[:, j]
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return emb / norms
+
+
+def _spectral_labels(x: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Spectral clustering labels: embed (``_spectral_embedding``) then the
+    same deterministic k-means used by the kmeans family, run in the
+    embedding space."""
+    emb = _spectral_embedding(x, k)
+    cent = _kmeans_deterministic(emb, ids, k)
+    return ((emb[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+
+
 def logrank_chi2(
     groups: np.ndarray, time: np.ndarray, event: np.ndarray
 ) -> float:
@@ -284,17 +328,29 @@ def cv_clustering_logrank_fitness(
     n_clusters: int = 2,
     folds: int = 3,
     seed: int = 42,
+    algorithm: str = "kmeans",
 ) -> float:
     """The reference's clustering+Cox fitness family
     (`scripts/main.py:79-112`, R27) re-founded dependency-free: per CV
-    fold, cluster the TRAIN samples in feature space (deterministic
-    k-means), assign TEST samples to the nearest centroid, and score how
-    strongly the induced test groups separate in survival via the
-    log-rank statistic, squashed to (0, 1) with chi2/(chi2+1) so it
-    composes with the same higher-is-better contract as the C-index
-    fitness. Empty subsets return WORST_FITNESS (the R13 guard)."""
+    fold, cluster the TRAIN samples in feature space, assign TEST samples
+    to a cluster, and score how strongly the induced test groups separate
+    in survival via the log-rank statistic, squashed to (0, 1) with
+    chi2/(chi2+1) so it composes with the same higher-is-better contract
+    as the C-index fitness. Empty subsets return WORST_FITNESS (the R13
+    guard).
+
+    ``algorithm`` mirrors the reference's clustering enum
+    (`scripts/main.py:49,83-84`): ``kmeans`` clusters with the
+    deterministic k-means and assigns test rows to the nearest centroid;
+    ``spectral`` clusters the train fold with the NumPy
+    normalized-Laplacian spectral embedding (``_spectral_labels``) and —
+    since spectral clustering has no out-of-sample map — assigns each
+    test row the label of its nearest train row (1-NN in standardized
+    feature space), the standard Nystrom-free extension."""
     if x.ndim != 2 or x.shape[1] == 0:
         return WORST_FITNESS
+    if algorithm not in ("kmeans", "spectral"):
+        raise ValueError(f"unknown clustering algorithm: {algorithm!r}")
     fold_of = deterministic_folds(sample_ids, folds, seed)
     scores = []
     for f in range(folds):
@@ -306,9 +362,14 @@ def cv_clustering_logrank_fitness(
         sigma[sigma == 0] = 1.0
         xtr = (xtr - mu) / sigma
         xte = (xte - mu) / sigma
-        cent = _kmeans_deterministic(xtr, sample_ids[train], n_clusters)
-        d = ((xte[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        lab = d.argmin(axis=1)
+        if algorithm == "spectral":
+            lab_tr = _spectral_labels(xtr, sample_ids[train], n_clusters)
+            nn = ((xte[:, None, :] - xtr[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            lab = lab_tr[nn]
+        else:
+            cent = _kmeans_deterministic(xtr, sample_ids[train], n_clusters)
+            d = ((xte[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            lab = d.argmin(axis=1)
         chi2 = logrank_chi2(lab, time[test], event[test])
         scores.append(chi2 / (chi2 + 1.0))
     if not scores:

@@ -93,6 +93,84 @@ def test_clustering_logrank_separates_risk_groups():
     assert logrank_chi2(np.zeros(n), time, event) == 0.0
 
 
+def test_spectral_clustering_fitness_contract():
+    """The spectral variant (reference `scripts/main.py:49,83-84`) obeys
+    the same contract as kmeans: separates a real survival split from
+    noise, is deterministic, guards the empty subset, and rejects unknown
+    algorithm names."""
+    import numpy as np
+    import pytest
+
+    from multiomix_aws_emr_spark.fs.fitness import (
+        WORST_FITNESS,
+        cv_clustering_logrank_fitness,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 120
+    group = (np.arange(n) % 2).astype(float)
+    informative = group[:, None] * 3.0 + rng.normal(0, 0.2, (n, 1))
+    noise = rng.normal(0, 1.0, (n, 1))
+    time = np.where(group == 1, rng.uniform(1, 3, n), rng.uniform(6, 9, n))
+    event = np.ones(n, dtype=bool)
+    ids = np.array([f"s{i}" for i in range(n)])
+
+    good = cv_clustering_logrank_fitness(
+        informative, time, event, ids, algorithm="spectral"
+    )
+    bad = cv_clustering_logrank_fitness(
+        noise, time, event, ids, algorithm="spectral"
+    )
+    assert good > 0.9
+    assert good > bad + 0.2
+    again = cv_clustering_logrank_fitness(
+        informative, time, event, ids, algorithm="spectral"
+    )
+    assert good == again
+    assert (
+        cv_clustering_logrank_fitness(
+            informative[:, :0], time, event, ids, algorithm="spectral"
+        )
+        == WORST_FITNESS
+    )
+    with pytest.raises(ValueError):
+        cv_clustering_logrank_fitness(
+            informative, time, event, ids, algorithm="dbscan"
+        )
+
+
+def test_spectral_embedding_separates_nonconvex_rings():
+    """The case that motivates spectral over k-means: two concentric rings
+    are not linearly separable in feature space, but are in the Laplacian
+    embedding. k-means on raw coordinates fails; spectral labels match the
+    ring structure (up to label swap)."""
+    import numpy as np
+
+    from multiomix_aws_emr_spark.fs.fitness import (
+        _kmeans_deterministic,
+        _spectral_labels,
+    )
+
+    n_per = 60
+    theta = np.linspace(0, 2 * np.pi, n_per, endpoint=False)
+    inner = np.c_[np.cos(theta), np.sin(theta)] * 1.0
+    outer = np.c_[np.cos(theta), np.sin(theta)] * 5.0
+    x = np.vstack([inner, outer])
+    truth = np.r_[np.zeros(n_per, int), np.ones(n_per, int)]
+    ids = np.array([f"s{i}" for i in range(len(x))])
+
+    lab_s = _spectral_labels(x, ids, 2)
+    agree = max(
+        (lab_s == truth).mean(), (lab_s == 1 - truth).mean()
+    )
+    assert agree == 1.0
+
+    cent = _kmeans_deterministic(x, ids, 2)
+    lab_k = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    agree_k = max((lab_k == truth).mean(), (lab_k == 1 - truth).mean())
+    assert agree_k < 0.9  # raw k-means cannot split rings
+
+
 def test_logrank_sql_matches_numpy(spark, sf_dir):
     """The relational log-rank query must agree with fs/fitness.py's
     numpy logrank_chi2 on the same life table."""
