@@ -292,6 +292,78 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_media(media).select("doc_id", "n_bytes_resized")
 
 
+_DECODE_ORACLE = """
+SELECT d.doc_id,
+       CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       CAST(SUM(CASE WHEN t.i % 3 = 0 THEN (d.doc_id * 31 + t.i) % 256 ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN t.i % 3 = 1 THEN (d.doc_id * 31 + t.i) % 256 ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN t.i % 3 = 2 THEN (d.doc_id * 31 + t.i) % 256 ELSE 0 END) AS BIGINT) AS sum_b
+FROM documents d, range(0, 192) t(i)
+GROUP BY d.doc_id
+"""
+
+
+@query("multimodal_decode", oracle=_DECODE_ORACLE)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE image decode through the codec registry: a deterministic
+    8x8 PPM is rendered per document (pixel i of doc d = (d*31+i) % 256,
+    operators/multimodal.synthesize_ppm_media), then
+    ``decode_image_stats`` registry-decodes the P6 payload and emits
+    per-channel pixel sums. The DuckDB oracle recomputes the same sums
+    from the closed-form pixel values — so a decode bug (header parse,
+    channel order, row layout) breaks the hash, not just a unit test."""
+    from multiomix_aws_emr_spark.operators.multimodal import (
+        decode_image_stats,
+        synthesize_ppm_media,
+    )
+
+    d = scan_parallel(load(spark, sf_dir, "documents"))
+    media = synthesize_ppm_media(d, id_col="doc_id")
+    return decode_image_stats(media)
+
+
+_RESIZE_DECODE_ORACLE = """
+SELECT d.doc_id,
+       CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       CAST(SUM((d.doc_id * 31 + ((t.i // 4) * 2 * 8 + (t.i % 4) * 2) * 3 + 0) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((d.doc_id * 31 + ((t.i // 4) * 2 * 8 + (t.i % 4) * 2) * 3 + 1) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((d.doc_id * 31 + ((t.i // 4) * 2 * 8 + (t.i % 4) * 2) * 3 + 2) % 256) AS BIGINT) AS sum_b
+FROM documents d, range(0, 16) t(i)
+GROUP BY d.doc_id
+"""
+
+
+@query("multimodal_resize_decode", oracle=_RESIZE_DECODE_ORACLE)
+def multimodal_resize_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end genuine media pipeline: render 8x8 PPM -> registry
+    decode -> nearest-neighbor resample to 4x4 -> re-encode -> decode
+    AGAIN -> per-channel sums. NN resize picks source pixel (2r, 2c), so
+    output pixel (r, c, ch) of doc d is (d*31 + ((2r)*8 + 2c)*3 + ch) %
+    256 — which is exactly what the oracle sums. Round-trips the encoder,
+    the decoder, and the resampler through one cross-engine hash."""
+    from multiomix_aws_emr_spark.operators.codecs import MIME_PPM
+    from multiomix_aws_emr_spark.operators.multimodal import (
+        decode_image_stats,
+        resize_media,
+        synthesize_ppm_media,
+    )
+
+    d = scan_parallel(load(spark, sf_dir, "documents"))
+    media = synthesize_ppm_media(d, id_col="doc_id")
+    resized = resize_media(media)
+    meta = F.struct(
+        F.octet_length("payload_resized").alias("n_bytes"),
+        F.lit(MIME_PPM).alias("mime"),
+        F.lit("ppm-p6").alias("codec"),
+    )
+    small = resized.select(
+        "doc_id",
+        F.col("payload_resized").alias("payload"),
+        meta.alias("meta"),
+    )
+    return decode_image_stats(small)
+
+
 @query("multimodal_framesample")  # rows-only: 1->N binary expansion
 def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling: each payload expands to every 4th
