@@ -202,6 +202,67 @@ def map_from_json_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VARIANT_ARRAY_ORACLE = with_events_v(
+    """
+SELECT event_type, pos, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(tag) AS BIGINT) AS sum_tag,
+       CAST(MAX(val1) AS BIGINT) AS max_val1
+FROM (
+  SELECT e.event_type,
+         CAST(t.i AS INTEGER) AS pos,
+         CAST(js ->> ('$.tags[' || t.i || ']') AS INTEGER) AS tag,
+         CAST(js ->> '$.nest.vals[1]' AS BIGINT) AS val1
+  FROM (
+    SELECT event_type,
+           '{"k": ' || k || ', "tags": [' || (k % 7) || ', ' || (k % 5)
+             || ', ' || (k % 3) || '], "nest": {"vals": [' || k || ', '
+             || (k * 2) || ']}}' AS js
+    FROM (SELECT event_type, CAST(props ->> '$.k' AS INTEGER) AS k
+          FROM events_v)
+  ) e, range(0, 3) t(i)
+)
+GROUP BY event_type, pos
+"""
+)
+
+
+@query("variant_array_explode", oracle=_VARIANT_ARRAY_ORACLE)
+def variant_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested VARIANT arrays (the round-3 extension of
+    ``variant_json_shred``): a nested JSON document — scalar + array +
+    object-with-array — is parsed ONCE to a binary variant, then
+    ``variant_get`` pulls (a) the whole ``$.tags`` array typed
+    ``array<int>`` which LATERAL-explodes to rows (posexplode keeps the
+    element index), and (b) a path INTO an array element
+    (``$.nest.vals[1]``). That's the semi-structured shredding trio a
+    100 TB ingest needs: typed top-level paths, array flatten, and
+    indexed descent, all binary probes after one parse. The DuckDB
+    oracle rebuilds the same document and reads the same paths with its
+    JSON operators — cross-engine JSON-array parity. Built-ins only; the
+    exploded array comes from variant_get, not a lambda HOF (the Janino
+    recompile trap documented in operators/dedup.py does not apply)."""
+    ev = scan_parallel(events_v(spark, sf_dir))
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    doc = F.format_string(
+        '{"k": %d, "tags": [%d, %d, %d], "nest": {"vals": [%d, %d]}}',
+        k, k % 7, k % 5, k % 3, k, k * 2,
+    )
+    v = ev.select("event_type", F.parse_json(doc).alias("v"))
+    shred = v.select(
+        "event_type",
+        F.expr("variant_get(v, '$.tags', 'array<int>')").alias("tags"),
+        F.expr("variant_get(v, '$.nest.vals[1]', 'bigint')").alias("val1"),
+    )
+    ex = shred.select(
+        "event_type", F.posexplode("tags").alias("pos", "tag"), "val1"
+    )
+    return ex.groupBy("event_type", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("tag").cast("bigint").alias("sum_tag"),
+        F.max("val1").alias("max_val1"),
+    )
+
+
 @query(
     "variant_json_shred",
     oracle=with_events_v(

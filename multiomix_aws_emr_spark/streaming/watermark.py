@@ -52,6 +52,18 @@ def run_watermarked_tumbling(
     """Run the watermarked aggregation over parquet files as a bounded
     stream (availableNow trigger, one file per micro-batch so the watermark
     advances between batches, memory sink) and return the emitted rows."""
+    result, _ = run_watermarked_tumbling_with_drop_count(spark, sf_dir, glob)
+    return result
+
+
+def run_watermarked_tumbling_with_drop_count(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> tuple[DataFrame, int]:
+    """Same bounded run, also returning how many input rows the watermark
+    DROPPED, summed from each micro-batch's StreamingQueryProgress
+    (``stateOperators[].numRowsDroppedByWatermark`` — the engine's own
+    audit counter, so the drop is asserted from runtime telemetry, not
+    inferred from missing output)."""
     configure(spark)
     static = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
     stream = (
@@ -73,7 +85,80 @@ def run_watermarked_tumbling(
             .start()
         )
         q.awaitTermination()
+        dropped = 0
+        for progress in q.recentProgress:
+            for op in progress.get("stateOperators", []):
+                dropped += int(op.get("numRowsDroppedByWatermark", 0))
     # Materialize before the temp checkpoint dir disappears.
     result = spark.table(table)
     result.count()
-    return result
+    return result, dropped
+
+
+def rate_source_smoke(
+    spark: SparkSession,
+    *,
+    rows_per_second: int = 500,
+    min_batches: int = 2,
+    timeout_sec: float = 30.0,
+) -> dict:
+    """Run the SAME watermarked plan against Spark's unbounded ``rate``
+    source — the production shape (kafka/kinesis stand-in) — long enough
+    to observe ``min_batches`` non-empty micro-batches, then stop.
+
+    Returns {"input_rows": total rows ingested, "batches": progress count,
+    "watermark_set": whether the event-time watermark advanced past the
+    epoch}. Append-mode 1-hour windows never finalize within a smoke run
+    (correct semantics); what this verifies is that the identical logical
+    plan binds to an unbounded source, micro-batches flow, and the
+    watermark tracks event time."""
+    import time as _time
+
+    configure(spark)
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+    # shape the rate stream like the events table (ts bigint ns)
+    ev = rate.select(
+        (F.unix_millis("timestamp") * F.lit(1_000_000)).alias("ts"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.col("value") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        F.col("value").cast("double").alias("value"),
+    )
+    out = watermarked_tumbling_plan(ev)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            out.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        deadline = _time.monotonic() + timeout_sec
+        try:
+            while _time.monotonic() < deadline:
+                nonempty = [
+                    p
+                    for p in q.recentProgress
+                    if int(p.get("numInputRows", 0)) > 0
+                ]
+                if len(nonempty) >= min_batches:
+                    break
+                _time.sleep(0.5)
+            progress = list(q.recentProgress)
+        finally:
+            q.stop()
+    input_rows = sum(int(p.get("numInputRows", 0)) for p in progress)
+    wm_set = any(
+        p.get("eventTime", {}).get("watermark", "1970-01-01T00:00:00.000Z")
+        > "1971-01-01"
+        for p in progress
+    )
+    return {
+        "input_rows": input_rows,
+        "batches": len(progress),
+        "watermark_set": wm_set,
+    }

@@ -80,6 +80,34 @@ def test_watermark_drops_late_rows(spark, three_batch_dir):
     assert _BASE + 5 * _HOUR_MS not in rows
 
 
+def test_watermark_drop_count_from_progress_telemetry(spark, three_batch_dir):
+    """The engine's own StreamingQueryProgress must account for exactly
+    the one injected late row (numRowsDroppedByWatermark == 1) — asserting
+    the drop from runtime telemetry, not just from absent output."""
+    from multiomix_aws_emr_spark.streaming.watermark import (
+        run_watermarked_tumbling_with_drop_count,
+    )
+
+    out, dropped = run_watermarked_tumbling_with_drop_count(
+        spark, three_batch_dir, glob="*.parquet"
+    )
+    assert dropped == 1
+    rows = {r.window_start_ms: (r.n, r.sum_v) for r in out.collect()}
+    assert rows[_BASE] == (2, 3.0)  # late value 100.0 not re-admitted
+
+
+def test_rate_source_smoke_runs_same_plan_unbounded(spark):
+    """The watermarked plan must bind to the unbounded rate source (the
+    kafka/kinesis stand-in): micro-batches flow, rows are ingested, and
+    the event-time watermark advances."""
+    from multiomix_aws_emr_spark.streaming.watermark import rate_source_smoke
+
+    stats = rate_source_smoke(spark, rows_per_second=200, min_batches=2)
+    assert stats["input_rows"] > 0
+    assert stats["batches"] >= 2
+    assert stats["watermark_set"]
+
+
 def test_declared_watermark_query_runs(spark, sf_dir):
     out = run_watermarked_tumbling(spark, sf_dir)
     assert out.count() > 0
