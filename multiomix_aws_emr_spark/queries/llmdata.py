@@ -364,6 +364,42 @@ def multimodal_resize_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_stats(small)
 
 
+_AUDIO_ORACLE = """
+SELECT doc_id,
+       CAST(256 AS INTEGER) AS n_samples,
+       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+       CAST(MAX(s) AS BIGINT) AS max_amp,
+       CAST(SUM(CASE WHEN i > 0 AND ((s >= 0) <> (sp >= 0)) THEN 1 ELSE 0 END)
+            AS INTEGER) AS zero_crossings
+FROM (
+  SELECT d.doc_id, t.i,
+         ((d.doc_id * 17 + t.i * 7) % 2048) - 1024 AS s,
+         ((d.doc_id * 17 + (t.i - 1) * 7) % 2048) - 1024 AS sp
+  FROM documents d, range(0, 256) t(i)
+)
+GROUP BY doc_id
+"""
+
+
+@query("multimodal_audio_decode", oracle=_AUDIO_ORACLE)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE audio decode (second media modality): a deterministic
+    256-sample mono PCM-16 WAV is rendered per document (sample i of doc
+    d = ((d*17 + i*7) %% 2048) - 1024, operators/audio.py, stdlib
+    ``wave``), then decoded for real — RIFF header parse and all — and
+    reduced to integer features (sum|amp|, max, zero crossings). The
+    DuckDB oracle recomputes the features from the closed-form samples,
+    so encoder, decoder, and feature pass are all cross-engine hashed."""
+    from multiomix_aws_emr_spark.operators.audio import (
+        audio_decode_stats,
+        synthesize_wav_media,
+    )
+
+    d = scan_parallel(load(spark, sf_dir, "documents"))
+    media = synthesize_wav_media(d, id_col="doc_id")
+    return audio_decode_stats(media)
+
+
 @query("multimodal_framesample")  # rows-only: 1->N binary expansion
 def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling: each payload expands to every 4th
