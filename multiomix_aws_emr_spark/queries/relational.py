@@ -971,3 +971,104 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     why LATERAL is safe at fact-table cardinality here."""
     _register_views(spark, sf_dir, "region", "nation", "customer")
     return spark.sql(_LATERAL_SQL)
+
+
+_RECURSIVE_SPARK_SQL = """
+WITH RECURSIVE chain(start_key, node, depth) AS (
+  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey <= 200
+  UNION ALL
+  SELECT start_key, node DIV 2, depth + 1 FROM chain WHERE node > 1
+)
+SELECT CAST(depth AS INT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(start_key) AS BIGINT) AS sum_start
+FROM chain GROUP BY depth
+"""
+
+_RECURSIVE_ORACLE = """
+WITH RECURSIVE chain(start_key, node, depth) AS (
+  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey <= 200
+  UNION ALL
+  SELECT start_key, node // 2, depth + 1 FROM chain WHERE node > 1
+)
+SELECT CAST(depth AS INTEGER) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(start_key) AS BIGINT) AS sum_start
+FROM chain GROUP BY depth
+"""
+
+
+@query("sql_recursive_chain", oracle=_RECURSIVE_ORACLE)
+def sql_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk each seed part's
+    halving chain p -> p DIV 2 -> ... -> 1 (a synthetic parent edge — the
+    fixtures carry no natural hierarchy) and profile chain population per
+    depth. Execution is Catalyst's iterative union-loop: one join/filter
+    round per level, depth bounded by log2(max key) — the same bounded-
+    iteration shape as dedup_minhash_components' label propagation, but
+    expressed purely in SQL. DuckDB runs the identical CTE (dialect diff:
+    DIV vs //)."""
+    _register_views(spark, sf_dir, "part")
+    return spark.sql(_RECURSIVE_SPARK_SQL)
+
+
+_BUCKETED_JOIN_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE o_orderstatus = 'F'
+GROUP BY c_mktsegment
+"""
+
+
+@query("join_bucketed_colocated", oracle=_BUCKETED_JOIN_ORACLE)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free co-located join off bucketed storage (the 100 TB
+    strategy for repeatedly-joined facts): customer and orders are
+    written ONCE as bucketed tables hash-partitioned on the customer key
+    (sources/bucketed.py, 8 buckets, sorted within buckets), then the
+    join reads matching buckets side by side — the physical plan carries
+    NO shuffle Exchange on either side (asserted in
+    tests/test_plans.py::test_bucketed_join_has_no_exchange and again in
+    test_bucketed_join_query_plan). At production scale the bucketed
+    write amortizes one shuffle across every future join on that key.
+    The bucketed copy is cached on disk per sf and only rebuilt when
+    missing, so repeat runs measure the JOIN, not the one-time layout."""
+    import os as _os
+
+    from multiomix_aws_emr_spark.queries.formats import _scratch
+    from multiomix_aws_emr_spark.sources.bucketed import write_bucketed
+
+    # table names carry the sf tag: the catalog is session-global, so a
+    # session touching two sf dirs must not alias one path under the other
+    tag = _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
+    cust_tbl, ord_tbl = f"bkt_customer_{tag}", f"bkt_orders_{tag}"
+    for name, path, table, keys in (
+        ("customer", _scratch(sf_dir, "bucketed_customer"), cust_tbl,
+         ["c_custkey"]),
+        ("orders", _scratch(sf_dir, "bucketed_orders"), ord_tbl,
+         ["o_custkey"]),
+    ):
+        exists = _os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in _os.listdir(path)
+        )
+        if not exists or not spark.catalog.tableExists(table):
+            write_bucketed(
+                load(spark, sf_dir, name),
+                table=table,
+                path=path,
+                by=keys,
+                n_buckets=8,
+                sort_cols=keys,
+            )
+    c = spark.table(cust_tbl)
+    o = spark.table(ord_tbl).filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

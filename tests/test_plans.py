@@ -485,3 +485,21 @@ def test_zstd_recompression_shrinks_files(spark, sf_dir):
         )
 
     assert 0 < du(zstd_dir) < du(raw_dir)
+
+
+def test_bucketed_join_query_plan(spark, sf_dir):
+    """The declared join_bucketed_colocated query reads bucketed tables:
+    no shuffle Exchange may appear below the join (the final groupBy's
+    exchange on c_mktsegment is expected and fine)."""
+    from multiomix_aws_emr_spark.queries import QUERIES
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["join_bucketed_colocated"](spark, sf_dir)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(c_custkey" not in plan, plan
+        assert "Exchange hashpartitioning(o_custkey" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
