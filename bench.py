@@ -35,11 +35,17 @@ def main() -> None:
     # Warm the JVM/codegen paths and every table's first scan (file
     # listing, footer reads) once before timing, so per-query numbers
     # measure the query, not cold-FS noise on whichever query sorts first.
-    _force(QUERIES["flagship_revenue_by_region"](spark, sf_dir))
+    try:
+        _force(QUERIES["flagship_revenue_by_region"](spark, sf_dir))
+    except Exception:
+        pass
     from multiomix_aws_emr_spark.sources.tables import TABLE_NAMES, load
 
     for t in TABLE_NAMES:
-        load(spark, sf_dir, t).write.mode("overwrite").format("noop").save()
+        try:
+            load(spark, sf_dir, t).write.mode("overwrite").format("noop").save()
+        except Exception:
+            pass
 
     # Warm the Python-UDF worker pool (one worker per core imports
     # pandas/numpy/pyarrow on first use — otherwise the alphabetically
@@ -54,10 +60,18 @@ def main() -> None:
         _identity, schema="id long"
     ).write.mode("overwrite").format("noop").save()
 
+    # Failure-isolated: one broken query loses its own number, never the
+    # whole artifact (r3 lesson — a single loader bug zeroed the round's
+    # only performance signal).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for qid in sorted(QUERIES):
         start = time.perf_counter()
-        _force(QUERIES[qid](spark, sf_dir))
+        try:
+            _force(QUERIES[qid](spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 - record and continue
+            errors[qid] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
         timings[qid] = round(time.perf_counter() - start, 2)
 
     total = round(sum(timings.values()), 2)
@@ -88,6 +102,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(timings),
+        "n_errors": len(errors),
         "median_sec": median,
         "load_probe_sec": load_probe,
         "queries": slowest,
@@ -99,6 +114,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "errors": errors,
         "sf": sf_val,
         "n_queries": len(timings),
         "median_sec": median,

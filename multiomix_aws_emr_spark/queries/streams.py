@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multiomix_aws_emr_spark.queries.registry import query
-from multiomix_aws_emr_spark.sources.tables import events_v, with_events_v
+from multiomix_aws_emr_spark.sources.tables import events_v, with_events_v, ts_ms_expr
 
 
 @query(
@@ -295,7 +295,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     ev = stream.select(
-        F.expr("ts div 1000000").alias("ts_ms"), "user_id", "value"
+        ts_ms_expr(stream).alias("ts_ms"), "user_id", "value"
     )
     joined = ev.join(
         F.broadcast(static_dim), ev.user_id % 5 == static_dim.bucket

@@ -5,8 +5,10 @@ The configuration set carries the operational lessons of the reference
 cross-engine determinism requirements of the oracle harness:
 
 - UTC session timezone (timestamp->date casts must agree with DuckDB),
-- ``nanosAsLong`` parquet read (the events fixture is TIMESTAMP(NANOS);
-  stock Spark 4.x refuses it — verified recipe, SURVEY.md §7.5.1),
+- ``nanosAsLong`` parquet read (older events fixtures were
+  TIMESTAMP(NANOS), which stock Spark 4.x refuses; newer fixtures are
+  TIMESTAMP(MICROS), for which the conf is a harmless no-op — the reader
+  dispatches on the arrived dtype via ``sources.tables.ts_ms_expr``),
 - AQE on (runtime re-planning: skew joins, partition coalescing),
 - Arrow on (vectorized pandas UDF exchange — the fast path for every
   ``applyInPandas`` / ``mapInPandas`` operator in this engine).

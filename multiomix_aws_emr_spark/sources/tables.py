@@ -5,11 +5,14 @@ table under an sf directory. Loading is a plain ``spark.read.parquet`` —
 column pruning and predicate pushdown then happen for free in the scan
 (verify with ``.explain``: ``ReadSchema`` / ``PushedFilters``).
 
-``events.ts`` is parquet TIMESTAMP(NANOS). With
-``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as a bigint of
-nanoseconds; every query standardizes on ``ts_ms = ts div 1000000`` which
-truncates exactly like DuckDB's ``epoch_ms(ts)`` (verified — SURVEY.md
-§7.5.1).
+``events.ts`` has shipped in two physical parquet encodings across fixture
+generations: TIMESTAMP(NANOS) (arrives as a nanosecond bigint under
+``spark.sql.legacy.parquet.nanosAsLong=true``) and TIMESTAMP(MICROS,
+isAdjustedToUTC=false) (arrives as TIMESTAMP_NTZ; the nanos conf is then a
+no-op). Every query standardizes on ``ts_ms`` epoch milliseconds via
+:func:`ts_ms_expr`, which dispatches on the dtype that actually arrived —
+both paths truncate exactly like DuckDB's ``epoch_ms(ts)`` (SURVEY.md
+§7.5.1; the NTZ→TZ cast is exact because the session timezone is UTC).
 """
 
 from __future__ import annotations
@@ -76,16 +79,36 @@ def scan_parallel(df: DataFrame) -> DataFrame:
     return df
 
 
+def ts_ms_expr(df: DataFrame):
+    """Normalize an events frame's ``ts`` to epoch milliseconds (bigint).
+
+    Dispatches on the dtype ``ts`` actually arrived as, so the engine reads
+    every fixture generation (and both static and streaming frames):
+
+    - ``bigint``: nanoseconds (TIMESTAMP(NANOS) parquet under the
+      ``nanosAsLong`` conf) → ``ts div 1000000``.
+    - ``timestamp`` / ``timestamp_ntz``: TIMESTAMP(MICROS) parquet →
+      ``unix_millis(cast(ts as timestamp))``. With a UTC session timezone
+      the NTZ→TZ cast is exact, and unix_millis' micros→millis floor
+      matches DuckDB ``epoch_ms``.
+    """
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":
+        return F.expr("ts div 1000000")
+    return F.unix_millis(F.col("ts").cast("timestamp"))
+
+
 def events_v(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The normalized events view: ``ts`` (ns bigint) -> ``ts_ms`` (ms bigint).
+    """The normalized events view: ``ts`` -> ``ts_ms`` (epoch-ms bigint).
 
     Mirrors the DuckDB-side view used in every oracle:
     ``SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value,
     props FROM events``.
     """
-    return load(spark, sf_dir, "events").select(
+    df = load(spark, sf_dir, "events")
+    return df.select(
         "event_id",
-        F.expr("ts div 1000000").alias("ts_ms"),
+        ts_ms_expr(df).alias("ts_ms"),
         "user_id",
         "event_type",
         "value",

@@ -21,13 +21,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multiomix_aws_emr_spark.session import configure
+from multiomix_aws_emr_spark.sources.tables import ts_ms_expr
 
 
 def dedup_plan(events_stream: DataFrame) -> DataFrame:
     """Drop re-delivered events by event_id within a 1-hour watermark,
     then count survivors per event_type (ts as bigint ns)."""
     ev = events_stream.select(
-        "event_id", "event_type", F.expr("ts div 1000000").alias("ts_ms")
+        "event_id", "event_type", ts_ms_expr(events_stream).alias("ts_ms")
     ).withColumn("tts", F.timestamp_millis("ts_ms"))
     deduped = ev.withWatermark("tts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multiomix_aws_emr_spark.session import configure
+from multiomix_aws_emr_spark.sources.tables import ts_ms_expr
 
 INTERVAL_MS = 30 * 60 * 1000
 
@@ -51,7 +52,7 @@ def interval_join_plan(events: DataFrame, *, how: str = "inner") -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        F.timestamp_millis(F.expr("ts div 1000000")).alias("tts"),
+        F.timestamp_millis(ts_ms_expr(events)).alias("tts"),
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

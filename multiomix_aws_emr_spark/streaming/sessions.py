@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multiomix_aws_emr_spark.session import configure
+from multiomix_aws_emr_spark.sources.tables import ts_ms_expr
 
 
 def session_window_plan(events_stream: DataFrame) -> DataFrame:
@@ -33,7 +34,7 @@ def session_window_plan(events_stream: DataFrame) -> DataFrame:
     DataFrame (ts as bigint ns): same output contract as the batch
     `window_sessionize` query."""
     ev = events_stream.select(
-        F.expr("ts div 1000000").alias("ts_ms"), "user_id", "value"
+        ts_ms_expr(events_stream).alias("ts_ms"), "user_id", "value"
     ).withColumn("tts", F.timestamp_millis("ts_ms"))
     return (
         ev.withWatermark("tts", "1 hour")

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multiomix_aws_emr_spark.session import configure
+from multiomix_aws_emr_spark.sources.tables import ts_ms_expr
 
 
 def rollup_plan(events_stream: DataFrame) -> DataFrame:
@@ -36,7 +37,7 @@ def rollup_plan(events_stream: DataFrame) -> DataFrame:
     ~2s per bounded run at sf0.1 vs hourly. The hourly tier stays a
     query-time rollup (`agg_time_rollup_multi`)."""
     ev = events_stream.select(
-        F.expr("ts div 1000000").alias("ts_ms"), "event_type", "value"
+        ts_ms_expr(events_stream).alias("ts_ms"), "event_type", "value"
     ).withColumn("tts", F.timestamp_millis("ts_ms"))
     return (
         ev.withWatermark("tts", "1 hour")

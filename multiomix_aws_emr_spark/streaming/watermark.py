@@ -25,13 +25,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multiomix_aws_emr_spark.session import configure
+from multiomix_aws_emr_spark.sources.tables import ts_ms_expr
 
 
 def watermarked_tumbling_plan(events_stream: DataFrame) -> DataFrame:
     """1h-watermark + 1h-tumbling count/sum per event_type over a streaming
     events DataFrame (ts as bigint ns, as read with nanosAsLong)."""
     ev = events_stream.select(
-        F.expr("ts div 1000000").alias("ts_ms"), "event_type", "value"
+        ts_ms_expr(events_stream).alias("ts_ms"), "event_type", "value"
     ).withColumn("tts", F.timestamp_millis("ts_ms"))
     return (
         ev.withWatermark("tts", "1 hour")
