@@ -171,11 +171,25 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")  # rows-only: fake extractor, no SQL twin
+_FEATURES_ORACLE = r"""
+SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(length(regexp_replace(text, '[^\x60-\x6f]', '', 'g')) AS BIGINT)
+         AS bucket6
+FROM documents
+"""
+
+
+@query("multimodal_features", oracle=_FEATURES_ORACLE)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary payloads
-    (byte histogram stand-in; real codecs plug into
-    operators/multimodal.decode_media)."""
+    (16-bucket byte histogram of ``byte >> 4``; real codecs plug into
+    operators/multimodal.decode_media).
+
+    Oracle-checked: bucket 6 counts payload bytes in 0x60-0x6F, and in
+    UTF-8 those byte values occur ONLY as the ASCII code points 0x60-0x6F
+    (continuation bytes are 0x80+, lead bytes 0xC2+), so the DuckDB twin
+    can recompute it as a character-class count over the text — exact for
+    any UTF-8 content, not just ASCII fixtures."""
     from multiomix_aws_emr_spark.operators.multimodal import (
         attach_binary_payload,
         byte_histogram_features,
@@ -400,11 +414,30 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_decode_stats(media)
 
 
-@query("multimodal_framesample")  # rows-only: 1->N binary expansion
+_FRAMESAMPLE_ORACLE = """
+SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       CAST(CASE WHEN n < 64 THEN n ELSE 64 END AS INTEGER) AS n_frame_bytes
+FROM (
+  SELECT d.doc_id, octet_length(encode(d.text)) AS n,
+         unnest(range(0, GREATEST(1, octet_length(encode(d.text)) // 64)))
+           AS i
+  FROM documents d
+)
+WHERE i % 4 = 0
+"""
+
+
+@query("multimodal_framesample", oracle=_FRAMESAMPLE_ORACLE)
 def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling: each payload expands to every 4th
     64-byte 'frame' row (operators/multimodal.sample_frames). Returns
-    (doc_id, frame_idx, n_frame_bytes)."""
+    (doc_id, frame_idx, n_frame_bytes).
+
+    Oracle-checked closed form: a payload of n bytes has
+    ``greatest(1, n // 64)`` frames; sampled indices are the multiples of
+    the stride below that; every frame is exactly 64 bytes except the
+    single short frame of an under-64-byte payload (the 1->N expansion,
+    frame boundaries, and tail handling all hash cross-engine)."""
     from multiomix_aws_emr_spark.operators.multimodal import (
         attach_binary_payload,
         sample_frames,
