@@ -270,11 +270,20 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fitted spherical-k-means centroids, probe the n_probe nearest cells
     per query (operators/similarity.ivf_topk). The second ANN tier beside
     random-hyperplane LSH; recall vs brute force (and vs the untrained
-    sample quantizer) is unit-tested."""
-    from multiomix_aws_emr_spark.operators.similarity import ivf_topk
+    sample quantizer) is unit-tested.
+
+    Self-reporting: every row carries ``recall_at_k`` vs the exact
+    brute-force top-k on the same bounded query set, so the rows-only
+    check asserts retrieval quality, not just row count (deterministic —
+    seeded k-means, seeded tie-break)."""
+    from multiomix_aws_emr_spark.operators.similarity import (
+        exact_topk,
+        ivf_topk,
+        with_recall_at_k,
+    )
 
     e = scan_parallel(load(spark, sf_dir, "embeddings"))
-    return ivf_topk(
+    approx = ivf_topk(
         e,
         id_col="vec_id",
         vec_col="embedding",
@@ -283,6 +292,10 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=16,
         n_probe=4,
     )
+    exact = exact_topk(
+        e, id_col="vec_id", vec_col="embedding", query_ids=[0, 1], k=5
+    )
+    return with_recall_at_k(approx, exact, 5)
 
 
 @query(

@@ -144,13 +144,24 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH bucketing: candidates only
     within matching sign-buckets, exact cosine re-rank inside buckets.
     The 100 TB scale path for similarity_topk (accuracy tested against
-    brute force in tests/test_operators.py)."""
-    from multiomix_aws_emr_spark.operators.similarity import ann_lsh_topk
+    brute force in tests/test_operators.py).
+
+    Self-reporting: every row carries ``recall_at_k`` vs the exact
+    brute-force top-k on the same bounded query set, so the rows-only
+    check asserts retrieval quality, not just row count (deterministic —
+    seeded hyperplanes, seeded tie-break)."""
+    from multiomix_aws_emr_spark.operators.similarity import (
+        ann_lsh_topk,
+        exact_topk,
+        with_recall_at_k,
+    )
 
     e = scan_parallel(load(spark, sf_dir, "embeddings"))
-    return ann_lsh_topk(
+    approx = ann_lsh_topk(
         e, id_col="vec_id", vec_col="embedding", query_ids=[0], k=5, n_planes=8
     )
+    exact = exact_topk(e, id_col="vec_id", vec_col="embedding", query_ids=[0], k=5)
+    return with_recall_at_k(approx, exact, 5)
 
 
 _FUZZY_ORACLE = """

@@ -482,3 +482,28 @@ def test_zvalue_is_bijective_and_bounded(spark):
         a = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
         b = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
         assert (a, b) == (r.a, r.b)
+
+
+def test_recall_self_report(spark, sf_dir):
+    """The declared ANN queries carry a recall_at_k column that equals the
+    recomputed |approx ∩ exact| / k — and exact_topk's own recall vs
+    itself is 1.0 by construction."""
+    from multiomix_aws_emr_spark.operators.similarity import (
+        exact_topk,
+        with_recall_at_k,
+    )
+    from multiomix_aws_emr_spark.queries.similarity import similarity_ann_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = exact_topk(emb, id_col="vec_id", vec_col="embedding", query_ids=[0], k=5)
+    self_rec = with_recall_at_k(exact, exact, 5)
+    assert {r.recall_at_k for r in self_rec.collect()} == {1.0}
+
+    rows = similarity_ann_lsh(spark, sf_dir).collect()
+    assert rows, "ann query returned nothing"
+    reported = {r.recall_at_k for r in rows}
+    assert len(reported) == 1  # constant per query
+    got_ids = {r.id_b for r in rows}
+    true_ids = {r.id_b for r in exact.collect()}
+    assert reported == {round(len(got_ids & true_ids) / 5, 4)}
+    assert 0.0 <= next(iter(reported)) <= 1.0
