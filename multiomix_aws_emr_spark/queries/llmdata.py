@@ -858,3 +858,126 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_N_SHARDS = 8
+
+
+def _shuffle_shards_oracle() -> str:
+    from multiomix_aws_emr_spark.functions.porthash import phash60_sql
+
+    h = phash60_sql("CAST(doc_id AS VARCHAR)", seed=7)
+    return f"""
+WITH h AS (SELECT doc_id, {h} AS hh FROM documents)
+SELECT doc_id, CAST(hh % {_N_SHARDS} AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hh % {_N_SHARDS}
+            ORDER BY hh, doc_id) AS INTEGER) AS pos
+FROM h
+"""
+
+
+@query("pipeline_shuffle_shards", oracle=_shuffle_shards_oracle())
+def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards — the data-order
+    step of a pretraining pipeline. Each doc gets a portable seeded hash;
+    shard = hash mod N, position = rank of the hash within the shard. The
+    result is a reproducible pseudo-random permutation (same on every
+    engine, every run, any partitioning — auditable epochs, resumable
+    from any shard/offset) with no RNG state anywhere.
+
+    Scale shape: the hash is a narrow projection fused into the scan; the
+    only shuffle is the partitionBy(shard) exchange — exactly the exchange
+    a sharded training-set WRITE needs anyway (repartition by shard +
+    sortWithinPartitions(hash) feeds the writer in final order), so
+    ordering costs nothing extra at 100 TB. Within-shard rank is a local
+    sort per shard, never a global sort."""
+    from pyspark.sql.window import Window
+
+    from multiomix_aws_emr_spark.functions.porthash import phash60
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", phash60(F.col("doc_id").cast("string"), seed=7).alias("_h")
+    )
+    shard = (F.col("_h") % _N_SHARDS).cast("int")
+    w = Window.partitionBy("shard").orderBy("_h", "doc_id")
+    return (
+        d.select("doc_id", "_h", shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+_MIX_WEIGHTS = {"en": 0.4, "zh": 0.2, "fr": 0.2, "de": 0.1, "es": 0.1}
+
+
+def _domain_mix_oracle() -> str:
+    from multiomix_aws_emr_spark.functions.porthash import phash60_sql
+
+    h = phash60_sql("CAST(doc_id AS VARCHAR)", seed=13)
+    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items())
+    return f"""
+WITH avail AS (
+  SELECT lang, CASE lang {cases} ELSE 0 END AS w, COUNT(*) AS n
+  FROM documents GROUP BY lang
+), feas AS (
+  SELECT MIN(n / w) AS t FROM avail WHERE w > 0
+), rates AS (
+  SELECT lang, n, LEAST(1.0, w * t / n) AS rate FROM avail, feas WHERE w > 0
+)
+SELECT d.lang, CAST(MIN(r.n) AS BIGINT) AS n_avail,
+       ROUND(MIN(r.rate), 6) AS rate_r,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE {h} < r.rate * 1152921504606846976
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+@query("pipeline_domain_mix", oracle=_domain_mix_oracle())
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Availability-constrained domain-mixture sampling: hit target corpus
+    weights per domain (here ``lang``) at the largest total the data
+    supports. Feasible total t = min(n_d / w_d); per-domain rate =
+    min(1, w_d * t / n_d); selection is the deterministic portable-hash
+    filter (no RNG — reproducible and cross-engine checkable). This is the
+    mixture step of pretraining recipes (fixed domain proportions under
+    per-domain availability), one level above sample_stratified's
+    hand-given rates: the rates here are COMPUTED from the corpus.
+
+    Scale shape: domain stats are one tiny hash agg (|domains| rows); the
+    feasible-total reduction and rate computation stay on that tiny frame;
+    rates broadcast back onto the corpus; the keep decision is a narrow
+    per-row filter fused into the scan. One full-corpus shuffle total (the
+    final per-domain count), nothing proportional to corpus size moves."""
+    from multiomix_aws_emr_spark.functions.porthash import phash60
+
+    d = load(spark, sf_dir, "documents")
+    wmap = F.create_map(
+        *[F.lit(x) for kv in _MIX_WEIGHTS.items() for x in kv]
+    )
+    avail = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", wmap[F.col("lang")])
+        .filter(F.col("w").isNotNull() & (F.col("w") > 0))
+    )
+    feas = avail.agg(F.min(F.col("n") / F.col("w")).alias("t"))
+    rates = avail.crossJoin(F.broadcast(feas)).select(
+        "lang",
+        "n",
+        F.least(F.lit(1.0), F.col("w") * F.col("t") / F.col("n")).alias("rate"),
+    )
+    keep = phash60(F.col("doc_id").cast("string"), seed=13) < F.col(
+        "rate"
+    ) * F.lit(1152921504606846976)
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(keep)
+        .groupBy("lang")
+        .agg(
+            F.min("n").alias("n_avail"),
+            F.round(F.min("rate"), 6).alias("rate_r"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
