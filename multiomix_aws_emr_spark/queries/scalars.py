@@ -240,9 +240,25 @@ def variant_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle rebuilds the same document and reads the same paths with its
     JSON operators — cross-engine JSON-array parity. Built-ins only; the
     exploded array comes from variant_get, not a lambda HOF (the Janino
-    recompile trap documented in operators/dedup.py does not apply)."""
-    ev = scan_parallel(events_v(spark, sf_dir))
-    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    recompile trap documented in operators/dedup.py does not apply).
+
+    Plan shape (the 4.4s -> ~0.6s lesson, r4): (a) extract ``k`` in its
+    own projection BELOW the widening exchange — one props parse per row,
+    and the exchange ships a small int instead of the raw JSON string;
+    (b) keep the doc variant in an ALIASED intermediate select — referenced
+    twice, it is not cheap, so CollapseProject materializes it once instead
+    of inlining the parse into every consumer (the original inlined
+    parse_json(props) six times); (c) posexplode_outer + a pos-not-null
+    filter instead of posexplode — InferFiltersFromGenerate otherwise adds
+    ``size(tags)>0 AND isnotnull(tags)``, which predicate pushdown sinks
+    BELOW the exchange where it re-evaluates the entire doc pipeline
+    inside the single pre-exchange scan task."""
+    ev = events_v(spark, sf_dir).select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+    )
+    ev = scan_parallel(ev)
+    k = F.col("k")
     doc = F.format_string(
         '{"k": %d, "tags": [%d, %d, %d], "nest": {"vals": [%d, %d]}}',
         k, k % 7, k % 5, k % 3, k, k * 2,
@@ -254,8 +270,8 @@ def variant_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("variant_get(v, '$.nest.vals[1]', 'bigint')").alias("val1"),
     )
     ex = shred.select(
-        "event_type", F.posexplode("tags").alias("pos", "tag"), "val1"
-    )
+        "event_type", F.posexplode_outer("tags").alias("pos", "tag"), "val1"
+    ).filter(F.col("pos").isNotNull())
     return ex.groupBy("event_type", "pos").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("tag").cast("bigint").alias("sum_tag"),
