@@ -62,6 +62,25 @@ def _group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _bucket_group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-user stats for a whole hash bucket of users in ONE
+    Python call: pandas groupby does the per-group n / NaN-skipping mean /
+    population std (ddof=0, matching SQL STDDEV_POP and the reference's
+    idle-time sigma, metaheuristics.py:707-714 R20)."""
+    g = pdf.groupby("user_id", sort=False)
+    n = g.size()
+    mean = g["value"].mean()
+    sd = g["value"].std(ddof=0)
+    return pd.DataFrame(
+        {
+            "user_id": n.index.to_numpy(),
+            "n": n.to_numpy(),
+            "mean_v": mean.reindex(n.index).to_numpy(),
+            "sd_pop": sd.reindex(n.index).to_numpy(),
+        }
+    )
+
+
 @query(
     "udaf_group_stats",
     oracle=with_events_v(
@@ -74,10 +93,26 @@ def udaf_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's per-partition fitness evaluation (metaheuristics.py:214-222
     mapPartitions, R9) on the Arrow fast path. Rounding happens JVM-side
     AFTER the UDF (SQL ROUND is half-away-from-zero; Python's round is
-    banker's)."""
-    ev = events_v(spark, sf_dir).select("user_id", "value")
-    raw = ev.groupBy("user_id").applyInPandas(
-        _group_stats, schema="user_id bigint, n bigint, mean_v double, sd_pop double"
+    banker's).
+
+    Grouping on a HASH BUCKET of users, not the raw user_id — the same
+    lesson as udf_cogroup_asof below: one Python call per user means one
+    tiny Arrow batch per group, while one call per bucket lets pandas
+    groupby vectorize every user in the bucket (measured 3.0s -> ~0.4s at
+    sf0.1). The explicit-count repartition pins the exchange width: AQE
+    otherwise coalesces the small pre-UDAF shuffle to ONE partition and
+    serializes every Python call."""
+    n_buckets = spark.sparkContext.defaultParallelism * 2
+    ev = events_v(spark, sf_dir).select(
+        "user_id", "value", F.pmod("user_id", F.lit(n_buckets)).alias("bucket")
+    )
+    raw = (
+        ev.repartition(n_buckets, "bucket")
+        .groupBy("bucket")
+        .applyInPandas(
+            lambda pdf: _bucket_group_stats(pdf.drop(columns=["bucket"])),
+            schema="user_id bigint, n bigint, mean_v double, sd_pop double",
+        )
     )
     return raw.select(
         "user_id",
