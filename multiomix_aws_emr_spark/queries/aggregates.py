@@ -174,35 +174,79 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: approx result has no exact oracle
+@query(
+    "agg_approx_distinct",
+    oracle=(
+        "SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact, "
+        "CAST(TRUE AS BOOLEAN) AS within_tol FROM lineitem"
+    ),
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct count — the sketch that replaces exact
-    COUNT(DISTINCT) at 100 TB (one pass, mergeable, no expand)."""
-    return load(spark, sf_dir, "lineitem").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("n_parts_approx")
+    COUNT(DISTINCT) at 100 TB (one pass, mergeable, no expand).
+
+    Oracle-checked via exact+tolerance: the exact distinct count hashes
+    cross-engine, and ``within_tol`` asserts the sketch estimate landed
+    within 5x its configured rsd (0.02) of exact — a broken sketch now
+    breaks the hash instead of slipping through a rows-only check. The
+    exact aggregate exists only as the verification twin; production
+    plans ship the sketch alone."""
+    sk = load(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("est"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
     )
+    err = F.abs(F.col("est") - F.col("n_parts_exact")) / F.col("n_parts_exact")
+    return sk.select("n_parts_exact", (err <= 0.1).alias("within_tol"))
 
 
-@query("agg_approx_quantiles")  # rows-only: sketch result has no exact oracle
+_APPROX_Q_ORACLE = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact,
+       ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99_exact,
+       CAST(TRUE AS BOOLEAN) AS ok50,
+       CAST(TRUE AS BOOLEAN) AS ok90,
+       CAST(TRUE AS BOOLEAN) AS ok99
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("agg_approx_quantiles", oracle=_APPROX_Q_ORACLE)
 def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna quantile sketch (approx_percentile) of order
     totals per status — the mergeable one-pass replacement for exact
     percentiles at 100 TB (no global sort, no full materialization).
-    Accuracy vs the exact quantile is unit-tested in tests/test_queries
-    via percentile_approx's documented error bound."""
+
+    Oracle-checked via exact+tolerance: exact percentiles hash
+    cross-engine (Spark ``percentile`` == DuckDB ``quantile_cont``, the
+    agg_percentiles parity), and each okXX asserts the sketch value lies
+    inside the exact [p-0.01, p+0.01] rank bracket — 10x the documented
+    GK rank guarantee (1/accuracy), because at small n the interpolated
+    exact bracket edge can cross the nearest data element within a
+    sub-rank margin. The exact aggregate is the verification twin;
+    production ships the sketch."""
     q = F.expr(
         "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 1000)"
     ).alias("p")
-    return (
-        load(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus")
-        .agg(q)
-        .select(
-            "o_orderstatus",
-            F.round(F.element_at("p", 1), 2).alias("p50"),
-            F.round(F.element_at("p", 2), 2).alias("p90"),
-            F.round(F.element_at("p", 3), 2).alias("p99"),
+    ex = F.expr(
+        "percentile(o_totalprice, array(0.5, 0.9, 0.99, "
+        "0.49, 0.51, 0.89, 0.91, 0.98, 1.0))"
+    ).alias("b")
+    agg = load(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(q, ex)
+
+    def ok(i: int, lo: int, hi: int):
+        return F.element_at("p", i).between(
+            F.element_at("b", lo), F.element_at("b", hi)
         )
+
+    return agg.select(
+        "o_orderstatus",
+        F.round(F.element_at("b", 1), 4).alias("p50_exact"),
+        F.round(F.element_at("b", 2), 4).alias("p90_exact"),
+        F.round(F.element_at("b", 3), 4).alias("p99_exact"),
+        ok(1, 4, 5).alias("ok50"),
+        ok(2, 6, 7).alias("ok90"),
+        ok(3, 8, 9).alias("ok99"),
     )
 
 
@@ -311,42 +355,72 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_kll_quantiles")  # rows-only: randomized sketch, no exact oracle
+_KLL_ORACLE = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(TRUE AS BOOLEAN) AS ok50, CAST(TRUE AS BOOLEAN) AS ok95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("agg_kll_quantiles", oracle=_KLL_ORACLE)
 def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL quantile sketch (Karnin-Lang-Liberty, DataSketches) of the
     extended price per return flag: one-pass, mergeable, bounded-memory —
     the 100 TB quantile path where even GK's per-group state is too big.
-    Emits the sketch's p50/p95 estimates plus the exact stream length the
-    sketch itself tracks (an internal consistency check the rows-only
-    gate can at least schema-verify)."""
+
+    Oracle-checked via exact+tolerance: ``n`` is the stream length the
+    sketch itself tracked (hashed against the oracle's COUNT(*) — a
+    dropped or double-merged batch breaks the hash), and ok50/ok95 assert
+    the sketch quantiles sit inside the exact +-0.05 rank bracket (k=200
+    normalized rank error ~1.65%; 3x margin)."""
     li = load(spark, sf_dir, "lineitem")
     sk = li.groupBy("l_returnflag").agg(
         F.kll_sketch_agg_double("l_extendedprice").alias("_sk"),
-        F.count(F.lit(1)).alias("n_exact"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.45, 0.55, 0.9, 1.0))"
+        ).alias("b"),
     )
+    q = lambda p: F.kll_sketch_get_quantile_double(F.col("_sk"), F.lit(p))
     return sk.select(
         "l_returnflag",
-        F.round(F.kll_sketch_get_quantile_double(F.col("_sk"), F.lit(0.5)), 2).alias("p50_est"),
-        F.round(F.kll_sketch_get_quantile_double(F.col("_sk"), F.lit(0.95)), 2).alias("p95_est"),
-        F.kll_sketch_get_n_double("_sk").alias("n_sketch"),
-        "n_exact",
+        F.kll_sketch_get_n_double("_sk").alias("n"),
+        q(0.5).between(F.element_at("b", 1), F.element_at("b", 2)).alias("ok50"),
+        q(0.95).between(F.element_at("b", 3), F.element_at("b", 4)).alias("ok95"),
     )
 
 
-@query("agg_hll_reaggregate")  # rows-only: sketch estimate, no exact oracle
+_HLL_REAGG_ORACLE = """
+SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs_exact,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_groups,
+       CAST(TRUE AS BOOLEAN) AS within_tol
+FROM orders
+"""
+
+
+@query("agg_hll_reaggregate", oracle=_HLL_REAGG_ORACLE)
 def agg_hll_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch re-aggregation: per-status HLL sketches of the
     distinct customer set, then a sketch UNION across groups for the
     global distinct — the pattern that lets a 100 TB pipeline keep
     per-shard sketches and combine them without touching raw data twice
-    (hll_sketch_agg -> hll_union_agg -> hll_sketch_estimate)."""
+    (hll_sketch_agg -> hll_union_agg -> hll_sketch_estimate).
+
+    Oracle-checked via exact+tolerance: exact global distinct and group
+    count hash cross-engine; ``within_tol`` asserts the UNIONED estimate
+    is within 10% of exact (lgConfigK=12 rsd ~1.6%; wide margin covers
+    the union), so a merge bug surfaces as a hash break."""
     o = load(spark, sf_dir, "orders")
     per_group = o.groupBy("o_orderstatus").agg(
         F.hll_sketch_agg("o_custkey").alias("_sk")
     )
-    return per_group.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("n_custs_est"),
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("est"),
         F.count(F.lit(1)).alias("n_groups"),
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("n_custs_exact"))
+    err = F.abs(F.col("est") - F.col("n_custs_exact")) / F.col("n_custs_exact")
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "n_custs_exact", "n_groups", (err <= 0.1).alias("within_tol")
     )
 
 
