@@ -473,3 +473,147 @@ def text_tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("term").alias("top_term"), "score")
     )
+
+
+_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))] AS bigrams
+  FROM t WHERE len(w) >= 2
+)
+SELECT doc_id,
+       CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+       ROUND(1.0 - len(list_distinct(bigrams)) / CAST(len(bigrams) AS DOUBLE),
+             4) AS rep_ratio
+FROM b
+"""
+
+
+@query("text_repetition_ratio", oracle=_REPETITION_ORACLE)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality rule): the fraction
+    of duplicate bigrams per document, ``1 - distinct/total``. Boilerplate
+    and degenerate generations repeat phrases; the filter threshold on
+    this ratio is one of the standard published pre-training quality
+    rules. Integer counts until one final division, so the value hashes
+    exactly cross-engine.
+
+    Scale shape: posexplode + window lead produce the bigram stream (the
+    dedup_ngram_jaccard tokenizer), then ONE aggregation keyed on doc_id
+    computes total and distinct together (count + count_distinct in the
+    same hash agg) — a single shuffle on doc_id, no self-join."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tok = d.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos", "tok")
+    )
+    big = tok.select(
+        "doc_id",
+        F.lead("tok", 1).over(w).alias("_nxt"),
+        F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)).alias("bg"),
+    ).filter(F.col("_nxt").isNotNull())
+    agg = big.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("bg").alias("n_distinct"),
+    )
+    rep = F.lit(1.0) - F.col("n_distinct") / F.col("n_bigrams").cast("double")
+    return agg.select(
+        "doc_id", "n_bigrams", F.round(rep, 4).alias("rep_ratio")
+    )
+
+
+_RARITY_ORACLE = """
+WITH t AS (
+  SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x <> ''))
+    AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, COUNT(*) AS n_tok FROM t GROUP BY tok
+), total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM t)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(n_total / n_tok), 4) AS rarity
+FROM t JOIN freq USING (tok), total
+GROUP BY doc_id
+"""
+
+
+@query("text_unigram_rarity", oracle=_RARITY_ORACLE)
+def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity score per document: the mean inverse
+    unigram probability of its tokens (avg over tokens of
+    total_tokens / token_count) — the transcendental-free stand-in for
+    mean surprisal under the corpus unigram LM. High = rare vocabulary
+    (specialist or noisy text), low = common filler; the
+    importance-weighting signal for quality-aware sampling. Division is
+    IEEE-exact per token (no log), so the rounded mean hashes
+    cross-engine.
+
+    Scale shape: the token stream is exploded ONCE into a cached single
+    pass: unigram counts are one hash agg over it; the corpus total is a
+    1-row broadcast; the per-doc score joins tokens to the frequency
+    table on the token key (shuffle equi-join — at 100 TB the frequency
+    table is Zipf-headed, so AQE's skew-join split handles the stopword
+    keys) and re-aggregates on doc_id."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = tok.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    return (
+        tok.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.col("n_total") / F.col("n_tok")), 4).alias(
+                "rarity"
+            ),
+        )
+    )
+
+
+_NGRAM_TOPK_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), b AS (
+  SELECT UNNEST([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
+  FROM t WHERE len(w) >= 2
+)
+SELECT bg, n FROM (
+  SELECT bg, CAST(COUNT(*) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bg) AS rn
+  FROM b GROUP BY bg
+) WHERE rn <= 10
+"""
+
+
+@query("text_ngram_topk", oracle=_NGRAM_TOPK_ORACLE)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram statistics: the 10 most frequent bigrams with
+    a total tie-break (count desc, then lexicographic) — the head of the
+    corpus bigram LM, the table n-gram-overlap filters and contamination
+    heuristics consult.
+
+    Scale shape: one explode + one hash agg + TakeOrderedAndProject for
+    the bounded top-k (no global sort materializes; partial aggregation
+    combines map-side, so the shuffle carries one row per distinct
+    bigram per partition)."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tok = d.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos", "tok")
+    )
+    big = tok.select(
+        "doc_id",
+        F.lead("tok", 1).over(w).alias("_nxt"),
+        F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)).alias("bg"),
+    ).filter(F.col("_nxt").isNotNull())
+    counts = big.groupBy("bg").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.col("n").desc(), "bg").limit(10).select("bg", "n")
