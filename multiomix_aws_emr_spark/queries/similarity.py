@@ -222,3 +222,79 @@ def dedup_entity_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uniq.select("id_a", "id_b", dist.cast("int").alias("dist")).filter(
         F.col("dist") <= 1
     )
+
+
+_CONTAINMENT_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS ws
+  FROM t WHERE len(w) >= 2
+)
+SELECT id_a, id_b, containment FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ROUND(len(list_intersect(a.ws, b.ws)) /
+               CAST(len(a.ws) AS DOUBLE), 5) AS containment
+  FROM s a JOIN s b ON a.doc_id <> b.doc_id
+  WHERE a.doc_id < 20
+) WHERE containment >= 0.8
+"""
+
+
+@query("dedup_containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup detection: |A ∩ B| / |A| >= 0.8 for query docs
+    A (doc_id < 20) against the whole corpus — catches SUBSET duplicates
+    (a doc quoted or wrapped inside a larger one) that symmetric Jaccard
+    misses: a 100-shingle doc fully contained in a 10,000-shingle page
+    has Jaccard ~0.01 but containment 1.0. The asymmetric measure is the
+    published boilerplate/quote-inclusion dedup signal MinHash cannot
+    estimate directly (it sketches the union, not |A|).
+
+    Scale shape: identical to dedup_ngram_jaccard — inverted shingle
+    index, tiny query side BROADCAST so the corpus never shuffles for the
+    probe, pairs with zero shared shingles never materialize, and the
+    denominator |A| rides the broadcast rows (no second corpus pass)."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    n_parts = max(
+        spark.sparkContext.defaultParallelism, d.rdd.getNumPartitions()
+    )
+    tok = (
+        d.repartition(n_parts, "doc_id")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+        .filter(F.col("tok") != "")
+    )
+    big = tok.select(
+        "doc_id",
+        F.lead("tok", 1).over(w).alias("_nxt"),
+        F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)).alias("_s"),
+    ).filter(F.col("_nxt").isNotNull())
+    sh = big.select("doc_id", F.xxhash64("_s").alias("s")).dropDuplicates(
+        ["doc_id", "s"]
+    )
+    shn = sh.select(
+        "doc_id",
+        "s",
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_sh"),
+    )
+    a = shn.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("id_a"), "s", F.col("n_sh").alias("n_a")
+    )
+    b = shn.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    shared = (
+        b.join(
+            F.broadcast(a),
+            (a.s == F.col("s_b")) & (F.col("id_a") != F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b", "n_a")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    c = F.round(F.col("shared") / F.col("n_a").cast("double"), 5)
+    return shared.select("id_a", "id_b", c.alias("containment")).filter(
+        F.col("containment") >= 0.8
+    )
