@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from multiomix_aws_emr_spark.session import configure
 from multiomix_aws_emr_spark.sources.tables import ts_ms_expr
+from multiomix_aws_emr_spark.streaming.util import bounded_state_partitions
 
 
 def dedup_plan(events_stream: DataFrame) -> DataFrame:
@@ -61,13 +62,14 @@ def run_streaming_dedup(
     )
     out = dedup_plan(stream)
     name = f"dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_dedup_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with bounded_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_dedup_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return spark.table(name)

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from multiomix_aws_emr_spark.session import configure
 from multiomix_aws_emr_spark.sources.tables import ts_ms_expr
+from multiomix_aws_emr_spark.streaming.util import bounded_state_partitions
 
 INTERVAL_MS = 30 * 60 * 1000
 
@@ -98,7 +99,7 @@ def run_stream_interval_join(
 
     out = interval_join_plan(stream(), how=how)
     table = f"ssj_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, bounded_state_partitions(spark):
         q = (
             out.writeStream.format("memory")
             .queryName(table)

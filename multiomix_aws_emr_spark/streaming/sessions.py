@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from multiomix_aws_emr_spark.session import configure
 from multiomix_aws_emr_spark.sources.tables import ts_ms_expr
+from multiomix_aws_emr_spark.streaming.util import bounded_state_partitions
 
 
 def session_window_plan(events_stream: DataFrame) -> DataFrame:
@@ -69,13 +70,14 @@ def run_streaming_sessions(
     )
     out = session_window_plan(stream)
     name = f"sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_sessions_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with bounded_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_sessions_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return spark.table(name)

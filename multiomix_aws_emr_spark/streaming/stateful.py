@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from multiomix_aws_emr_spark.session import configure
+from multiomix_aws_emr_spark.streaming.util import bounded_state_partitions
 
 _OUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
 _STATE_SCHEMA = "n bigint, s double"
@@ -80,7 +81,7 @@ def run_running_totals(
     )
     out = running_totals_plan(stream)
     table = f"st_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, bounded_state_partitions(spark):
         q = (
             out.writeStream.format("memory")
             .queryName(table)

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from multiomix_aws_emr_spark.session import configure
 from multiomix_aws_emr_spark.sources.tables import ts_ms_expr
+from multiomix_aws_emr_spark.streaming.util import bounded_state_partitions
 
 
 def rollup_plan(events_stream: DataFrame) -> DataFrame:
@@ -83,14 +84,15 @@ def run_rollup_upsert(
             .parquet(out_dir)
         )
 
-    q = (
-        out.writeStream.foreachBatch(upsert)
-        .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_upsert_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with bounded_state_partitions(spark):
+        q = (
+            out.writeStream.foreachBatch(upsert)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_upsert_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return spark.read.parquet(out_dir).select(
         "window_start_ms", "event_type", "n", "sum_value"
     )

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from multiomix_aws_emr_spark.session import configure
 from multiomix_aws_emr_spark.sources.tables import ts_ms_expr
+from multiomix_aws_emr_spark.streaming.util import bounded_state_partitions
 
 
 def watermarked_tumbling_plan(events_stream: DataFrame) -> DataFrame:
@@ -76,7 +77,7 @@ def run_watermarked_tumbling_with_drop_count(
     )
     out = watermarked_tumbling_plan(stream)
     table = f"wm_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, bounded_state_partitions(spark):
         q = (
             out.writeStream.format("memory")
             .queryName(table)

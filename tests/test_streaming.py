@@ -102,7 +102,11 @@ def test_rate_source_smoke_runs_same_plan_unbounded(spark):
     the event-time watermark advances."""
     from multiomix_aws_emr_spark.streaming.watermark import rate_source_smoke
 
-    stats = rate_source_smoke(spark, rows_per_second=200, min_batches=2)
+    # 60s budget: under full-suite load the default 30s window can miss
+    # the second non-empty micro-batch (observed flaky once at 30s)
+    stats = rate_source_smoke(
+        spark, rows_per_second=200, min_batches=2, timeout_sec=60.0
+    )
     assert stats["input_rows"] > 0
     assert stats["batches"] >= 2
     assert stats["watermark_set"]
