@@ -1072,3 +1072,64 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+_Q18_SQL = (
+    "SELECT c_name, c_custkey, o_orderkey, "
+    "CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_date, "
+    "ROUND(o_totalprice, 2) AS totalprice, "
+    "ROUND(SUM(l_quantity), 2) AS sum_qty "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE o_orderkey IN ("
+    "  SELECT l_orderkey FROM lineitem "
+    "  GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) "
+    "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice "
+    "ORDER BY totalprice DESC, o_orderkey LIMIT 20"
+)
+
+
+@query("sql_large_volume_customer", oracle=_Q18_SQL)
+def sql_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers) through the raw-SQL path: the
+    grouped-HAVING IN-subquery is the interesting plan — Catalyst
+    decorrelates it to an aggregate feeding a LEFT SEMI join on
+    l_orderkey, so the qualifying-order set is computed once and
+    semi-joins the fact scan (no correlated re-execution, no distinct
+    blowup). Identical text runs in DuckDB as the oracle; top-20 via
+    TakeOrderedAndProject with the o_orderkey tiebreak."""
+    for t in ("customer", "orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q18_SQL)
+
+
+_Q7_SQL = (
+    "SELECT supp_nation, cust_nation, l_year, "
+    "ROUND(SUM(volume), 2) AS revenue FROM ("
+    "  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "         CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year, "
+    "         l_extendedprice * (1 - l_discount) AS volume "
+    "  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey "
+    "  JOIN orders ON o_orderkey = l_orderkey "
+    "  JOIN customer ON c_custkey = o_custkey "
+    "  JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+    "  JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+    "  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2') "
+    "      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3'))"
+    ") GROUP BY supp_nation, cust_nation, l_year "
+    "ORDER BY supp_nation, cust_nation, l_year"
+)
+
+
+@query("sql_volume_shipping", oracle=_Q7_SQL)
+def sql_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping between two nations) through the raw-SQL
+    path: a 6-way join where the nation dimension joins TWICE under a
+    symmetric two-arm disjunction. Catalyst broadcasts both nation hops
+    and the disjunctive filter prunes after the second hop; the fact
+    table shuffles only for its two key joins. EXTRACT(YEAR ...) is cast
+    to INTEGER so both engines emit the same type; identical SQL text is
+    the DuckDB oracle."""
+    for t in ("supplier", "lineitem", "orders", "customer", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q7_SQL)
