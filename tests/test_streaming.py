@@ -289,3 +289,22 @@ def test_rollup_upsert_idempotent_double_run(spark, tmp_path):
         ((_BASE + day_ms) - (_BASE + day_ms) % day_ms, "view", 1, 2.0),
         ((_BASE + 2 * day_ms) - (_BASE + 2 * day_ms) % day_ms, "view", 1, 4.0),
     ]
+
+
+def test_bounded_state_partitions_restores_conf(spark):
+    from multiomix_aws_emr_spark.streaming.util import bounded_state_partitions
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with bounded_state_partitions(spark):
+        inside = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert inside >= 4
+        assert inside <= max(4, spark.sparkContext.defaultParallelism)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # restored even when the body raises
+    try:
+        with bounded_state_partitions(spark, 5):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "5"
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
