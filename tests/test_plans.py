@@ -503,3 +503,58 @@ def test_bucketed_join_query_plan(spark, sf_dir):
         assert "Exchange hashpartitioning(o_custkey" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_variant_explode_no_filter_below_exchange(spark, sf_dir):
+    """The r4 regression guard: the generator filter must NOT be inferred
+    and pushed below the widening exchange (it re-evaluated the whole doc
+    pipeline in the single pre-exchange scan task — 4.4s -> 0.74s fix)."""
+    plan = _plan(spark, sf_dir, "variant_array_explode")
+    # the pre-exchange side must only extract k: no Filter may sit between
+    # the scan and the exchange (a pos-null filter ABOVE the generate is
+    # fine — it appears after the exchange)
+    below_exchange = plan.split("Exchange")[-1]
+    assert "parse_json" not in below_exchange.split("Scan parquet")[0] or (
+        "Filter" not in below_exchange.split("Scan parquet")[0]
+    )
+    # generator outer mode: no size(...)>0 inferred filter anywhere
+    assert "size(variant_get" not in plan
+
+
+def test_udaf_exchange_pinned_against_aqe_coalesce(spark, sf_dir):
+    """The grouped-map UDAF must keep its explicit-width exchange
+    (REPARTITION_BY_NUM) — AQE coalescing it to one partition serializes
+    every Python call (3.0s -> 0.77s fix)."""
+    plan = _plan(spark, sf_dir, "udaf_group_stats")
+    assert "REPARTITION_BY_NUM" in plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_domain_mix_rates_broadcast_back(spark, sf_dir):
+    """pipeline_domain_mix: computed rates (|domains| rows) must broadcast
+    onto the corpus scan, never shuffle the corpus for the join."""
+    plan = _plan(spark, sf_dir, "pipeline_domain_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_containment_query_side_broadcasts(spark, sf_dir):
+    """dedup_containment: the inverted-index probe must be a broadcast
+    hash join (corpus side never shuffles for the candidate join)."""
+    plan = _plan(spark, sf_dir, "dedup_containment")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q18_subquery_decorrelates_to_semi_join(spark, sf_dir):
+    """TPC-H Q18's grouped-HAVING IN-subquery must plan as an aggregate
+    feeding a LEFT SEMI join, not a correlated re-execution."""
+    plan = _plan(spark, sf_dir, "sql_large_volume_customer")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q7_nation_hops_broadcast(spark, sf_dir):
+    """TPC-H Q7 joins nation twice under a disjunction: both hops must
+    broadcast (plus customer/supplier dims) — no shuffled dim join."""
+    plan = _plan(spark, sf_dir, "sql_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 3
