@@ -981,3 +981,132 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _curation_v3_oracle() -> str:
+    from multiomix_aws_emr_spark.functions.porthash import phash60_sql
+
+    keep_h = phash60_sql("CAST(doc_id AS VARCHAR)", seed=13)
+    shard_h = phash60_sql("CAST(doc_id AS VARCHAR)", seed=7)
+    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items())
+    return f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), rep AS (
+  SELECT doc_id,
+         1.0 - len(list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]))
+             / CAST(len(w) - 1 AS DOUBLE) AS rep_ratio
+  FROM tok WHERE len(w) >= 2
+), kept_q AS (
+  SELECT d.doc_id, d.lang FROM documents d JOIN rep USING (doc_id)
+  WHERE rep.rep_ratio <= 0.3 AND d.n_chars >= 50
+), avail AS (
+  SELECT lang, CASE lang {cases} ELSE 0 END AS w, COUNT(*) AS n
+  FROM kept_q GROUP BY lang
+), feas AS (SELECT MIN(n / w) AS t FROM avail WHERE w > 0),
+rates AS (
+  SELECT lang, LEAST(1.0, w * t / n) AS rate FROM avail, feas WHERE w > 0
+), sel AS (
+  SELECT k.doc_id, k.lang FROM kept_q k JOIN rates r ON k.lang = r.lang
+  WHERE {keep_h} < r.rate * 1152921504606846976
+), sharded AS (
+  SELECT doc_id, lang, {shard_h} AS hh FROM sel
+), pos AS (
+  SELECT lang, CAST(hh % {_N_SHARDS} AS INTEGER) AS shard,
+         ROW_NUMBER() OVER (PARTITION BY hh % {_N_SHARDS}
+                            ORDER BY hh, doc_id) AS p
+  FROM sharded
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p) AS BIGINT) AS pos_checksum,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM pos GROUP BY shard ORDER BY shard
+"""
+
+
+@query("pipeline_curation_v3", oracle=_curation_v3_oracle())
+def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 curation flagship: intra-doc quality rule -> computed
+    domain mixture -> deterministic sampling -> training-shard layout, ONE
+    Catalyst plan end to end.
+
+    1. quality: drop docs with duplicate-bigram ratio > 0.3 or < 50 chars
+       (the Gopher-style repetition rule, computed relationally);
+    2. mixture: availability-constrained per-language rates from the
+       SURVIVORS (t = min(n_d/w_d), rate = min(1, w_d*t/n_d));
+    3. selection: seeded portable-hash keep-filter (auditable, RNG-free);
+    4. layout: seeded hash shard + within-shard rank.
+
+    Output is one row per shard with a RANK-INTEGRITY checksum: sum of
+    within-shard positions must equal n(n+1)/2, and the oracle recomputes
+    it independently — a duplicated, dropped, or misordered rank anywhere
+    in the composition breaks the cross-engine hash.
+
+    Scale shape: the bigram pass is one shuffle on doc_id; mixture stats
+    are a tiny agg broadcast back; selection is a narrow filter; the only
+    other full shuffle is the partitionBy(shard) exchange the sharded
+    WRITE needs anyway. Nothing driver-side, nothing quadratic."""
+    from pyspark.sql.window import Window
+
+    from multiomix_aws_emr_spark.functions.porthash import phash60
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    big = tok.select(
+        "doc_id",
+        F.lead("tok", 1).over(w).alias("_nxt"),
+        F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)).alias("bg"),
+    ).filter(F.col("_nxt").isNotNull())
+    rep = big.groupBy("doc_id").agg(
+        (
+            F.lit(1.0)
+            - F.countDistinct("bg") / F.count(F.lit(1)).cast("double")
+        ).alias("rep_ratio")
+    )
+    kept_q = (
+        d.join(rep, "doc_id")
+        .filter((F.col("rep_ratio") <= 0.3) & (F.col("n_chars") >= 50))
+        .select("doc_id", "lang")
+    )
+    wmap = F.create_map(*[F.lit(x) for kv in _MIX_WEIGHTS.items() for x in kv])
+    avail = (
+        kept_q.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", wmap[F.col("lang")])
+        .filter(F.col("w").isNotNull() & (F.col("w") > 0))
+    )
+    feas = avail.agg(F.min(F.col("n") / F.col("w")).alias("t"))
+    rates = avail.crossJoin(F.broadcast(feas)).select(
+        "lang",
+        F.least(F.lit(1.0), F.col("w") * F.col("t") / F.col("n")).alias("rate"),
+    )
+    sel = (
+        kept_q.join(F.broadcast(rates), "lang")
+        .filter(
+            phash60(F.col("doc_id").cast("string"), seed=13)
+            < F.col("rate") * F.lit(1152921504606846976)
+        )
+        .select("doc_id", "lang")
+    )
+    sharded = sel.select(
+        "doc_id", "lang", phash60(F.col("doc_id").cast("string"), seed=7).alias("hh")
+    )
+    shard = (F.col("hh") % _N_SHARDS).cast("int")
+    ws = Window.partitionBy("shard").orderBy("hh", "doc_id")
+    pos = (
+        sharded.select("doc_id", "lang", "hh", shard.alias("shard"))
+        .withColumn("p", F.row_number().over(ws))
+    )
+    return (
+        pos.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("p").alias("pos_checksum"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("shard")
+    )
