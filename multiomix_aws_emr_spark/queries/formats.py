@@ -401,3 +401,40 @@ def secure_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("acctbal_band"),
         "c_mktsegment",
     )
+
+
+_PYDS_ORACLE = """
+SELECT f AS feature_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+       ROUND(AVG(((s * 31 + f * 17) % 1000) / 10.0), 4) AS avg_value,
+       ROUND(MAX(((s * 31 + f * 17) % 1000) / 10.0), 1) AS max_value
+FROM range(0, 200) t(s), range(0, 64) u(f)
+GROUP BY f
+"""
+
+
+@query("source_python_datasource", oracle=_PYDS_ORACLE)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector through the Spark 4 Python Data Source API
+    (sources/pydatasource.py): a registered DataSource with real partition
+    planning (one feature block per InputPartition) whose partitions emit
+    Arrow RecordBatches — the 6th user surface, re-founding the
+    reference's driver-side matrix ingest (scripts/utils.py:38-63) as a
+    distributed source. The cell value is closed-form, so the oracle
+    recomputes per-feature aggregates over the identical matrix: the
+    connector's partitioning, option plumbing, and Arrow batch assembly
+    all sit under the cross-engine hash."""
+    from multiomix_aws_emr_spark.sources.pydatasource import register
+
+    register(spark)
+    m = (
+        spark.read.format("omics_matrix")
+        .option("n_samples", "200")
+        .option("n_features", "64")
+        .option("feature_block", "8")
+        .load()
+    )
+    return m.groupBy("feature_id").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.max("value"), 1).alias("max_value"),
+    )
