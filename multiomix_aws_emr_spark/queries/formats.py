@@ -438,3 +438,29 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 4).alias("avg_value"),
         F.round(F.max("value"), 1).alias("max_value"),
     )
+
+
+_PYDS_STREAM_ORACLE = """
+SELECT i % 7 AS g, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(((i * 31) % 1000) / 10.0), 2) AS sum_value
+FROM range(0, 1000) t(i) GROUP BY i % 7
+"""
+
+
+@query("source_python_stream", oracle=_PYDS_STREAM_ORACLE)
+def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of the Python Data Source API
+    (sources/pydatasource.py): a SimpleDataSourceStreamReader feed with
+    real offset tracking replays 1000 closed-form rows through multiple
+    micro-batches (rows_per_batch=300 -> 4 real batches) into a
+    complete-mode rollup; the run stops on the query's own commit
+    telemetry once the source offset reaches the feed end. The DuckDB
+    oracle recomputes the rollup from the closed form — offset
+    management, batch replay, and the readBetweenOffsets recovery
+    contract all sit under the cross-engine hash."""
+    from multiomix_aws_emr_spark.sources.pydatasource import (
+        run_event_feed_rollup,
+    )
+
+    out = run_event_feed_rollup(spark, n_total=1000, rows_per_batch=300)
+    return out.select("g", "n", "sum_value")

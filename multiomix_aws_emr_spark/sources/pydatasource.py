@@ -81,3 +81,149 @@ def register(spark) -> None:
         # already registered on this session — re-registration is the only
         # expected failure; reads keep working either way
         pass
+
+
+# ---------------------------------------------------------------------------
+# Streaming side of the same API: a SimpleDataSourceStreamReader feed.
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - import guard for older runtimes
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+except ImportError:  # pragma: no cover
+    SimpleDataSourceStreamReader = object
+
+
+class _FeedStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked deterministic event feed: row i carries the
+    closed-form value ``((i * 31) % 1000) / 10.0``. ``read`` advances the
+    offset by ``rows_per_batch`` per micro-batch (so a bounded run
+    replays the feed in several real micro-batches, not one snapshot);
+    ``readBetweenOffsets`` replays any committed range exactly — the
+    recovery contract checkpoint restarts rely on."""
+
+    def __init__(self, options):
+        self.total = int(options.get("n_total", "1000"))
+        self.batch = int(options.get("rows_per_batch", "300"))
+
+    @staticmethod
+    def _rows(start: int, end: int):
+        return iter(
+            [(i, ((i * 31) % 1000) / 10.0) for i in range(start, end)]
+        )
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def read(self, start):
+        s = start["offset"]
+        e = min(s + self.batch, self.total)
+        return (self._rows(s, e), {"offset": e})
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(start["offset"], end["offset"])
+
+
+class EventFeedSource(DataSource):
+    """``spark.readStream.format("event_feed")`` — bounded deterministic
+    feed for exercising the streaming half of the Python Data Source API."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "event_feed"
+
+    def schema(self) -> str:
+        return "i bigint, value double"
+
+    def simpleStreamReader(self, schema):
+        return _FeedStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    """Idempotently register the streaming source on a session.
+
+    The streaming source runner is a SEPARATE driver-side Python process
+    that does not inherit the session's pyFiles, so the source classes
+    must be pickled BY VALUE (self-contained bytes), not by reference to
+    this module — cloudpickle's register_pickle_by_value is the
+    documented mechanism for exactly this ship-the-code case."""
+    try:
+        import sys
+
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
+    try:
+        spark.dataSource.register(EventFeedSource)
+    except Exception:
+        pass
+
+
+def run_event_feed_rollup(
+    spark,
+    *,
+    n_total: int = 1000,
+    rows_per_batch: int = 300,
+    timeout_sec: float = 90.0,
+):
+    """Replay the whole feed through real micro-batches and return the
+    complete-mode rollup once the source offset reaches the feed end.
+
+    The stop condition reads the query's own commit telemetry (the last
+    progress' ``endOffset``), so the returned table deterministically
+    covers ALL n_total rows — which is what lets a closed-form SQL oracle
+    hash-check a custom STREAMING connector end to end."""
+    import re as _re
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from multiomix_aws_emr_spark.streaming.util import bounded_state_partitions
+
+    register_stream(spark)
+    feed = (
+        spark.readStream.format("event_feed")
+        .option("n_total", str(n_total))
+        .option("rows_per_batch", str(rows_per_batch))
+        .load()
+    )
+    agg = feed.groupBy((F.col("i") % 7).alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    name = f"feed_{_uuid.uuid4().hex[:8]}"
+    with bounded_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_feed_"))
+            .start()
+        )
+        deadline = _time.monotonic() + timeout_sec
+        try:
+            while _time.monotonic() < deadline:
+                p = q.lastProgress
+                if p:
+                    src = (p.get("sources") or [{}])[0]
+                    end = src.get("endOffset")
+                    if end:
+                        # endOffset may arrive as a dict, JSON, or the
+                        # reader's repr — extract the integer robustly
+                        if isinstance(end, dict):
+                            off = int(end.get("offset", 0))
+                        else:
+                            m = _re.search(r"(\d+)", str(end))
+                            off = int(m.group(1)) if m else 0
+                        if off >= n_total:
+                            # one more cycle so the final batch's table
+                            # write is visible before stopping
+                            q.processAllAvailable()
+                            break
+                _time.sleep(0.2)
+        finally:
+            q.stop()
+    return spark.table(name)
