@@ -464,3 +464,43 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = run_event_feed_rollup(spark, n_total=1000, rows_per_batch=300)
     return out.select("g", "n", "sum_value")
+
+
+_PYDS_SINK_ORACLE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
+@query("sink_python_datasource", oracle=_PYDS_SINK_ORACLE)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE side of the Python Data Source API: documents flow
+    through a custom manifest-committed sink (sources/pydatasource.py
+    TsvShardSink — per-partition staged TSV shards, driver commit writes
+    a manifest listing only successful shards, the two-phase protocol
+    every real sink uses), then the readback goes through the MANIFEST
+    (never a directory listing, so orphan shards from retried tasks or
+    prior runs are invisible) and re-aggregates. The oracle aggregates
+    the source table directly — a lost row, double-written shard, or
+    manifest slip anywhere in the write path breaks the hash."""
+    import json
+    import shutil
+
+    from multiomix_aws_emr_spark.sources.pydatasource import register_sink
+
+    register_sink(spark)
+    out_dir = _scratch(sf_dir, "pyds_sink")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d.write.format("tsv_shards").option("path", out_dir).mode("append").save()
+    with open(os.path.join(out_dir, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    paths = [os.path.join(out_dir, s) for s in manifest["shards"]]
+    back = spark.read.csv(
+        paths, sep="\t", schema="doc_id bigint, lang string, n_chars bigint"
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

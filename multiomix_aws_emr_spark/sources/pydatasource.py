@@ -227,3 +227,84 @@ def run_event_feed_rollup(
         finally:
             q.stop()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Write side of the same API: a DataSourceWriter sink with a real commit
+# protocol (per-partition staging + driver-side manifest commit).
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - import guard for older runtimes
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+except ImportError:  # pragma: no cover
+    DataSourceWriter = object
+    WriterCommitMessage = object
+
+
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class _TsvShardWriter(DataSourceWriter):
+    """Each partition stages its rows as one TSV shard under a random
+    name; ``commit`` writes a manifest listing only the successful shards
+    — the two-phase pattern every real sink uses, so a retried/zombie
+    task's orphan shard is simply never manifested."""
+
+    def __init__(self, options):
+        self.out_dir = options["path"]
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        os.makedirs(self.out_dir, exist_ok=True)
+        path = os.path.join(self.out_dir, f"shard-{uuid.uuid4().hex}.tsv")
+        n = 0
+        with open(path, "w") as fh:
+            for row in iterator:
+                fh.write("\t".join(str(v) for v in row) + "\n")
+                n += 1
+        return _ShardCommit(path, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "shards": sorted(
+                os.path.basename(m.path) for m in messages if m is not None
+            ),
+            "n_rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        with open(os.path.join(self.out_dir, "_MANIFEST.json"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class TsvShardSink(DataSource):
+    """``df.write.format("tsv_shards").option("path", dir).save()`` —
+    manifest-committed TSV shards."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tsv_shards"
+
+    def writer(self, schema, overwrite: bool) -> "_TsvShardWriter":
+        return _TsvShardWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    """Idempotently register the sink on a session."""
+    try:
+        spark.dataSource.register(TsvShardSink)
+    except Exception:
+        pass
