@@ -43,14 +43,32 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = model.transform(e)
     from multiomix_aws_emr_spark.functions.vector import l2_norm
 
+    # Quality self-report (the ANN recall pattern): per-cluster mean
+    # squared distance to the fitted centroid — a broken fit or a
+    # mis-assigned transform shows up as dispersion, not just a
+    # plausible row count. Centroids are k tiny rows, broadcast back.
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "prediction int, cent array<double>",
+    )
+    sqd = F.aggregate(
+        F.zip_with(
+            vector_to_array("features"), "cent", lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return (
-        assigned.select(
+        assigned.join(F.broadcast(cents), "prediction")
+        .select(
             "prediction",
             l2_norm(vector_to_array("features")).alias("nrm"),
+            sqd.alias("sqd"),
         )
         .groupBy("prediction")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.avg("sqd"), 4).alias("mean_sq_dist"),
         )
     )
