@@ -497,8 +497,17 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(out_dir, "_MANIFEST.json")) as fh:
         manifest = json.load(fh)
     paths = [os.path.join(out_dir, s) for s in manifest["shards"]]
-    back = spark.read.csv(
-        paths, sep="\t", schema="doc_id bigint, lang string, n_chars bigint"
+    back = (
+        spark.read.schema("doc_id bigint, lang string, n_chars bigint")
+        # match the sink's csv.QUOTE_MINIMAL escaping: doubled quotes
+        # inside quotes, embedded newlines inside quoted fields, empty
+        # field = NULL
+        .option("sep", "\t")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .option("nullValue", "")
+        .csv(paths)
     )
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -42,33 +42,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    from multiomix_aws_emr_spark.functions.ngrams import bigram_rows
+
     d = load(spark, sf_dir, "documents")
-    # Shingles via posexplode(split) + window lead — plain codegen
-    # expressions throughout (the array-HOF formulation
-    # transform/slice/array_distinct compiles a fresh Janino class per
-    # execution: measured ~1.7s of driver compile per run vs ~0.2s this
-    # way). One shuffle clustered on doc_id serves tokenization
-    # parallelism, shingle dedup (hash(doc_id) co-locates the (doc_id,
-    # shingle) agg), and the per-doc shingle count (window over doc_id).
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    # Shingles via the shared bigram pipeline (functions/ngrams.py — one
+    # place owns tokenization + adjacency for all five bigram consumers).
+    # One shuffle clustered on doc_id serves tokenization parallelism,
+    # shingle dedup (hash(doc_id) co-locates the (doc_id, shingle) agg),
+    # and the per-doc shingle count (window over doc_id); the explicit
+    # count stops AQE coalescing a bare repartition(key) to 1 partition
+    # on small inputs.
     n_parts = max(
         spark.sparkContext.defaultParallelism, d.rdd.getNumPartitions()
     )
-    tok = (
-        # explicit count: AQE would coalesce a bare repartition(key) to 1
-        # partition on small inputs, serializing the token pipeline
-        d.repartition(n_parts, "doc_id")
-        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
-        .filter(F.col("tok") != "")
-    )
-    big = tok.select(
-        "doc_id",
-        F.lead("tok", 1).over(w).alias("_nxt"),
-        F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)).alias("_s"),
-    ).filter(F.col("_nxt").isNotNull())
+    big = bigram_rows(d.repartition(n_parts, "doc_id"))
     # 64-bit shingle hashes: compact join/dedup keys, collision odds
     # negligible at corpus scale.
-    sh = big.select("doc_id", F.xxhash64("_s").alias("s")).dropDuplicates(
+    sh = big.select("doc_id", F.xxhash64("bg").alias("s")).dropDuplicates(
         ["doc_id", "s"]
     )
     shn = sh.select(
@@ -907,6 +897,40 @@ def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mixture_rates(d, weights):
+    """(lang, n, rate) availability-constrained mixture rates: feasible
+    total t = min(n_d / w_d), rate_d = min(1, w_d * t / n_d). Shared by
+    pipeline_domain_mix and pipeline_curation_v3 so the two can never
+    silently desynchronize; the tiny rates frame is meant to be broadcast
+    back onto the corpus by the caller."""
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    avail = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", wmap[F.col("lang")])
+        .filter(F.col("w").isNotNull() & (F.col("w") > 0))
+    )
+    feas = avail.agg(F.min(F.col("n") / F.col("w")).alias("t"))
+    return avail.crossJoin(F.broadcast(feas)).select(
+        "lang",
+        "n",
+        F.least(F.lit(1.0), F.col("w") * F.col("t") / F.col("n")).alias("rate"),
+    )
+
+
+def mixture_rates_ctes(src: str, weights) -> str:
+    """DuckDB CTE block (avail/feas/rates) computing the same rates over
+    ``src`` — the oracle twin of :func:`mixture_rates`."""
+    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in weights.items())
+    return f"""avail AS (
+  SELECT lang, CASE lang {cases} ELSE 0 END AS w, COUNT(*) AS n
+  FROM {src} GROUP BY lang
+), feas AS (SELECT MIN(n / w) AS t FROM avail WHERE w > 0),
+rates AS (
+  SELECT lang, n, LEAST(1.0, w * t / n) AS rate FROM avail, feas WHERE w > 0
+)"""
+
+
 _MIX_WEIGHTS = {"en": 0.4, "zh": 0.2, "fr": 0.2, "de": 0.1, "es": 0.1}
 
 
@@ -914,16 +938,8 @@ def _domain_mix_oracle() -> str:
     from multiomix_aws_emr_spark.functions.porthash import phash60_sql
 
     h = phash60_sql("CAST(doc_id AS VARCHAR)", seed=13)
-    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items())
     return f"""
-WITH avail AS (
-  SELECT lang, CASE lang {cases} ELSE 0 END AS w, COUNT(*) AS n
-  FROM documents GROUP BY lang
-), feas AS (
-  SELECT MIN(n / w) AS t FROM avail WHERE w > 0
-), rates AS (
-  SELECT lang, n, LEAST(1.0, w * t / n) AS rate FROM avail, feas WHERE w > 0
-)
+WITH {mixture_rates_ctes("documents", _MIX_WEIGHTS)}
 SELECT d.lang, CAST(MIN(r.n) AS BIGINT) AS n_avail,
        ROUND(MIN(r.rate), 6) AS rate_r,
        CAST(COUNT(*) AS BIGINT) AS n_kept
@@ -952,21 +968,7 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multiomix_aws_emr_spark.functions.porthash import phash60
 
     d = load(spark, sf_dir, "documents")
-    wmap = F.create_map(
-        *[F.lit(x) for kv in _MIX_WEIGHTS.items() for x in kv]
-    )
-    avail = (
-        d.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("w", wmap[F.col("lang")])
-        .filter(F.col("w").isNotNull() & (F.col("w") > 0))
-    )
-    feas = avail.agg(F.min(F.col("n") / F.col("w")).alias("t"))
-    rates = avail.crossJoin(F.broadcast(feas)).select(
-        "lang",
-        "n",
-        F.least(F.lit(1.0), F.col("w") * F.col("t") / F.col("n")).alias("rate"),
-    )
+    rates = mixture_rates(d, _MIX_WEIGHTS)
     keep = phash60(F.col("doc_id").cast("string"), seed=13) < F.col(
         "rate"
     ) * F.lit(1152921504606846976)
@@ -988,7 +990,7 @@ def _curation_v3_oracle() -> str:
 
     keep_h = phash60_sql("CAST(doc_id AS VARCHAR)", seed=13)
     shard_h = phash60_sql("CAST(doc_id AS VARCHAR)", seed=7)
-    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items())
+    rates_ctes = mixture_rates_ctes("kept_q", _MIX_WEIGHTS)
     return f"""
 WITH tok AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
@@ -1001,13 +1003,7 @@ WITH tok AS (
 ), kept_q AS (
   SELECT d.doc_id, d.lang FROM documents d JOIN rep USING (doc_id)
   WHERE rep.rep_ratio <= 0.3 AND d.n_chars >= 50
-), avail AS (
-  SELECT lang, CASE lang {cases} ELSE 0 END AS w, COUNT(*) AS n
-  FROM kept_q GROUP BY lang
-), feas AS (SELECT MIN(n / w) AS t FROM avail WHERE w > 0),
-rates AS (
-  SELECT lang, LEAST(1.0, w * t / n) AS rate FROM avail, feas WHERE w > 0
-), sel AS (
+), {rates_ctes}, sel AS (
   SELECT k.doc_id, k.lang FROM kept_q k JOIN rates r ON k.lang = r.lang
   WHERE {keep_h} < r.rate * 1152921504606846976
 ), sharded AS (
@@ -1049,19 +1045,11 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     WRITE needs anyway. Nothing driver-side, nothing quadratic."""
     from pyspark.sql.window import Window
 
+    from multiomix_aws_emr_spark.functions.ngrams import bigram_rows
     from multiomix_aws_emr_spark.functions.porthash import phash60
 
     d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    tok = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    ).filter(F.col("tok") != "")
-    big = tok.select(
-        "doc_id",
-        F.lead("tok", 1).over(w).alias("_nxt"),
-        F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)).alias("bg"),
-    ).filter(F.col("_nxt").isNotNull())
-    rep = big.groupBy("doc_id").agg(
+    rep = bigram_rows(d).groupBy("doc_id").agg(
         (
             F.lit(1.0)
             - F.countDistinct("bg") / F.count(F.lit(1)).cast("double")
@@ -1072,18 +1060,7 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rep_ratio") <= 0.3) & (F.col("n_chars") >= 50))
         .select("doc_id", "lang")
     )
-    wmap = F.create_map(*[F.lit(x) for kv in _MIX_WEIGHTS.items() for x in kv])
-    avail = (
-        kept_q.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("w", wmap[F.col("lang")])
-        .filter(F.col("w").isNotNull() & (F.col("w") > 0))
-    )
-    feas = avail.agg(F.min(F.col("n") / F.col("w")).alias("t"))
-    rates = avail.crossJoin(F.broadcast(feas)).select(
-        "lang",
-        F.least(F.lit(1.0), F.col("w") * F.col("t") / F.col("n")).alias("rate"),
-    )
+    rates = mixture_rates(kept_q, _MIX_WEIGHTS).select("lang", "rate")
     sel = (
         kept_q.join(F.broadcast(rates), "lang")
         .filter(

@@ -259,22 +259,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator |A| rides the broadcast rows (no second corpus pass)."""
     from pyspark.sql.window import Window
 
+    from multiomix_aws_emr_spark.functions.ngrams import bigram_rows
+
     d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("doc_id").orderBy("pos")
     n_parts = max(
         spark.sparkContext.defaultParallelism, d.rdd.getNumPartitions()
     )
-    tok = (
-        d.repartition(n_parts, "doc_id")
-        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
-        .filter(F.col("tok") != "")
-    )
-    big = tok.select(
-        "doc_id",
-        F.lead("tok", 1).over(w).alias("_nxt"),
-        F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)).alias("_s"),
-    ).filter(F.col("_nxt").isNotNull())
-    sh = big.select("doc_id", F.xxhash64("_s").alias("s")).dropDuplicates(
+    big = bigram_rows(d.repartition(n_parts, "doc_id"))
+    sh = big.select("doc_id", F.xxhash64("bg").alias("s")).dropDuplicates(
         ["doc_id", "s"]
     )
     shn = sh.select(

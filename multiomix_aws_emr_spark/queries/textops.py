@@ -505,18 +505,10 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_ngram_jaccard tokenizer), then ONE aggregation keyed on doc_id
     computes total and distinct together (count + count_distinct in the
     same hash agg) — a single shuffle on doc_id, no self-join."""
-    from pyspark.sql.window import Window
+    from multiomix_aws_emr_spark.functions.ngrams import bigram_rows
 
     d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    tok = d.select(
-        "doc_id", F.posexplode(_tokens()).alias("pos", "tok")
-    )
-    big = tok.select(
-        "doc_id",
-        F.lead("tok", 1).over(w).alias("_nxt"),
-        F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)).alias("bg"),
-    ).filter(F.col("_nxt").isNotNull())
+    big = bigram_rows(d)
     agg = big.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.countDistinct("bg").alias("n_distinct"),
@@ -603,17 +595,8 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded top-k (no global sort materializes; partial aggregation
     combines map-side, so the shuffle carries one row per distinct
     bigram per partition)."""
-    from pyspark.sql.window import Window
+    from multiomix_aws_emr_spark.functions.ngrams import bigram_rows
 
     d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    tok = d.select(
-        "doc_id", F.posexplode(_tokens()).alias("pos", "tok")
-    )
-    big = tok.select(
-        "doc_id",
-        F.lead("tok", 1).over(w).alias("_nxt"),
-        F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)).alias("bg"),
-    ).filter(F.col("_nxt").isNotNull())
-    counts = big.groupBy("bg").agg(F.count(F.lit(1)).alias("n"))
+    counts = bigram_rows(d).groupBy("bg").agg(F.count(F.lit(1)).alias("n"))
     return counts.orderBy(F.col("n").desc(), "bg").limit(10).select("bg", "n")

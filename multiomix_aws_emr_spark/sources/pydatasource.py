@@ -73,14 +73,20 @@ class SyntheticMatrixSource(DataSource):
         return _MatrixReader(self.options)
 
 
+def _register_once(spark, source_cls) -> None:
+    """Register a data source, tolerating ONLY the already-registered
+    error — any other failure (missing API, broken serialization) is a
+    real problem whose root cause must not be swallowed."""
+    try:
+        spark.dataSource.register(source_cls)
+    except Exception as exc:
+        if "EXISTS" not in str(exc).upper():
+            raise
+
+
 def register(spark) -> None:
     """Idempotently register the source on a session."""
-    try:
-        spark.dataSource.register(SyntheticMatrixSource)
-    except Exception:
-        # already registered on this session — re-registration is the only
-        # expected failure; reads keep working either way
-        pass
+    _register_once(spark, SyntheticMatrixSource)
 
 
 # ---------------------------------------------------------------------------
@@ -146,18 +152,12 @@ def register_stream(spark) -> None:
     must be pickled BY VALUE (self-contained bytes), not by reference to
     this module — cloudpickle's register_pickle_by_value is the
     documented mechanism for exactly this ship-the-code case."""
-    try:
-        import sys
+    import sys
 
-        from pyspark import cloudpickle
+    from pyspark import cloudpickle
 
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    except Exception:
-        pass
-    try:
-        spark.dataSource.register(EventFeedSource)
-    except Exception:
-        pass
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    _register_once(spark, EventFeedSource)
 
 
 def run_event_feed_rollup(
@@ -204,8 +204,14 @@ def run_event_feed_rollup(
             .start()
         )
         deadline = _time.monotonic() + timeout_sec
+        done = False
         try:
             while _time.monotonic() < deadline:
+                if not q.isActive:
+                    exc = q.exception()
+                    if exc is not None:
+                        raise exc
+                    break
                 p = q.lastProgress
                 if p:
                     src = (p.get("sources") or [{}])[0]
@@ -222,10 +228,21 @@ def run_event_feed_rollup(
                             # one more cycle so the final batch's table
                             # write is visible before stopping
                             q.processAllAvailable()
+                            done = True
                             break
                 _time.sleep(0.2)
         finally:
             q.stop()
+    if not done:
+        # never return a silently-partial rollup: surface the stream's own
+        # error if it died, else name the timeout
+        exc = q.exception()
+        if exc is not None:
+            raise exc
+        raise TimeoutError(
+            f"event_feed rollup did not reach offset {n_total} "
+            f"within {timeout_sec}s"
+        )
     return spark.table(name)
 
 
@@ -257,15 +274,24 @@ class _TsvShardWriter(DataSourceWriter):
         self.out_dir = options["path"]
 
     def write(self, iterator):
+        import csv
         import os
         import uuid
 
         os.makedirs(self.out_dir, exist_ok=True)
         path = os.path.join(self.out_dir, f"shard-{uuid.uuid4().hex}.tsv")
         n = 0
-        with open(path, "w") as fh:
+        # csv.writer handles quoting/escaping for embedded tabs, quotes,
+        # and newlines; None serializes as the empty field, which the
+        # readback maps to NULL via nullValue="" — a raw str(v) join
+        # would write the literal 'None' and shift tab-containing rows
+        with open(path, "w", newline="") as fh:
+            out = csv.writer(
+                fh, delimiter="\t", quoting=csv.QUOTE_MINIMAL,
+                lineterminator="\n",
+            )
             for row in iterator:
-                fh.write("\t".join(str(v) for v in row) + "\n")
+                out.writerow(row)
                 n += 1
         return _ShardCommit(path, n)
 
@@ -304,7 +330,4 @@ class TsvShardSink(DataSource):
 
 def register_sink(spark) -> None:
     """Idempotently register the sink on a session."""
-    try:
-        spark.dataSource.register(TsvShardSink)
-    except Exception:
-        pass
+    _register_once(spark, TsvShardSink)
