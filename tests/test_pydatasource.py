@@ -68,3 +68,38 @@ def test_sink_manifest_commit_and_abort(tmp_path):
     # abort removes staged shards
     w.abort([orphan])
     assert not os.path.exists(orphan.path)
+
+
+def test_sink_roundtrip_escapes_adversarial_content(spark, tmp_path):
+    """Tabs, quotes, embedded newlines, and NULLs must survive the
+    write -> manifest -> readback hop losslessly (the csv.QUOTE_MINIMAL /
+    read-option pairing)."""
+    import json
+
+    from multiomix_aws_emr_spark.sources.pydatasource import register_sink
+
+    register_sink(spark)
+    rows = [
+        (1, "plain", 10),
+        (2, "has\ttab", 20),
+        (3, 'has"quote', 30),
+        (4, "has\nnewline", 40),
+        (5, None, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, n_chars bigint")
+    out = str(tmp_path / "sink")
+    df.write.format("tsv_shards").option("path", out).mode("append").save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["n_rows"] == 5
+    paths = [os.path.join(out, s) for s in manifest["shards"]]
+    back = (
+        spark.read.schema("doc_id bigint, lang string, n_chars bigint")
+        .option("sep", "\t")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .option("nullValue", "")
+        .csv(paths)
+    )
+    got = {r.doc_id: (r.lang, r.n_chars) for r in back.collect()}
+    assert got == {i: (lang, n) for i, lang, n in rows}
