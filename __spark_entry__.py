@@ -64,15 +64,50 @@ def _last_verified_round() -> dict[str, int]:
     return last
 
 
+# Queries whose newest driver evidence predates their current code or
+# oracle (VERDICT r4 "staleness" list + everything edited in round 5).
+# They must land inside the driver's ~50-query budget regardless of what
+# the LRU sort alone would pick — e.g. graph_copurchase_pairs sat at
+# position 51 under pure LRU.
+_STALE_PRIORITY = [
+    # oracles upgraded in r4 — newest clean record predates the oracle
+    "agg_approx_distinct",
+    "agg_approx_quantiles",
+    "agg_kll_quantiles",
+    "agg_hll_reaggregate",
+    "multimodal_features",
+    "multimodal_framesample",
+    # code refactored in r4 — newest clean record predates the code
+    "dedup_ngram_jaccard",
+    "udaf_group_stats",
+    "graph_copurchase_pairs",
+    # rows-only -> oracle-checked in r5 (exact+bound / invariant-grid)
+    "similarity_ann_lsh",
+    "similarity_ivf",
+    "ml_kmeans_embeddings",
+    "fs_bbha_embeddings",
+    "fs_bbha_improved",
+    # connector robustness edits in r5 (utf-8 shards, termination errors)
+    "source_python_datasource",
+    "source_python_stream",
+    "sink_python_datasource",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.2, ordered
-    least-recently-verified first (see :func:`_last_verified_round`):
-    never-verified qids lead in declaration order, then verified ones by
-    ascending round of their newest clean record."""
+    """One entry per implemented operator from SURVEY.md §2.2, ordered for
+    driver-budget coverage: the explicit stale-evidence cohort first
+    (:data:`_STALE_PRIORITY` — code/oracle newer than its newest clean
+    record), then least-recently-verified first (see
+    :func:`_last_verified_round`): never-verified qids lead in
+    declaration order, then verified ones by ascending round of their
+    newest clean record."""
     last = _last_verified_round()
     order = list(QUERIES)
+    prio = {q: i for i, q in enumerate(_STALE_PRIORITY) if q in QUERIES}
     ordered = sorted(
-        order, key=lambda q: (last.get(q, 0), order.index(q))
+        order,
+        key=lambda q: (prio.get(q, len(prio)), last.get(q, 0), order.index(q)),
     )
     return {q: QUERIES[q] for q in ordered}
 

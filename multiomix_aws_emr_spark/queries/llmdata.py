@@ -254,7 +254,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_ivf")  # rows-only: approximate by construction
+def _ivf_oracle() -> str:
+    from multiomix_aws_emr_spark.queries.similarity import _ANN_ORACLE_TMPL
+
+    return _ANN_ORACLE_TMPL.format(ids="0, 1", k=5)
+
+
+@query("similarity_ivf", oracle=_ivf_oracle())
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: Voronoi-cell partition of the corpus under
     fitted spherical-k-means centroids, probe the n_probe nearest cells
@@ -262,30 +268,39 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     random-hyperplane LSH; recall vs brute force (and vs the untrained
     sample quantizer) is unit-tested.
 
-    Self-reporting: every row carries ``recall_at_k`` vs the exact
-    brute-force top-k on the same bounded query set, so the rows-only
-    check asserts retrieval quality, not just row count (deterministic —
-    seeded k-means, seeded tie-break)."""
+    Oracle-checked via the exact+bound pattern (see similarity_ann_lsh):
+    emitted rows are the exact brute-force top-5 for queries {0, 1} —
+    recomputed verbatim by the DuckDB twin — plus a per-query
+    ``recall_ok`` boolean asserting the IVF tier reached recall@5 >= 0.6
+    against that ground truth (seeded k-means keeps the approximate side
+    deterministic; measured 0.8 per query at every fixture SF). The
+    fixture embeddings are isotropic — the ANN worst case — so this
+    query probes 5 of 8 cells; structured corpora use many more, smaller
+    cells with a low probe count. The scan layout is pinned (plain load,
+    no scan_parallel) because the k-means|| init samples per-partition:
+    the fitted quantizer — and with it the measured recall — is
+    deterministic only for a fixed partitioning. Production ships
+    ivf_topk alone; the exact twin is the verification harness."""
     from multiomix_aws_emr_spark.operators.similarity import (
         exact_topk,
+        exact_with_recall_ok,
         ivf_topk,
-        with_recall_at_k,
     )
 
-    e = scan_parallel(load(spark, sf_dir, "embeddings"))
+    e = load(spark, sf_dir, "embeddings")
     approx = ivf_topk(
         e,
         id_col="vec_id",
         vec_col="embedding",
         query_ids=[0, 1],
         k=5,
-        n_centroids=16,
-        n_probe=4,
+        n_centroids=8,
+        n_probe=5,
     )
     exact = exact_topk(
         e, id_col="vec_id", vec_col="embedding", query_ids=[0, 1], k=5
     )
-    return with_recall_at_k(approx, exact, 5)
+    return exact_with_recall_ok(approx, exact, 5, floor=0.6)
 
 
 @query(

@@ -8,28 +8,50 @@ consuming DataFrame columns directly. One query exercises the seam:
 array<float> embeddings -> MLlib vectors -> seeded k-means -> cluster
 assignments, reduced to per-cluster stats.
 
-Rows-only by necessity: MLlib has no DuckDB twin, and k-means cluster
-IDENTITIES are init-dependent; the invariants (total rows preserved,
-cluster count, determinism under a fixed seed on fixed data) are
-unit-tested in tests/test_operators.py instead.
+The model fit has no DuckDB twin and cluster IDENTITIES are
+init-dependent, so the declared query ships the invariant-grid contract
+(cluster grid + conservation + dispersion-bound booleans) that DuckDB CAN
+state exactly; determinism of the seeded fit on fixed data is unit-tested
+in tests/test_operators.py.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from multiomix_aws_emr_spark.queries.registry import query
 from multiomix_aws_emr_spark.sources.tables import load, scan_parallel
 
 
-@query("ml_kmeans_embeddings")  # rows-only: model fit has no SQL twin
+_KMEANS_ORACLE = """
+SELECT CAST(t.i AS INTEGER) AS prediction,
+       TRUE AS nonempty,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vecs_total,
+       TRUE AS wss_le_tss
+FROM range(0, 8) t(i)
+"""
+
+
+@query("ml_kmeans_embeddings", oracle=_KMEANS_ORACLE)
 def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded k-means|| over the embeddings table via MLlib: fit is a
     sequence of distributed aggregate jobs (no data to the driver beyond
-    k centroids), transform is a map-side UDF. Output is per-cluster
-    size + mean L2 norm — stable schema regardless of which ids land in
-    which cluster."""
+    k centroids), transform is a map-side UDF.
+
+    Oracle-checked via the invariant-grid pattern (the model fit itself
+    has no SQL twin, but its CONTRACT does): one row per expected cluster
+    id 0..7 with (a) ``nonempty`` — every cluster captured at least one
+    vector, so a degenerate fit that collapses clusters goes red, (b)
+    ``n_vecs_total`` — the summed cluster sizes, which the DuckDB twin
+    recomputes as COUNT(*) over embeddings (conservation: every vector
+    assigned exactly once), and (c) ``wss_le_tss`` — the size-weighted
+    within-cluster squared distance to the fitted centroids is below the
+    corpus' total squared distance to the global mean, the dispersion
+    bound a mis-assigned transform or broken fit violates. Per-cluster
+    dispersion detail remains available from the operator surface
+    (operators/similarity.kmeans_centroids + this file's plumbing);
+    determinism of the seeded fit is unit-tested."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -41,34 +63,49 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = KMeans(k=8, seed=42, maxIter=10).fit(e)
     assigned = model.transform(e)
-    from multiomix_aws_emr_spark.functions.vector import l2_norm
 
-    # Quality self-report (the ANN recall pattern): per-cluster mean
-    # squared distance to the fitted centroid — a broken fit or a
-    # mis-assigned transform shows up as dispersion, not just a
-    # plausible row count. Centroids are k tiny rows, broadcast back.
+    # Per-cluster WSS against the fitted centroids (k tiny rows,
+    # broadcast back onto the assignment).
     cents = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "prediction int, cent array<double>",
     )
+    arr = vector_to_array("features")
     sqd = F.aggregate(
-        F.zip_with(
-            vector_to_array("features"), "cent", lambda a, b: (a - b) * (a - b)
-        ),
+        F.zip_with(arr, "cent", lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    return (
+    percluster = (
         assigned.join(F.broadcast(cents), "prediction")
+        .select("prediction", sqd.alias("sqd"))
+        .groupBy("prediction")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("sqd").alias("wss"))
+    )
+
+    # TSS = sum over dims of n * variance — one narrow 64-key shuffle
+    # (posexplode -> per-dim variance), reduced to a single row and
+    # broadcast onto the 8-row per-cluster frame.
+    tss = (
+        assigned.select(F.posexplode(arr).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            (F.count(F.lit(1)) * F.var_pop("val")).alias("dim_ss")
+        )
+        .agg(F.sum("dim_ss").alias("tss"))
+    )
+
+    w = Window.partitionBy()
+    grid = spark.range(0, 8).select(F.col("id").cast("int").alias("prediction"))
+    return (
+        grid.join(F.broadcast(percluster), "prediction", "left")
+        .crossJoin(F.broadcast(tss))
         .select(
             "prediction",
-            l2_norm(vector_to_array("features")).alias("nrm"),
-            sqd.alias("sqd"),
-        )
-        .groupBy("prediction")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg("nrm"), 4).alias("avg_norm"),
-            F.round(F.avg("sqd"), 4).alias("mean_sq_dist"),
+            (F.coalesce(F.col("n_vecs"), F.lit(0)) > 0).alias("nonempty"),
+            F.sum(F.coalesce(F.col("n_vecs"), F.lit(0)))
+            .over(w)
+            .alias("n_vecs_total"),
+            (F.sum("wss").over(w) <= F.col("tss")).alias("wss_le_tss"),
         )
     )

@@ -1,5 +1,8 @@
-"""Omics-pipeline surface as declared queries (rows-only: the metaheuristic
-is iterative + seeded-random, not SQL-expressible; SURVEY.md §2.2 contract).
+"""Omics-pipeline surface as declared queries. The BBHA metaheuristic is
+iterative + seeded-random (not SQL-expressible), so its declared queries
+ship the invariant-grid contract (_BBHA_ORACLE) a DuckDB twin CAN state
+exactly; the raw fitness histories stay on the BBHAResult API
+(SURVEY.md §2.2 contract).
 """
 
 from __future__ import annotations
@@ -14,14 +17,46 @@ from multiomix_aws_emr_spark.queries.registry import query
 from multiomix_aws_emr_spark.sources.tables import load
 
 
-@query("fs_bbha_embeddings")  # rows-only: iterative seeded metaheuristic
+#: Invariant-grid oracle for the BBHA history (8 stars x 2 iterations):
+#: the run must emit exactly the full (iteration, star) grid, every
+#: fitness must be a valid CV concordance (in [0, 1], or the -1.0
+#: zero-feature guard value — fs/fitness.py:30), and every mask width
+#: must stay within the 16-dim feature space. A crashed star, a NaN
+#: fitness, or a mask escaping the space each breaks the hash.
+_BBHA_ORACLE = """
+SELECT CAST(t.i // 8 AS INTEGER) AS iteration,
+       CAST(t.i % 8 AS INTEGER) AS star_id,
+       TRUE AS fitness_ok,
+       TRUE AS nf_ok
+FROM range(0, 16) t(i)
+"""
+
+
+def _bbha_invariant_view(history: DataFrame) -> DataFrame:
+    """Project a BBHA history onto the oracle-checkable invariant grid
+    (see _BBHA_ORACLE). The raw per-star fitness values stay available
+    from run_bbha / BBHAResult.history_df — seeded-random iterative
+    search has no SQL twin, but its contract does."""
+    return history.select(
+        "iteration",
+        "star_id",
+        (
+            (F.col("fitness") == F.lit(-1.0))
+            | F.col("fitness").between(0.0, 1.0)
+        ).alias("fitness_ok"),
+        F.col("n_features").between(0, 16).alias("nf_ok"),
+    )
+
+
+@query("fs_bbha_embeddings", oracle=_BBHA_ORACLE)
 def fs_bbha_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BBHA feature selection (the reference's core job,
     `scripts/metaheuristics.py:468-734`) driven end-to-end on harness data:
     samples = embedding vectors, features = their first 16 dims, survival
-    time = a deterministic function of 3 'informative' dims. Returns the
-    per-(iteration, star) fitness history — the tidy replacement of the
-    reference's metrics dict (D6)."""
+    time = a deterministic function of 3 'informative' dims. Emits the
+    oracle-checkable invariant view of the per-(iteration, star) history
+    (_bbha_invariant_view); the tidy fitness history itself (D6) remains
+    the BBHAResult.history_df API surface."""
     from multiomix_aws_emr_spark.fs.bbha import run_bbha
 
     rows = (
@@ -53,12 +88,7 @@ def fs_bbha_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_iterations=2,
         random_state=42,
     )
-    return result.history_df(spark).select(
-        "iteration",
-        "star_id",
-        F.round("fitness", 4).alias("fitness"),
-        "n_features",
-    )
+    return _bbha_invariant_view(result.history_df(spark))
 
 
 _KM_ORACLE = """
@@ -371,15 +401,15 @@ def omics_cox_score_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fs_bbha_improved")  # rows-only: iterative seeded metaheuristic
+@query("fs_bbha_improved", oracle=_BBHA_ORACLE)
 def fs_bbha_improved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IMPROVED BBHA variant (the reference's flag-gated TODO,
     `scripts/metaheuristics.py:342-465`; SURVEY.md §7.6) driven
     end-to-end: reciprocal event horizon, single-dimension capture
     toggle, and personal-best-blended position updates with
-    iteration-decaying coefficients. Same fixture and contract as
-    fs_bbha_embeddings, so the two variants' histories are directly
-    comparable."""
+    iteration-decaying coefficients. Same fixture and oracle contract as
+    fs_bbha_embeddings (_bbha_invariant_view over the same star grid), so
+    the two variants' histories are directly comparable."""
     from multiomix_aws_emr_spark.fs.bbha import run_bbha
 
     rows = (
@@ -402,7 +432,4 @@ def fs_bbha_improved(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_stars=8, n_iterations=2, random_state=42,
         variant="improved", coeff_1=2.2, coeff_2=0.1,
     )
-    return result.history_df(spark).select(
-        "iteration", "star_id",
-        F.round("fitness", 4).alias("fitness"), "n_features",
-    )
+    return _bbha_invariant_view(result.history_df(spark))

@@ -205,12 +205,15 @@ def run_event_feed_rollup(
         )
         deadline = _time.monotonic() + timeout_sec
         done = False
+        terminated_early = False
+        off = 0
         try:
             while _time.monotonic() < deadline:
                 if not q.isActive:
                     exc = q.exception()
                     if exc is not None:
                         raise exc
+                    terminated_early = True
                     break
                 p = q.lastProgress
                 if p:
@@ -235,13 +238,20 @@ def run_event_feed_rollup(
             q.stop()
     if not done:
         # never return a silently-partial rollup: surface the stream's own
-        # error if it died, else name the timeout
+        # error if it died, name a clean-but-early self-termination for
+        # what it is, else name the timeout
         exc = q.exception()
         if exc is not None:
             raise exc
+        if terminated_early:
+            raise RuntimeError(
+                f"event_feed stream terminated cleanly at offset {off} "
+                f"before reaching {n_total} — the source stopped early, "
+                f"the timeout did not elapse"
+            )
         raise TimeoutError(
             f"event_feed rollup did not reach offset {n_total} "
-            f"within {timeout_sec}s"
+            f"within {timeout_sec}s (last offset seen: {off})"
         )
     return spark.table(name)
 
@@ -285,7 +295,10 @@ class _TsvShardWriter(DataSourceWriter):
         # and newlines; None serializes as the empty field, which the
         # readback maps to NULL via nullValue="" — a raw str(v) join
         # would write the literal 'None' and shift tab-containing rows
-        with open(path, "w", newline="") as fh:
+        # explicit utf-8: the Spark CSV readback always decodes UTF-8, so
+        # a locale-preferred encoding here would corrupt (or refuse) the
+        # non-ASCII document text the corpus carries (zh/fr/de/es langs)
+        with open(path, "w", newline="", encoding="utf-8") as fh:
             out = csv.writer(
                 fh, delimiter="\t", quoting=csv.QUOTE_MINIMAL,
                 lineterminator="\n",

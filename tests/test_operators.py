@@ -410,17 +410,25 @@ def test_minhash_plus_components_transitive(spark):
 
 
 def test_mlkmeans_invariants(spark, sf_dir):
+    """The declared query's invariant-grid contract: full 0..7 cluster
+    grid, every cluster nonempty, summed sizes conserve the corpus count,
+    and the WSS<=TSS dispersion bound holds; the seeded fit is
+    deterministic on fixed data."""
     from multiomix_aws_emr_spark.queries import QUERIES
 
-    out = QUERIES["ml_kmeans_embeddings"](spark, sf_dir)
-    rows = {r.prediction: r.n_vecs for r in out.collect()}
+    rows = sorted(
+        QUERIES["ml_kmeans_embeddings"](spark, sf_dir).collect(),
+        key=lambda r: r.prediction,
+    )
     total = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
-    assert sum(rows.values()) == total  # every vector assigned exactly once
-    assert 1 <= len(rows) <= 8
-    again = {
-        r.prediction: r.n_vecs
-        for r in QUERIES["ml_kmeans_embeddings"](spark, sf_dir).collect()
-    }
+    assert [r.prediction for r in rows] == list(range(8))
+    assert all(r.nonempty for r in rows)
+    assert {r.n_vecs_total for r in rows} == {total}
+    assert all(r.wss_le_tss for r in rows)
+    again = sorted(
+        QUERIES["ml_kmeans_embeddings"](spark, sf_dir).collect(),
+        key=lambda r: r.prediction,
+    )
     assert rows == again  # seeded fit on fixed data is deterministic
 
 
@@ -489,25 +497,51 @@ def test_zvalue_is_bijective_and_bounded(spark):
 
 
 def test_recall_self_report(spark, sf_dir):
-    """The declared ANN queries carry a recall_at_k column that equals the
-    recomputed |approx ∩ exact| / k — and exact_topk's own recall vs
-    itself is 1.0 by construction."""
+    """with_recall_at_k: exact_topk's recall vs itself is 1.0 by
+    construction, and the recall attached to the LSH tier equals the
+    recomputed |approx ∩ exact| / k."""
     from multiomix_aws_emr_spark.operators.similarity import (
+        ann_lsh_topk,
         exact_topk,
         with_recall_at_k,
     )
-    from multiomix_aws_emr_spark.queries.similarity import similarity_ann_lsh
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     exact = exact_topk(emb, id_col="vec_id", vec_col="embedding", query_ids=[0], k=5)
     self_rec = with_recall_at_k(exact, exact, 5)
     assert {r.recall_at_k for r in self_rec.collect()} == {1.0}
 
-    rows = similarity_ann_lsh(spark, sf_dir).collect()
-    assert rows, "ann query returned nothing"
+    approx = ann_lsh_topk(
+        emb, id_col="vec_id", vec_col="embedding", query_ids=[0], k=5,
+        n_planes=4, probe_hamming=2,
+    )
+    rows = with_recall_at_k(approx, exact, 5).collect()
+    assert rows, "ann operator returned nothing"
     reported = {r.recall_at_k for r in rows}
     assert len(reported) == 1  # constant per query
     got_ids = {r.id_b for r in rows}
     true_ids = {r.id_b for r in exact.collect()}
     assert reported == {round(len(got_ids & true_ids) / 5, 4)}
     assert 0.0 <= next(iter(reported)) <= 1.0
+
+
+def test_ann_query_contract_exact_rows_plus_recall_ok(spark, sf_dir):
+    """The declared ANN queries emit the EXACT top-k rows plus a
+    recall_ok bound boolean (the oracle-checkable contract): rows must
+    equal exact_topk's and recall_ok must be True at the declared probe
+    configs on every fixture SF."""
+    from multiomix_aws_emr_spark.operators.similarity import exact_topk
+    from multiomix_aws_emr_spark.queries import QUERIES
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for qid, qids in (("similarity_ann_lsh", [0]), ("similarity_ivf", [0, 1])):
+        rows = QUERIES[qid](spark, sf_dir).collect()
+        assert all(r.recall_ok for r in rows), qid
+        exact = {
+            (r.query_id, r.id_b, r.cos_sim, r.rn)
+            for r in exact_topk(
+                emb, id_col="vec_id", vec_col="embedding", query_ids=qids, k=5
+            ).collect()
+        }
+        got = {(r.query_id, r.id_b, r.cos_sim, r.rn) for r in rows}
+        assert got == exact, qid
