@@ -173,6 +173,26 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     assert set(got) <= set(true_top)
 
 
+def test_ann_lsh_full_probe_equals_exact(spark, sf_dir):
+    """Probing ALL buckets (probe_hamming == n_planes) makes every corpus
+    vector a candidate, so the LSH result must EQUAL the exact top-k —
+    the closure property that catches a silently-capped probe depth (an
+    earlier flips generator ignored probe_hamming > 2, so deeper probes
+    added no candidates and recall silently plateaued)."""
+    from multiomix_aws_emr_spark.operators.similarity import exact_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    full = ann_lsh_topk(
+        emb, id_col="vec_id", vec_col="embedding", query_ids=[0], k=5,
+        n_planes=4, probe_hamming=4,
+    )
+    exact = exact_topk(emb, id_col="vec_id", vec_col="embedding", query_ids=[0], k=5)
+    as_set = lambda df: {  # noqa: E731
+        (r.query_id, r.id_b, r.cos_sim, r.rn) for r in df.collect()
+    }
+    assert as_set(full) == as_set(exact)
+
+
 def test_multimodal_features_shape(spark):
     d = _docs(spark)
     media = attach_binary_payload(d, id_col="doc_id", text_col="text")
