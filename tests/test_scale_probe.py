@@ -1,10 +1,16 @@
 """tools/scale_probe.py synthesizer invariants: the 10x/100x scale
-evidence in BASELINE.md is only as good as the synthetic corpus, so pin
-what the replicate-and-scramble transform promises (see the module
-docstring there): row multiplication, per-copy word-multiset preservation
-(token-level stats match the source), copy-distinct shingle sets, and
-determinism."""
+evidence in BASELINE.md is only as good as the synthetic corpora, so pin
+what each tier's transform promises (see the module docstring there).
 
+documents — row multiplication, per-copy word-multiset preservation
+(token-level stats match the source), copy-distinct shingle sets, and
+determinism.  relational — consistent key-shifting (every join's fan-out
+preserved exactly, group sizes preserved per copy).  events — each user
+copy replays the identical event sequence.  embeddings — the per-copy
+sign flip is orthogonal: within-copy cosines and norms are preserved.
+"""
+
+import math
 import os
 import sys
 from collections import Counter
@@ -21,7 +27,7 @@ def synth(spark, sf_dir, tmp_path_factory):
     from tools.scale_probe import synthesize
 
     out = str(tmp_path_factory.mktemp("probe"))
-    synthesize(spark, sf_dir, out, replicas=2)
+    synthesize(spark, "documents", sf_dir, out, replicas=2)
     return out
 
 
@@ -74,7 +80,7 @@ def test_synthesize_deterministic(spark, sf_dir, synth, tmp_path):
     from tools.scale_probe import synthesize
 
     out2 = str(tmp_path / "probe2")
-    synthesize(spark, sf_dir, out2, replicas=2)
+    synthesize(spark, "documents", sf_dir, out2, replicas=2)
     a = sorted(
         map(
             tuple,
@@ -88,3 +94,145 @@ def test_synthesize_deterministic(spark, sf_dir, synth, tmp_path):
         )
     )
     assert a == b
+
+
+# --- relational tier -------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def synth_rel(spark, sf_dir, tmp_path_factory):
+    from tools.scale_probe import synthesize
+
+    out = str(tmp_path_factory.mktemp("probe_rel"))
+    synthesize(spark, "relational", sf_dir, out, replicas=2)
+    return out
+
+
+def test_relational_key_shift_preserves_join_fanout(spark, sf_dir, synth_rel):
+    """orders |><| customer and lineitem |><| orders row counts must
+    multiply EXACTLY by the replication factor: each copy is an
+    independent shard of the economy, so every join's fan-out is
+    preserved and key cardinality grows linearly — the TPC-H scaling
+    model."""
+
+    def joined(d):
+        o = spark.read.parquet(f"{d}/orders.parquet")
+        c = spark.read.parquet(f"{d}/customer.parquet")
+        li = spark.read.parquet(f"{d}/lineitem.parquet")
+        oc = o.join(c, o.o_custkey == c.c_custkey).count()
+        lo = li.join(o, li.l_orderkey == o.o_orderkey).count()
+        return oc, lo
+
+    oc1, lo1 = joined(sf_dir)
+    oc2, lo2 = joined(synth_rel)
+    assert (oc2, lo2) == (2 * oc1, 2 * lo1)
+
+
+def test_relational_group_sizes_preserved(spark, sf_dir, synth_rel):
+    """Fixed-cardinality group-bys (returnflag/linestatus) keep the SAME
+    groups with exactly replicas x the rows per group."""
+    src = {
+        (r.l_returnflag, r.l_linestatus): r["count"]
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .count()
+        .collect()
+    }
+    big = {
+        (r.l_returnflag, r.l_linestatus): r["count"]
+        for r in spark.read.parquet(f"{synth_rel}/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .count()
+        .collect()
+    }
+    assert big == {g: 2 * n for g, n in src.items()}
+
+
+# --- events tier -----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def synth_ev(spark, sf_dir, tmp_path_factory):
+    from tools.scale_probe import synthesize
+
+    out = str(tmp_path_factory.mktemp("probe_ev"))
+    synthesize(spark, "events", sf_dir, out, replicas=2)
+    return out
+
+
+def test_events_user_copies_replay_identical_sequences(spark, sf_dir, synth_ev):
+    """Each user copy must carry the source user's exact (ts, event_type,
+    value) sequence, so sessions/funnels/cohorts per user are preserved
+    and only the user POPULATION grows."""
+    src_users = [
+        r.user_id
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .limit(5)
+        .collect()
+    ]
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    big = spark.read.parquet(f"{synth_ev}/events.parquet")
+    assert big.count() == 2 * src.count()
+    for u in src_users:
+        want = sorted(
+            (r.ts, r.event_type, r.value)
+            for r in src.filter(src.user_id == u).collect()
+        )
+        for k in (0, 1):
+            got = sorted(
+                (r.ts, r.event_type, r.value)
+                for r in big.filter(big.user_id == u * 2 + k).collect()
+            )
+            assert got == want, (u, k)
+
+
+# --- embeddings tier -------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def synth_emb(spark, sf_dir, tmp_path_factory):
+    from tools.scale_probe import synthesize
+
+    out = str(tmp_path_factory.mktemp("probe_emb"))
+    synthesize(spark, "embeddings", sf_dir, out, replicas=2)
+    return out
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb)
+
+
+def test_embeddings_sign_flip_is_orthogonal_within_copy(spark, sf_dir, synth_emb):
+    """A per-copy sign flip preserves norms elementwise-absolutely and all
+    within-copy cosines exactly (up to float roundoff); copies of one
+    vector must NOT be identical (k=1 flips at least one sign)."""
+    src = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter("vec_id < 10")
+        .collect()
+    }
+    big = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(f"{synth_emb}/embeddings.parquet")
+        .filter("vec_id < 20")
+        .collect()
+    }
+    for vid, emb in src.items():
+        for k in (0, 1):
+            copy = big[vid * 2 + k]
+            assert [abs(x) for x in copy] == pytest.approx(
+                [abs(x) for x in emb], abs=1e-6
+            )
+    # within-copy cosine preservation for a sample pair, both copies
+    for k in (0, 1):
+        want = _cos(src[0], src[1])
+        got = _cos(big[0 * 2 + k], big[1 * 2 + k])
+        assert got == pytest.approx(want, abs=1e-5), k
+    # the two copies of vector 0 differ (copy 1 flips some signs)
+    assert big[0] != big[1]

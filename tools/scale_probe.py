@@ -1,31 +1,59 @@
-"""10x scale probe: verify the scale-critical document shapes grow ~linearly.
+"""Multi-tier 10x/100x scale probe: verify scale-critical shapes grow ~linearly.
 
 No fixture above sf0.1 exists in /root/testdata, so every 100 TB claim in
 SURVEY.md §6 would otherwise rest on plan review alone. This probe
-synthesizes a DETERMINISTIC ~10x documents table from sf0.1 and times the
-five scale-critical shapes (VERDICT r4 #4) at both scales:
+synthesizes DETERMINISTIC scaled tables from sf0.1 (no RNG anywhere — every
+replica is a pure function of the source row and its copy index) and times
+the scale-critical shapes of four tiers at both scales:
 
-    dedup_near_minhash, dedup_minhash_components, pipeline_curation_v3,
-    pipeline_shuffle_shards, text_unigram_rarity
+  documents   dedup_near_minhash, dedup_minhash_components,
+              pipeline_curation_v3, pipeline_shuffle_shards,
+              text_unigram_rarity
+  relational  flagship_revenue_by_region, sql_shipping_priority (TPC-H Q3),
+              sql_large_volume_customer (Q18), join_multiway, agg_groupby
+  events      window_sessionize, funnel_conversion, cohort_retention,
+              timeseries_gapfill, stream_tumbling
+  embeddings  dedup_embedding_cosine, similarity_topk, similarity_ann_lsh,
+              similarity_ivf
 
-Synthesis (pure JVM-side expressions, no RNG):
-  each source doc is replicated REPLICAS times; copy k gets
-  doc_id' = doc_id * REPLICAS + k and its words re-ordered by the
-  copy-keyed hash sort key md5(word || '#' || k). A per-copy word
-  permutation keeps the WORD MULTISET intact (token-level stats — length,
-  unigram frequencies, quality ratios — match the source exactly) while
-  wholesale rewriting the SHINGLE set, so:
-    - copies of one doc are NOT near-dups of each other (distinct
-      shingles) — the corpus-wide duplicate-pair count stays ~linear in
-      the replication factor instead of exploding quadratically;
-    - two docs that were near-dups in the source stay near-dups WITHIN
-      each copy (same words -> same sort keys -> same reordering), so the
-      duplicate STRUCTURE is preserved at 10x the volume.
+Synthesis per tier (all JVM-side expressions):
 
-Usage:  python tools/scale_probe.py [--replicas 10] [--out /tmp/scale_probe]
-Prints one JSON line per scale plus a ratio summary; exits non-zero if any
-probed query grew superlinearly beyond the tolerance (ratio > replicas *
-SLACK).
+* documents — each doc replicated REPLICAS times; copy k re-orders the
+  words of the text by the copy-keyed hash sort key md5(word || '#' || k).
+  The per-copy word permutation keeps the WORD MULTISET intact (token
+  stats match the source exactly) while wholesale rewriting the SHINGLE
+  set: copies are NOT near-dups of each other, but two docs that were
+  near-dups in the source stay near-dups WITHIN each copy, so the
+  corpus-wide duplicate-pair count grows ~linearly, not quadratically.
+
+* relational — TPC-H-style key-shifted replication: copy k maps every
+  join key K to K * REPLICAS + k consistently across customer / orders /
+  lineitem / part / supplier, so each copy is an independent shard of the
+  economy. Every join's fan-out, every filter's selectivity, and every
+  per-key group size are preserved EXACTLY; key cardinality grows
+  linearly — the same way TPC-H itself scales with SF. nation/region stay
+  fixed dims.
+
+* events — event_id / user_id shifted per copy, timestamps and payload
+  untouched: each user copy replays the identical event sequence, so
+  session/funnel/cohort structure per user is preserved and the
+  user-population (and therefore session count, funnel cohort size, etc.)
+  grows linearly.
+
+* embeddings — copy k applies a deterministic per-dimension sign flip
+  s(i, k) ∈ {+1, -1} = md5(i || '#' || k). A sign flip is an ORTHOGONAL
+  transform, so all pairwise cosines WITHIN a copy are preserved exactly
+  (near-dup structure intact) while vectors from different copies are
+  decorrelated — duplicate pairs again grow linearly with volume.
+
+Usage:
+  python tools/scale_probe.py [--tier documents|relational|events|embeddings|all]
+                              [--replicas 10] [--src /root/testdata/sf0.1]
+                              [--out-root /tmp/scale_probe]
+
+Prints one JSON line per tier per scale plus a ratio summary; exits
+non-zero if any probed query grew superlinearly beyond the tolerance
+(wall ratio > replicas * SLACK).
 """
 
 from __future__ import annotations
@@ -39,64 +67,194 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-PROBE_QUERIES = (
-    "dedup_near_minhash",
-    "dedup_minhash_components",
-    "pipeline_curation_v3",
-    "pipeline_shuffle_shards",
-    "text_unigram_rarity",
-)
-
 #: superlinearity tolerance: wall ratio up to SLACK * replicas still counts
 #: as linear (fixed per-query overheads, extra shuffle waves on a fixed
 #: 32-thread host, and AQE plan variation all add constant-ish cost).
 SLACK = 1.6
 
+TIER_QUERIES = {
+    "documents": (
+        "dedup_near_minhash",
+        "dedup_minhash_components",
+        "pipeline_curation_v3",
+        "pipeline_shuffle_shards",
+        "text_unigram_rarity",
+    ),
+    "relational": (
+        "flagship_revenue_by_region",
+        "sql_shipping_priority",
+        "sql_large_volume_customer",
+        "join_multiway",
+        "agg_groupby",
+    ),
+    "events": (
+        "window_sessionize",
+        "funnel_conversion",
+        "cohort_retention",
+        "timeseries_gapfill",
+        "stream_tumbling",
+    ),
+    "embeddings": (
+        "dedup_embedding_cosine",
+        "similarity_topk",
+        "similarity_ann_lsh",
+        "similarity_ivf",
+    ),
+}
 
-def synthesize(spark, src_dir: str, out_dir: str, replicas: int) -> str:
-    """Materialize the replicated-scrambled documents table + links to the
-    untouched sibling tables; returns the synthetic sf dir."""
+#: the row-count anchor table per tier (reported beside the timings).
+TIER_ANCHOR = {
+    "documents": "documents",
+    "relational": "lineitem",
+    "events": "events",
+    "embeddings": "embeddings",
+}
+
+
+def _replica_index(replicas: int):
     from pyspark.sql import functions as F
 
-    from multiomix_aws_emr_spark.sources.tables import TABLE_NAMES, load
+    return F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("k")
+
+
+def _synth_documents(spark, src_dir: str, replicas: int):
+    from pyspark.sql import functions as F
+
+    from multiomix_aws_emr_spark.sources.tables import load
+
+    d = load(spark, src_dir, "documents")
+    rep = d.select("*", _replica_index(replicas))
+    scrambled = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.struct(
+                        F.md5(
+                            F.concat(w, F.lit("#"), F.col("k").cast("string"))
+                        ).alias("h"),
+                        w.alias("w"),
+                    ),
+                )
+            ),
+            lambda s: s["w"],
+        ),
+        " ",
+    )
+    return {
+        "documents": rep.select(
+            (F.col("doc_id") * replicas + F.col("k")).alias("doc_id"),
+            scrambled.alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    }
+
+
+#: relational tier: per-table join keys shifted to key * REPLICAS + k.
+_RELATIONAL_KEYS = {
+    "customer": ("c_custkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "part": ("p_partkey",),
+    "supplier": ("s_suppkey",),
+}
+
+
+def _synth_relational(spark, src_dir: str, replicas: int):
+    from pyspark.sql import functions as F
+
+    from multiomix_aws_emr_spark.sources.tables import load
+
+    out = {}
+    for table, keys in _RELATIONAL_KEYS.items():
+        d = load(spark, src_dir, table)
+        rep = d.select("*", _replica_index(replicas))
+        shifted = [
+            (F.col(c) * replicas + F.col("k")).alias(c)
+            if c in keys
+            else F.col(c)
+            for c in d.columns
+        ]
+        out[table] = rep.select(*shifted)
+    return out
+
+
+def _synth_events(spark, src_dir: str, replicas: int):
+    from pyspark.sql import functions as F
+
+    from multiomix_aws_emr_spark.sources.tables import load
+
+    d = load(spark, src_dir, "events")
+    rep = d.select("*", _replica_index(replicas))
+    shifted = [
+        (F.col(c) * replicas + F.col("k")).alias(c)
+        if c in ("event_id", "user_id")
+        else F.col(c)
+        for c in d.columns
+    ]
+    return {"events": rep.select(*shifted)}
+
+
+def _synth_embeddings(spark, src_dir: str, replicas: int):
+    from pyspark.sql import functions as F
+
+    from multiomix_aws_emr_spark.sources.tables import load
+
+    d = load(spark, src_dir, "embeddings")
+    rep = d.select("*", _replica_index(replicas))
+    # deterministic per-(dim, copy) sign in {+1, -1}: an orthogonal
+    # transform per copy, so within-copy cosines are preserved exactly.
+    flipped = F.transform(
+        F.col("embedding"),
+        lambda x, i: (
+            x
+            * F.when(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            i.cast("string"), F.lit("#"), F.col("k").cast("string")
+                        )
+                    ),
+                    1,
+                    1,
+                )
+                < "8",
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+        ).cast("float"),
+    )
+    return {
+        "embeddings": rep.select(
+            (F.col("vec_id") * replicas + F.col("k")).alias("vec_id"),
+            flipped.alias("embedding"),
+            "label",
+        )
+    }
+
+
+_SYNTH = {
+    "documents": _synth_documents,
+    "relational": _synth_relational,
+    "events": _synth_events,
+    "embeddings": _synth_embeddings,
+}
+
+
+def synthesize(spark, tier: str, src_dir: str, out_dir: str, replicas: int) -> str:
+    """Materialize the tier's scaled tables + links to the untouched
+    sibling tables; returns the synthetic sf dir."""
+    from multiomix_aws_emr_spark.sources.tables import TABLE_NAMES
 
     os.makedirs(out_dir, exist_ok=True)
-    docs_path = os.path.join(out_dir, "documents.parquet")
-    if not os.path.exists(docs_path):
-        d = load(spark, src_dir, "documents")
-        k = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("k")
-        rep = d.select("*", k)
-        scrambled = F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.transform(
-                        F.split(F.col("text"), " "),
-                        lambda w: F.struct(
-                            F.md5(
-                                F.concat(w, F.lit("#"), F.col("k").cast("string"))
-                            ).alias("h"),
-                            w.alias("w"),
-                        ),
-                    )
-                ),
-                lambda s: s["w"],
-            ),
-            " ",
-        )
-        (
-            rep.select(
-                (F.col("doc_id") * replicas + F.col("k")).alias("doc_id"),
-                scrambled.alias("text"),
-                "lang",
-                "source",
-                "n_chars",
-            )
-            .repartition(32)
-            .write.mode("overwrite")
-            .parquet(docs_path)
-        )
+    scaled = _SYNTH[tier](spark, src_dir, replicas)
+    for table, df in scaled.items():
+        dst = os.path.join(out_dir, f"{table}.parquet")
+        if not os.path.exists(dst):
+            df.repartition(32).write.mode("overwrite").parquet(dst)
     for t in TABLE_NAMES:
-        if t == "documents":
+        if t in scaled:
             continue
         dst = os.path.join(out_dir, f"{t}.parquet")
         src = os.path.join(src_dir, f"{t}.parquet")
@@ -108,22 +266,61 @@ def synthesize(spark, src_dir: str, out_dir: str, replicas: int) -> str:
     return out_dir
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def time_queries(spark, tier: str, sf_dir: str) -> dict[str, float]:
     from multiomix_aws_emr_spark.queries import QUERIES
 
     out: dict[str, float] = {}
-    for qid in PROBE_QUERIES:
+    for qid in TIER_QUERIES[tier]:
         t0 = time.perf_counter()
         QUERIES[qid](spark, sf_dir).write.mode("overwrite").format("noop").save()
         out[qid] = round(time.perf_counter() - t0, 2)
     return out
 
 
+def probe_tier(spark, tier: str, src_dir: str, out_root: str, replicas: int) -> list[str]:
+    """Run one tier at 1x and REPLICAS x; returns the superlinear qids."""
+    big_dir = synthesize(
+        spark, tier, src_dir, os.path.join(out_root, f"{tier}_{replicas}x"), replicas
+    )
+    anchor = TIER_ANCHOR[tier]
+    n_small = spark.read.parquet(f"{src_dir}/{anchor}.parquet").count()
+    n_big = spark.read.parquet(f"{big_dir}/{anchor}.parquet").count()
+
+    # warm codegen/scan paths once per scale so ratios compare steady-state
+    time_queries(spark, tier, src_dir)
+    small = time_queries(spark, tier, src_dir)
+    time_queries(spark, tier, big_dir)
+    big = time_queries(spark, tier, big_dir)
+
+    ratios = {
+        q: round(big[q] / max(small[q], 0.01), 2) for q in TIER_QUERIES[tier]
+    }
+    superlinear = [q for q, r in ratios.items() if r > replicas * SLACK]
+    print(json.dumps({"tier": tier, "scale": "sf0.1", "n_rows": n_small, "sec": small}))
+    print(
+        json.dumps(
+            {"tier": tier, "scale": f"{replicas}x", "n_rows": n_big, "sec": big}
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "tier": tier,
+                "ratios_wall_big_over_small": ratios,
+                "linear_budget": round(replicas * SLACK, 1),
+                "superlinear": superlinear,
+            }
+        )
+    )
+    return superlinear
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--tier", default="all", choices=[*TIER_QUERIES, "all"])
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
-    ap.add_argument("--out", default="/tmp/scale_probe_10x")
+    ap.add_argument("--out-root", default="/tmp/scale_probe")
     args = ap.parse_args()
 
     from multiomix_aws_emr_spark.session import build_session
@@ -131,32 +328,14 @@ def main() -> int:
     spark = build_session(app_name="scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    big_dir = synthesize(spark, args.src, args.out, args.replicas)
-    n_small = spark.read.parquet(f"{args.src}/documents.parquet").count()
-    n_big = spark.read.parquet(f"{big_dir}/documents.parquet").count()
-
-    # warm codegen/scan paths once per scale so ratios compare steady-state
-    time_queries(spark, args.src)
-    small = time_queries(spark, args.src)
-    time_queries(spark, big_dir)
-    big = time_queries(spark, big_dir)
-
-    ratios = {q: round(big[q] / max(small[q], 0.01), 2) for q in PROBE_QUERIES}
-    print(json.dumps({"scale": "sf0.1", "n_docs": n_small, "sec": small}))
-    print(json.dumps({"scale": f"{args.replicas}x", "n_docs": n_big, "sec": big}))
-    print(
-        json.dumps(
-            {
-                "ratios_wall_big_over_small": ratios,
-                "linear_budget": round(args.replicas * SLACK, 1),
-                "superlinear": [
-                    q for q, r in ratios.items() if r > args.replicas * SLACK
-                ],
-            }
+    tiers = list(TIER_QUERIES) if args.tier == "all" else [args.tier]
+    superlinear: list[str] = []
+    for tier in tiers:
+        superlinear += probe_tier(
+            spark, tier, args.src, args.out_root, args.replicas
         )
-    )
     spark.stop()
-    return 0
+    return 1 if superlinear else 0
 
 
 if __name__ == "__main__":
