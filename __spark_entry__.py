@@ -91,6 +91,16 @@ _STALE_PRIORITY = [
     "source_python_datasource",
     "source_python_stream",
     "sink_python_datasource",
+    # streaming source layout dispatch added r5 (directory-style parquet
+    # tables crashed the bounded runners; static_and_stream fixes it)
+    "stream_watermark_latedrop",
+    "stream_stateful_totals",
+    "stream_session_window",
+    "stream_dedup_watermark",
+    "stream_rollup_upsert",
+    "stream_static_join",
+    "stream_interval_join",
+    "stream_interval_join_outer",
 ]
 
 

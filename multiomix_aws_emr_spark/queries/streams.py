@@ -283,17 +283,14 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from multiomix_aws_emr_spark.session import configure
-    from multiomix_aws_emr_spark.sources.tables import load
+    from multiomix_aws_emr_spark.streaming.util import (
+        bounded_state_partitions,
+        static_and_stream,
+    )
 
     configure(spark)
     static_dim = spark.createDataFrame(_SEGMENTS, "bucket int, segment string")
-    static_events = load(spark, sf_dir, "events")
-    stream = (
-        spark.readStream.schema(static_events.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(sf_dir)
-    )
+    _, stream, n_state = static_and_stream(spark, sf_dir, "events.parquet")
     ev = stream.select(
         ts_ms_expr(stream).alias("ts_ms"), "user_id", "value"
     )
@@ -305,9 +302,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
     name = f"streamstatic_{uuid.uuid4().hex[:8]}"
-    from multiomix_aws_emr_spark.streaming.util import bounded_state_partitions
-
-    with bounded_state_partitions(spark):
+    with bounded_state_partitions(spark, n_state):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)

@@ -22,7 +22,10 @@ from pyspark.sql import functions as F
 
 from multiomix_aws_emr_spark.session import configure
 from multiomix_aws_emr_spark.sources.tables import ts_ms_expr
-from multiomix_aws_emr_spark.streaming.util import bounded_state_partitions
+from multiomix_aws_emr_spark.streaming.util import (
+    bounded_state_partitions,
+    static_and_stream,
+)
 
 
 def dedup_plan(events_stream: DataFrame) -> DataFrame:
@@ -53,16 +56,10 @@ def run_streaming_dedup(
     """Run the dedup + windowed count over parquet as a bounded stream
     (availableNow, one file per micro-batch, memory sink)."""
     configure(spark)
-    static = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", glob)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(sf_dir)
-    )
+    _, stream, n_state = static_and_stream(spark, sf_dir, glob)
     out = dedup_plan(stream)
     name = f"dedup_{uuid.uuid4().hex[:8]}"
-    with bounded_state_partitions(spark):
+    with bounded_state_partitions(spark, n_state):
         q = (
             out.writeStream.format("memory")
             .queryName(name)

@@ -30,7 +30,10 @@ from pyspark.sql import functions as F
 
 from multiomix_aws_emr_spark.session import configure
 from multiomix_aws_emr_spark.sources.tables import ts_ms_expr
-from multiomix_aws_emr_spark.streaming.util import bounded_state_partitions
+from multiomix_aws_emr_spark.streaming.util import (
+    bounded_state_partitions,
+    static_and_stream,
+)
 
 INTERVAL_MS = 30 * 60 * 1000
 
@@ -87,19 +90,10 @@ def run_stream_interval_join(
     """Run the interval join with BOTH sides as bounded streams
     (availableNow, memory sink) and return the emitted rows."""
     configure(spark)
-    static = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
-
-    def stream() -> DataFrame:
-        return (
-            spark.readStream.schema(static.schema)
-            .option("pathGlobFilter", glob)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(sf_dir)
-        )
-
-    out = interval_join_plan(stream(), how=how)
+    _, stream, n_state = static_and_stream(spark, sf_dir, glob)
+    out = interval_join_plan(stream, how=how)
     table = f"ssj_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory() as ckpt, bounded_state_partitions(spark):
+    with tempfile.TemporaryDirectory() as ckpt, bounded_state_partitions(spark, n_state):
         q = (
             out.writeStream.format("memory")
             .queryName(table)

@@ -27,7 +27,10 @@ from pyspark.sql import functions as F
 
 from multiomix_aws_emr_spark.session import configure
 from multiomix_aws_emr_spark.sources.tables import ts_ms_expr
-from multiomix_aws_emr_spark.streaming.util import bounded_state_partitions
+from multiomix_aws_emr_spark.streaming.util import (
+    bounded_state_partitions,
+    static_and_stream,
+)
 
 
 def session_window_plan(events_stream: DataFrame) -> DataFrame:
@@ -61,16 +64,10 @@ def run_streaming_sessions(
     (availableNow, one file per micro-batch, memory sink) and return the
     watermark-finalized sessions."""
     configure(spark)
-    static = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", glob)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(sf_dir)
-    )
+    _, stream, n_state = static_and_stream(spark, sf_dir, glob)
     out = session_window_plan(stream)
     name = f"sessions_{uuid.uuid4().hex[:8]}"
-    with bounded_state_partitions(spark):
+    with bounded_state_partitions(spark, n_state):
         q = (
             out.writeStream.format("memory")
             .queryName(name)

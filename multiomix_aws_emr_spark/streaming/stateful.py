@@ -29,7 +29,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from multiomix_aws_emr_spark.session import configure
-from multiomix_aws_emr_spark.streaming.util import bounded_state_partitions
+from multiomix_aws_emr_spark.streaming.util import (
+    bounded_state_partitions,
+    static_and_stream,
+)
 
 _OUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
 _STATE_SCHEMA = "n bigint, s double"
@@ -71,17 +74,10 @@ def run_running_totals(
     emitted per user equals the batch groupBy total — asserted in
     tests/test_streaming.py."""
     configure(spark)
-    static = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", glob)
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(sf_dir)
-    )
+    _, stream, n_state = static_and_stream(spark, sf_dir, glob)
     out = running_totals_plan(stream)
     table = f"st_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory() as ckpt, bounded_state_partitions(spark):
+    with tempfile.TemporaryDirectory() as ckpt, bounded_state_partitions(spark, n_state):
         q = (
             out.writeStream.format("memory")
             .queryName(table)

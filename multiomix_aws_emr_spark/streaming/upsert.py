@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 
 from multiomix_aws_emr_spark.session import configure
 from multiomix_aws_emr_spark.sources.tables import ts_ms_expr
-from multiomix_aws_emr_spark.streaming.util import bounded_state_partitions
+from multiomix_aws_emr_spark.streaming.util import (
+    bounded_state_partitions,
+    static_and_stream,
+)
 
 
 def rollup_plan(events_stream: DataFrame) -> DataFrame:
@@ -68,13 +71,7 @@ def run_rollup_upsert(
     overwrite; returns the final table."""
     configure(spark)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    static = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", glob)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(sf_dir)
-    )
+    _, stream, n_state = static_and_stream(spark, sf_dir, glob)
     out = rollup_plan(stream)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
@@ -84,7 +81,7 @@ def run_rollup_upsert(
             .parquet(out_dir)
         )
 
-    with bounded_state_partitions(spark):
+    with bounded_state_partitions(spark, n_state):
         q = (
             out.writeStream.foreachBatch(upsert)
             .outputMode("update")

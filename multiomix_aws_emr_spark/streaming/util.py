@@ -32,3 +32,61 @@ def bounded_state_partitions(spark: SparkSession, n: int | None = None):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def static_and_stream(spark, sf_dir: str, table_file: str):
+    """Return ``(static_df, stream_df, n_state_partitions)`` over one
+    parquet table under ``sf_dir``, dispatching on the table's physical
+    layout.
+
+    A parquet table ships either as a single FILE (``events.parquet`` —
+    the fixture layout) or as a DIRECTORY of part files (the layout every
+    parquet writer produces, and the only layout on object stores).
+    Spark's FileStreamSource requires its path argument to be a directory
+    (``'basePath' must be a directory``), so the single-file layout must
+    be streamed by globbing the parent with ``pathGlobFilter``; the
+    directory layout must be streamed directly, because a glob on the
+    parent matches nothing one level down (UNABLE_TO_INFER_SCHEMA). Any
+    non-local URI takes the directory branch. Bounded availableNow runs
+    split a directory into ~4 micro-batches via maxFilesPerTrigger so
+    watermark progression across batches is actually exercised without
+    paying per-file micro-batch overhead.
+
+    ``n_state_partitions`` is the replay-volume-appropriate argument for
+    :func:`bounded_state_partitions`: ``None`` (the small default) for a
+    single-file replay, and the file count (capped at the core count) for
+    a directory — a 32-part table replays with 32 state instances, a
+    one-part fixture keeps the measured-cheap small count. Stateful wall
+    time is state-partition-parallel, so undersizing it turns a big
+    replay into a few giant single-threaded state tasks (measured 77.5s
+    -> 23.1s on a 10M-row sessionization replay by lifting 8 -> 32).
+    """
+    import math
+    import os
+
+    path = os.path.join(sf_dir, table_file)
+    if "://" not in path and not os.path.isdir(path):
+        static = spark.read.option("pathGlobFilter", table_file).parquet(sf_dir)
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", table_file)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(sf_dir)
+        )
+        return static, stream, None
+    static = spark.read.parquet(path)
+    try:
+        n_files = sum(
+            1 for f in os.listdir(path) if f.endswith(".parquet")
+        )
+    except OSError:
+        n_files = 4
+    per_trigger = max(1, math.ceil(n_files / 4))
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", str(per_trigger))
+        .parquet(path)
+    )
+    cores = spark.sparkContext.defaultParallelism
+    n_state = max(cores // 4, min(n_files, cores))
+    return static, stream, n_state

@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 
 from multiomix_aws_emr_spark.session import configure
 from multiomix_aws_emr_spark.sources.tables import ts_ms_expr
-from multiomix_aws_emr_spark.streaming.util import bounded_state_partitions
+from multiomix_aws_emr_spark.streaming.util import (
+    bounded_state_partitions,
+    static_and_stream,
+)
 
 
 def watermarked_tumbling_plan(events_stream: DataFrame) -> DataFrame:
@@ -67,17 +70,10 @@ def run_watermarked_tumbling_with_drop_count(
     audit counter, so the drop is asserted from runtime telemetry, not
     inferred from missing output)."""
     configure(spark)
-    static = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", glob)
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(sf_dir)
-    )
+    _, stream, n_state = static_and_stream(spark, sf_dir, glob)
     out = watermarked_tumbling_plan(stream)
     table = f"wm_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory() as ckpt, bounded_state_partitions(spark):
+    with tempfile.TemporaryDirectory() as ckpt, bounded_state_partitions(spark, n_state):
         q = (
             out.writeStream.format("memory")
             .queryName(table)

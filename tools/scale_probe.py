@@ -93,6 +93,10 @@ TIER_QUERIES = {
         "cohort_retention",
         "timeseries_gapfill",
         "stream_tumbling",
+        # real stateful streaming runs: state grows with user population /
+        # event rate within the watermark horizon — the streaming scale axis
+        "stream_session_window",
+        "stream_dedup_watermark",
     ),
     "embeddings": (
         "dedup_embedding_cosine",
