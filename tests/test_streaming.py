@@ -308,3 +308,65 @@ def test_bounded_state_partitions_restores_conf(spark):
     except RuntimeError:
         pass
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_directory_layout_matches_single_file(spark, sf_dir, tmp_path):
+    """static_and_stream dispatches on the table's physical layout: a
+    directory-of-part-files events table (the layout every writer
+    produces) must stream without crashing — regression for the
+    pathGlobFilter-only readers, which died on directories with
+    UNABLE_TO_INFER_SCHEMA — and a TIME-ORDERED directory (range-
+    partitioned by ts, the layout a historical replay should use) must
+    produce the SAME watermark-finalized result as the single-file
+    fixture. A randomly-partitioned directory may legitimately emit a
+    SUBSET: later part files deliver old events past the watermark and
+    streaming semantics drop them."""
+    from multiomix_aws_emr_spark.streaming.dedup import run_streaming_dedup
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ordered_sf = tmp_path / "sf_ordered"
+    ordered_sf.mkdir()
+    src.repartitionByRange(4, "ts").write.parquet(
+        str(ordered_sf / "events.parquet")
+    )
+    scattered_sf = tmp_path / "sf_scattered"
+    scattered_sf.mkdir()
+    src.repartition(4).write.parquet(str(scattered_sf / "events.parquet"))
+
+    single = sorted(map(tuple, run_streaming_dedup(spark, sf_dir).collect()))
+    ordered = sorted(
+        map(tuple, run_streaming_dedup(spark, str(ordered_sf)).collect())
+    )
+    scattered = sorted(
+        map(tuple, run_streaming_dedup(spark, str(scattered_sf)).collect())
+    )
+    assert ordered == single
+    assert len(ordered) > 0
+    # dropped-late rows can only SHRINK a window's unique count
+    single_counts = {(w, t): n for w, t, n in single}
+    assert all(
+        (w, t) in single_counts and n <= single_counts[(w, t)]
+        for w, t, n in scattered
+    )
+
+
+def test_static_and_stream_state_sizing(spark, sf_dir, tmp_path):
+    """Single-file layout keeps the small bounded-replay state sizing
+    (None -> cores/4 heuristic); a 4-part directory sizes state to the
+    part count floored at cores/4 and capped at the core count."""
+    from multiomix_aws_emr_spark.streaming.util import static_and_stream
+
+    _, _, n_single = static_and_stream(spark, sf_dir, "events.parquet")
+    assert n_single is None
+
+    dir_sf = tmp_path / "sfdir2"
+    dir_sf.mkdir()
+    (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .limit(100)
+        .repartition(4)
+        .write.parquet(str(dir_sf / "events.parquet"))
+    )
+    _, _, n_dir = static_and_stream(spark, str(dir_sf), "events.parquet")
+    cores = spark.sparkContext.defaultParallelism
+    assert n_dir == max(cores // 4, min(4, cores))
