@@ -236,3 +236,37 @@ def test_embeddings_sign_flip_is_orthogonal_within_copy(spark, sf_dir, synth_emb
         assert got == pytest.approx(want, abs=1e-5), k
     # the two copies of vector 0 differ (copy 1 flips some signs)
     assert big[0] != big[1]
+
+
+# --- skew probe ------------------------------------------------------------
+
+
+def test_skew_probe_synthesis_and_strategy_agreement(spark, sf_dir, tmp_path):
+    """tools/skew_probe.py at toy scale: the deterministic redirect sends
+    ~30% of probe rows to ONE hot key that exists in the build side, and
+    all three join strategies return identical counts (revenue to float
+    tolerance)."""
+    import tools.skew_probe as sp
+
+    out_root = str(tmp_path / "skewroot")
+    probe_path, build_path, hot_key = sp.synthesize_skewed(
+        spark, sf_dir, out_root, replicas=2, hot_hex="4d"
+    )
+    probe = spark.read.parquet(probe_path)
+    n = probe.count()
+    n_hot = probe.filter(f"l_orderkey = {hot_key}").count()
+    assert 0.25 < n_hot / n < 0.35
+    build_keys = {
+        r.o_orderkey for r in spark.read.parquet(build_path).collect()
+    }
+    assert hot_key in build_keys
+
+    answers = {}
+    for name in ("smj_skew_off", "smj_skew_on", "salted_32"):
+        _, answers[name] = sp.run_strategy(spark, name, probe_path, build_path)
+    (n0, rev0) = answers["smj_skew_off"]
+    assert all(
+        nn == n0 and abs(rev - rev0) <= 1e-6 * abs(rev0)
+        for nn, rev in answers.values()
+    )
+    assert n0 > 0
