@@ -329,6 +329,18 @@ def test_directory_layout_matches_single_file(spark, sf_dir, tmp_path):
     src.repartitionByRange(4, "ts").write.parquet(
         str(ordered_sf / "events.parquet")
     )
+    # FileStreamSource replays files in MODIFICATION-TIME order with
+    # arbitrary tie-breaking; all four parts land within one mtime tick,
+    # so stamp ascending mtimes along the range order (part-00000 holds
+    # the smallest ts range) to make the replay order deterministic.
+    parts = sorted(
+        f
+        for f in os.listdir(ordered_sf / "events.parquet")
+        if f.endswith(".parquet")
+    )
+    base = time.time() - 1000
+    for i, f in enumerate(parts):
+        os.utime(ordered_sf / "events.parquet" / f, (base + i, base + i))
     scattered_sf = tmp_path / "sf_scattered"
     scattered_sf.mkdir()
     src.repartition(4).write.parquet(str(scattered_sf / "events.parquet"))

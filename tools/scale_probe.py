@@ -114,6 +114,13 @@ TIER_ANCHOR = {
     "embeddings": "embeddings",
 }
 
+#: tables written TIME-ORDERED (range-partitioned by this column, part
+#: mtimes stamped ascending). FileStreamSource replays files in mtime
+#: order, so a randomly-partitioned events directory would deliver mostly
+#: late rows in later micro-batches — the watermark would DROP them and
+#: the stateful streaming probes would understate the real state work.
+TIER_ORDER = {"events": ("events", "ts")}
+
 
 def _replica_index(replicas: int):
     from pyspark.sql import functions as F
@@ -253,10 +260,22 @@ def synthesize(spark, tier: str, src_dir: str, out_dir: str, replicas: int) -> s
 
     os.makedirs(out_dir, exist_ok=True)
     scaled = _SYNTH[tier](spark, src_dir, replicas)
+    ordered_table, order_col = TIER_ORDER.get(tier, (None, None))
     for table, df in scaled.items():
         dst = os.path.join(out_dir, f"{table}.parquet")
         if not os.path.exists(dst):
-            df.repartition(32).write.mode("overwrite").parquet(dst)
+            if table == ordered_table:
+                df.repartitionByRange(32, order_col).write.mode(
+                    "overwrite"
+                ).parquet(dst)
+                parts = sorted(
+                    f for f in os.listdir(dst) if f.endswith(".parquet")
+                )
+                base = time.time() - len(parts)
+                for i, f in enumerate(parts):
+                    os.utime(os.path.join(dst, f), (base + i, base + i))
+            else:
+                df.repartition(32).write.mode("overwrite").parquet(dst)
     for t in TABLE_NAMES:
         if t in scaled:
             continue
