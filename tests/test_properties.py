@@ -168,3 +168,69 @@ def test_cox_score_screen_matches_numpy(spark, sf_dir):
         assert abs(eu - round(u_stat, 4)) <= 1e-4, feature
         assert abs(ev_ - round(v_stat, 4)) <= 1e-4, feature
         assert abs(ec - round(u_stat * u_stat / v_stat, 4)) <= 1e-3, feature
+
+
+_texts = st.lists(
+    st.text(min_size=0, max_size=40),
+    min_size=1,
+    max_size=25,
+    unique=True,
+)
+
+
+@_settings
+@given(texts=_texts)
+def test_phash60_three_engine_identity(spark, texts):
+    """The portable hash contract (functions/porthash.py): Spark's
+    conv(substring(md5)) formulation, DuckDB's CAST('0x'||substr(md5))
+    formulation, and the definitional Python int(md5(utf8)[:15], 16) must
+    agree bit for bit on arbitrary unicode — this identity is what makes
+    every sketch-based oracle (MinHash/SimHash/sampling/curation)
+    cross-engine checkable."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    from multiomix_aws_emr_spark.functions.porthash import phash60, phash60_sql
+
+    pyref = {
+        t: int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+        for t in texts
+    }
+    sdf = spark.createDataFrame([(t,) for t in texts], "t string").withColumn(
+        "h", phash60("t")
+    )
+    assert {r.t: r.h for r in sdf.collect()} == pyref
+
+    con = duckdb.connect()
+    con.register("tt", pd.DataFrame({"t": texts}))
+    duck = dict(con.sql(f"SELECT t, {phash60_sql('t')} AS h FROM tt").fetchall())
+    assert duck == pyref
+
+
+@_settings
+@given(texts=_texts)
+def test_phash_pair_km_family_bounds(spark, texts):
+    """The Kirsch-Mitzenmacher pair (a, b) from ONE md5: a < 2^60,
+    b < 2^56, so every family member a + i*b (i <= 15) stays below 2^61 —
+    inside ANSI-checked signed-long range (no overflow at any scale), and
+    the Spark pair must match the definitional digest slices."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from multiomix_aws_emr_spark.functions.porthash import phash_pair
+
+    a_col, b_col = phash_pair("t")
+    rows = (
+        spark.createDataFrame([(t,) for t in texts], "t string")
+        .select("t", a_col.alias("a"), b_col.alias("b"))
+        .collect()
+    )
+    for r in rows:
+        digest = hashlib.md5(r.t.encode("utf-8")).hexdigest()
+        assert r.a == int(digest[:15], 16)
+        assert r.b == int(digest[16:30], 16)
+        assert 0 <= r.a < 1 << 60 and 0 <= r.b < 1 << 56
+        assert r.a + 15 * r.b < 1 << 61
