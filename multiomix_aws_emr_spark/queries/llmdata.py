@@ -272,15 +272,21 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted rows are the exact brute-force top-5 for queries {0, 1} —
     recomputed verbatim by the DuckDB twin — plus a per-query
     ``recall_ok`` boolean asserting the IVF tier reached recall@5 >= 0.6
-    against that ground truth (seeded k-means keeps the approximate side
-    deterministic; measured 0.8 per query at every fixture SF). The
-    fixture embeddings are isotropic — the ANN worst case — so this
-    query probes 5 of 8 cells; structured corpora use many more, smaller
-    cells with a low probe count. The scan layout is pinned (plain load,
-    no scan_parallel) because the k-means|| init samples per-partition:
-    the fitted quantizer — and with it the measured recall — is
-    deterministic only for a fixed partitioning. Production ships
-    ivf_topk alone; the exact twin is the verification harness."""
+    against that ground truth. The declared contract uses the
+    DETERMINISTIC ``sample`` quantizer (the n_centroids lowest-id
+    vectors): MLlib k-means|| initialization samples per-PARTITION, so a
+    trained quantizer is a function of the table's file layout, not just
+    its rows — a 4-part directory copy of the same data fitted different
+    centroids and flipped recall_ok (round-5 directory-layout parity
+    sweep), and on isotropic fixtures the miss persists even probing 7 of
+    8 cells, because a neighbor's cell rank under the QUERY is only
+    weakly tied to where the neighbor itself is assigned. The sample
+    quantizer passes the floor at every fixture SF, file layout, and
+    10x/100x synthetic corpus (measured). The trained-quantizer path
+    stays unit-tested (tests/test_operators.py compares kmeans vs sample
+    recall); production ships ivf_topk with PRECOMPUTED centroids — train
+    once offline, pass the array — and the exact twin is the verification
+    harness. MLlib k-means itself is exercised by ml_kmeans_embeddings."""
     from multiomix_aws_emr_spark.operators.similarity import (
         exact_topk,
         exact_with_recall_ok,
@@ -296,6 +302,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_centroids=8,
         n_probe=5,
+        centroids="sample",
     )
     exact = exact_topk(
         e, id_col="vec_id", vec_col="embedding", query_ids=[0, 1], k=5

@@ -70,9 +70,14 @@ def run_running_totals(
     spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
 ) -> DataFrame:
     """Drive the stateful operator over parquet files as a bounded stream
-    (one file per micro-batch, availableNow, memory sink). The LAST update
-    emitted per user equals the batch groupBy total — asserted in
-    tests/test_streaming.py."""
+    (one file per micro-batch, availableNow, memory sink). Update mode
+    emits one row per (user, batch-with-activity); the FINAL update per
+    user equals the batch groupBy total, so the result reduces the sink
+    to it — per-user n_events strictly increases across that user's
+    updates, making max_by exact. (A single-file replay has one batch and
+    the reduction is a no-op; a multi-part directory replay emits
+    intermediate updates — caught by the directory-layout parity sweep,
+    round 5.)"""
     configure(spark)
     _, stream, n_state = static_and_stream(spark, sf_dir, glob)
     out = running_totals_plan(stream)
@@ -91,6 +96,10 @@ def run_running_totals(
 
     result = spark.table(table)
     result.count()
-    return result.select(
+    final = result.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_value"),
+    )
+    return final.select(
         "user_id", "n_events", F.round("sum_value", 2).alias("sum_value")
     )

@@ -147,16 +147,14 @@ def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
     )
     out = run_running_totals(spark, str(tmp_path), glob="*.parquet")
     rows = out.collect()
-    # update mode: last emitted row per user is the running total
-    last = {}
-    for r in rows:
-        last[r.user_id] = (r.n_events, r.sum_value)
-    assert last[1] == (2, 17.0)  # accumulated across batches
-    assert last[2] == (1, 5.0)
-    assert last[3] == (1, 1.5)
-    # user 1 must have been emitted twice (once per batch) with growing n
-    u1 = sorted(r.n_events for r in rows if r.user_id == 1)
-    assert u1 == [1, 2]
+    # the runner reduces the update-mode sink to the FINAL total per user
+    # (one row each); user 1's n_events == 2 is only reachable if its
+    # state carried over from batch 1 into batch 2
+    totals = {r.user_id: (r.n_events, r.sum_value) for r in rows}
+    assert len(rows) == len(totals) == 3
+    assert totals[1] == (2, 17.0)  # accumulated across batches
+    assert totals[2] == (1, 5.0)
+    assert totals[3] == (1, 1.5)
 
 
 def test_declared_stateful_query_matches_batch_totals(spark, sf_dir):
