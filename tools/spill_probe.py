@@ -66,12 +66,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: the job OOMs outright rather than spilling (expected, recorded as a
 #: labeled boundary outcome).
 CONFIGS = [
-    ("baseline_8g_32t_32p_aqe", "8g", 32, 32, True, False),
-    ("coarse_2g_8t_8p_noaqe", "2g", 8, 8, False, False),
-    ("coarse_2g_8t_8p_aqe", "2g", 8, 8, True, False),
-    ("right_2g_8t_64p_noaqe", "2g", 8, 64, False, False),
-    ("overprov_2g_8t_256p_aqe", "2g", 8, 256, True, False),
-    ("boundary_2g_32t_32p_aqe", "2g", 32, 32, True, True),
+    ("baseline_8g_32t_32p_aqe", "8g", 32, 32, True, False, 0),
+    ("coarse_2g_8t_8p_noaqe", "2g", 8, 8, False, False, 0),
+    ("coarse_2g_8t_8p_aqe", "2g", 8, 8, True, False, 0),
+    ("right_2g_8t_64p_noaqe", "2g", 8, 64, False, False, 0),
+    ("overprov_2g_8t_256p_aqe", "2g", 8, 256, True, False, 0),
+    # split-size control: same config as right_* but with 16 MB input
+    # splits (3x the scan tasks). Measured OUTCOME: map-side partial-agg
+    # spill is BYTE-IDENTICAL to the 128 MB-split runs — high-cardinality
+    # partial agg spills exactly its state's excess over the execution
+    # pool, invariant to split count and shuffle partitions. Kept in the
+    # matrix as the documented negative result.
+    ("splitctl_2g_8t_64p_16mb", "2g", 8, 64, False, False, 16),
+    ("boundary_2g_32t_32p_aqe", "2g", 32, 32, True, True, 0),
 ]
 
 SHAPES = ("agg", "sort", "join")
@@ -153,7 +160,13 @@ def _shape_dfs(spark, sf_dir: str, shape: str):
 
 
 def run_worker(
-    sf_dir: str, heap: str, threads: int, parts: int, aqe: bool, shapes: list[str]
+    sf_dir: str,
+    heap: str,
+    threads: int,
+    parts: int,
+    aqe: bool,
+    shapes: list[str],
+    max_part_mb: int = 0,
 ) -> int:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -175,6 +188,10 @@ def run_worker(
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
+    if max_part_mb:
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", f"{max_part_mb}m"
+        )
     spark.sparkContext.setLogLevel("ERROR")
 
     seen_stage_ids: set[int] = set()
@@ -226,6 +243,7 @@ def main() -> int:
     ap.add_argument("--threads", type=int, help=argparse.SUPPRESS)
     ap.add_argument("--parts", type=int, help=argparse.SUPPRESS)
     ap.add_argument("--aqe", help=argparse.SUPPRESS)
+    ap.add_argument("--max-part-mb", type=int, default=0, help=argparse.SUPPRESS)
     args = ap.parse_args()
     shapes = [s for s in args.shapes.split(",") if s]
 
@@ -237,6 +255,7 @@ def main() -> int:
             args.parts,
             args.aqe == "true",
             shapes,
+            args.max_part_mb,
         )
 
     # synthesize the 100x relational corpus in a normal-sized session,
@@ -257,7 +276,7 @@ def main() -> int:
 
     results: dict[str, list[dict]] = {}
     failed = False
-    for name, heap, threads, parts, aqe, expect_oom in CONFIGS:
+    for name, heap, threads, parts, aqe, expect_oom, max_part_mb in CONFIGS:
         cmd = [
             sys.executable,
             os.path.abspath(__file__),
@@ -272,6 +291,8 @@ def main() -> int:
             str(parts),
             "--aqe",
             "true" if aqe else "false",
+            "--max-part-mb",
+            str(max_part_mb),
             "--shapes",
             ",".join(shapes),
         ]
