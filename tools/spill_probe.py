@@ -81,6 +81,20 @@ CONFIGS = [
     ("boundary_2g_32t_32p_aqe", "2g", 32, 32, True, True, 0),
 ]
 
+#: remedy validation for the over-provision config: same 256p + AQE, but
+#: the coalescing advisory lowered from its 64 MB default to 8 MB so the
+#: decompressed operator state per coalesced partition fits the ~150 MB
+#: per-task execution share. Run via --validate-advisory (kept out of the
+#: default matrix: it exists to check the BASELINE recommendation, not to
+#: re-measure the landscape). The comparison set re-runs the two configs
+#: the remedy sits between: over-provision with the default advisory
+#: (the problem) and explicit 64p (the hand-sized winner).
+ADVISORY_CONFIGS = [
+    ("overprov_2g_8t_256p_aqe", "2g", 8, 256, True, False, 0, 0),
+    ("remedy_2g_8t_256p_aqe_8mb", "2g", 8, 256, True, False, 0, 8),
+    ("right_2g_8t_64p_noaqe", "2g", 8, 64, False, False, 0, 0),
+]
+
 SHAPES = ("agg", "sort", "join")
 
 
@@ -167,6 +181,7 @@ def run_worker(
     aqe: bool,
     shapes: list[str],
     max_part_mb: int = 0,
+    advisory_mb: int = 0,
 ) -> int:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -191,6 +206,10 @@ def run_worker(
     if max_part_mb:
         spark.conf.set(
             "spark.sql.files.maxPartitionBytes", f"{max_part_mb}m"
+        )
+    if advisory_mb:
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", f"{advisory_mb}m"
         )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -237,6 +256,12 @@ def main() -> int:
     ap.add_argument("--replicas", type=int, default=100)
     ap.add_argument("--out-root", default="/tmp/spill_probe")
     ap.add_argument("--shapes", default=",".join(SHAPES))
+    ap.add_argument(
+        "--validate-advisory",
+        action="store_true",
+        help="run only the advisory-remedy comparison set (overprov vs "
+        "8 MB-advisory remedy vs explicit 64p) instead of the full matrix",
+    )
     ap.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--sf-dir", help=argparse.SUPPRESS)
     ap.add_argument("--heap", help=argparse.SUPPRESS)
@@ -244,6 +269,7 @@ def main() -> int:
     ap.add_argument("--parts", type=int, help=argparse.SUPPRESS)
     ap.add_argument("--aqe", help=argparse.SUPPRESS)
     ap.add_argument("--max-part-mb", type=int, default=0, help=argparse.SUPPRESS)
+    ap.add_argument("--advisory-mb", type=int, default=0, help=argparse.SUPPRESS)
     args = ap.parse_args()
     shapes = [s for s in args.shapes.split(",") if s]
 
@@ -256,6 +282,7 @@ def main() -> int:
             args.aqe == "true",
             shapes,
             args.max_part_mb,
+            args.advisory_mb,
         )
 
     # synthesize the 100x relational corpus in a normal-sized session,
@@ -274,9 +301,14 @@ def main() -> int:
     )
     spark.stop()
 
+    configs = (
+        ADVISORY_CONFIGS
+        if args.validate_advisory
+        else [c + (0,) for c in CONFIGS]
+    )
     results: dict[str, list[dict]] = {}
     failed = False
-    for name, heap, threads, parts, aqe, expect_oom, max_part_mb in CONFIGS:
+    for name, heap, threads, parts, aqe, expect_oom, max_part_mb, advisory_mb in configs:
         cmd = [
             sys.executable,
             os.path.abspath(__file__),
@@ -293,6 +325,8 @@ def main() -> int:
             "true" if aqe else "false",
             "--max-part-mb",
             str(max_part_mb),
+            "--advisory-mb",
+            str(advisory_mb),
             "--shapes",
             ",".join(shapes),
         ]
