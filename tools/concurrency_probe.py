@@ -30,6 +30,12 @@ sessionization window, two text shapes, a join and an agg.
 Usage:
   python tools/concurrency_probe.py [--src /root/testdata/sf0.1]
                                     [--modes serial,fifo,fair]
+                                    [--queries q1,q2,...]
+
+``--queries`` overrides the mix — used with the scale probe's 100x
+relational corpus to measure the regime where scheduling policy actually
+matters: multi-second jobs, where FIFO head-of-line blocking starves a
+light query behind heavy ones and FAIR round-robins cores across pools.
 
 Prints one JSON line per (mode, query) plus per-mode summaries and a
 parity line; exits non-zero on checksum divergence or any query error.
@@ -127,7 +133,9 @@ def run_mix(
     return results
 
 
-def run_worker(sf_dir: str, mode: str) -> int:
+def run_worker(
+    sf_dir: str, mode: str, queries: tuple = QUERY_MIX, heap: str = "8g"
+) -> int:
     from pyspark.sql import SparkSession
 
     from multiomix_aws_emr_spark.session import RUNTIME_CONF
@@ -135,6 +143,7 @@ def run_worker(sf_dir: str, mode: str) -> int:
     builder = (
         SparkSession.builder.appName(f"concurrency_probe_{mode}")
         .master("local[32]")
+        .config("spark.driver.memory", heap)
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
     )
@@ -147,7 +156,7 @@ def run_worker(sf_dir: str, mode: str) -> int:
 
     # warm pass (always serial): compile plans and fault in the scan caches
     # so the measured pass compares scheduling, not codegen
-    run_mix(spark, sf_dir, concurrent=False, fair_pools=False)
+    run_mix(spark, sf_dir, concurrent=False, fair_pools=False, queries=queries)
 
     t0 = time.perf_counter()
     rows = run_mix(
@@ -155,14 +164,16 @@ def run_worker(sf_dir: str, mode: str) -> int:
         sf_dir,
         concurrent=(mode != "serial"),
         fair_pools=(mode == "fair"),
+        queries=queries,
     )
     makespan = round(time.perf_counter() - t0, 2)
 
     failed = False
-    for r in rows:
+    for qid, r in zip(queries, rows):
+        r = r or {"query": qid, "error": "no result (worker thread died)"}
         print(json.dumps({"mode": mode, **r}), flush=True)
         failed |= "error" in r
-    walls = [r["wall_s"] for r in rows if "wall_s" in r]
+    walls = [r["wall_s"] for r in rows if r and "wall_s" in r]
     print(
         json.dumps(
             {
@@ -183,13 +194,16 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--modes", default=",".join(MODES))
+    ap.add_argument("--queries", default=",".join(QUERY_MIX))
+    ap.add_argument("--heap", default="8g")
     ap.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--sf-dir", help=argparse.SUPPRESS)
     ap.add_argument("--mode", help=argparse.SUPPRESS)
     args = ap.parse_args()
+    queries = tuple(q for q in args.queries.split(",") if q)
 
     if args.worker:
-        return run_worker(args.sf_dir, args.mode)
+        return run_worker(args.sf_dir, args.mode, queries, args.heap)
 
     checksums: dict[str, dict[str, tuple]] = {}
     failed = False
@@ -203,6 +217,10 @@ def main() -> int:
                 args.src,
                 "--mode",
                 mode,
+                "--queries",
+                ",".join(queries),
+                "--heap",
+                args.heap,
             ],
             capture_output=True,
             text=True,
