@@ -115,3 +115,82 @@ def test_restart_from_checkpoint_converges(spark, tmp_path):
         (day0 + _DAY_MS, "view", 2, 8.0),
         (day0 + 2 * _DAY_MS, "view", 1, 4.0),
     ]
+
+
+def test_stateful_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState state-STORE recovery (distinct from the
+    offset-log path above): per-key (n, s) state committed before the
+    interruption must be reloaded from the checkpoint on restart, so a
+    user's post-restart update reflects pre-restart events. The sink is a
+    recoverable foreachBatch parquet append (the memory sink refuses
+    checkpoint recovery by design); both query incarnations append to the
+    same table and the runner's max-based reduction absorbs the
+    at-least-once replay of the in-flight batch."""
+    from pyspark.sql import functions as F
+
+    from multiomix_aws_emr_spark.session import configure
+    from multiomix_aws_emr_spark.streaming.stateful import running_totals_plan
+    from multiomix_aws_emr_spark.streaming.util import bounded_state_partitions
+    from tests.test_streaming import _write_user_events
+
+    configure(spark)
+    src = tmp_path / "usrc"
+    src.mkdir()
+    now = time.time()
+    _write_user_events(str(src / "b0.parquet"), [(0, 1, 10.0), (1, 2, 5.0)], now - 60)
+    _write_user_events(str(src / "b1.parquet"), [(2, 1, 7.0)], now - 59)
+    _write_user_events(
+        str(src / "b2.parquet"), [(3, 1, 3.0), (4, 2, 2.0)], now - 58
+    )
+
+    static = spark.read.option("pathGlobFilter", "b*.parquet").parquet(str(src))
+    updates_dir = str(tmp_path / "updates")
+
+    def start(available_now):
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "b*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        writer = (
+            running_totals_plan(stream)
+            .writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(updates_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck_state"))
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    with bounded_state_partitions(spark, 4):
+        q = start(False)
+        deadline = time.time() + 60
+        committed = 0
+        while time.time() < deadline:
+            committed = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+            if committed >= 1:
+                break
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination(60)
+        assert committed >= 1, "stream never committed a batch before stop"
+
+        q = start(True)
+        q.awaitTermination(120)
+
+    merged = spark.read.parquet(updates_dir)
+    totals = {
+        r.user_id: (r.n_events, round(r.sum_value, 2))
+        for r in merged.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+        .collect()
+    }
+    # equals the batch aggregate over ALL files — only possible if the
+    # state store reloaded pre-restart (n, s) on restart
+    assert totals == {1: (3, 20.0), 2: (2, 7.0)}
