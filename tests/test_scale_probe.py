@@ -270,3 +270,16 @@ def test_skew_probe_synthesis_and_strategy_agreement(spark, sf_dir, tmp_path):
         for nn, rev in answers.values()
     )
     assert n0 > 0
+
+
+def test_core_scaling_speedup_summary_flags_flat_queries():
+    from tools.core_scaling_probe import speedup_summary
+
+    results = {
+        4: {"a": 8.0, "b": 4.0, "c": 0.0},
+        32: {"a": 2.0, "b": 3.9, "c": 0.0},
+    }
+    speedup, flat = speedup_summary(results, ("a", "b", "c"), 2.0)
+    assert speedup["a"] == 4.0
+    # b is flat (1.03x); c pins the zero-wall division clamp
+    assert flat == ["b", "c"]

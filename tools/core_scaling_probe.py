@@ -1,0 +1,161 @@
+"""Strong-scaling probe: wall time of scale-critical shapes vs core count.
+
+The 10x/100x volume probes (tools/scale_probe.py) show wall time grows
+sublinearly with DATA on a fixed 32-thread host. This probe measures the
+other axis of the 100 TB claim: with DATA FIXED at the 100x synthetic
+corpus, does adding cores actually speed the shapes up? A shape whose
+wall time keeps falling as cores double is parallelism-bound (more
+executors help — the property a 1000-executor cluster needs); a flat
+curve would expose a serial bottleneck (driver loop, single-partition
+stage, unsplittable shuffle) that plan review missed.
+
+Method: for each N in --cores-list, a FRESH subprocess builds a
+``local[N]`` session with ``spark.sql.shuffle.partitions = N`` (a fresh
+JVM per N — core count is a static cluster property, not a runtime conf)
+and times the tier's queries on the SAME materialized corpus: one warm
+pass for codegen/scan caches, then min of --reps measured passes. The
+parent aggregates speedup(N) = wall(min cores) / wall(N) per query.
+
+The corpus is synthesized once (via tools/scale_probe.synthesize, the
+deterministic no-RNG scrambler) and reused across all N, so every
+subprocess times identical bytes.
+
+Usage:
+  python tools/core_scaling_probe.py [--tier documents] [--replicas 100]
+      [--cores-list 4,8,16,32] [--reps 2]
+      [--src /root/testdata/sf0.1] [--out-root /tmp/scale_probe]
+
+Prints one JSON line per core count plus a speedup summary; exits
+non-zero if any query FAILS TO SCALE: speedup at the top core count
+below --min-speedup (default 2.0 over an 8x core range — deliberately
+lenient, small corpora leave cores idle at the top end).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def speedup_summary(
+    results: dict[int, dict[str, float]],
+    queries: tuple[str, ...],
+    min_speedup: float,
+) -> tuple[dict[str, float], list[str]]:
+    """speedup(top cores) = wall(min cores)/wall(max cores) per query, and
+    the queries whose speedup falls below ``min_speedup`` (flat curve =
+    serial bottleneck)."""
+    base, top = min(results), max(results)
+    speedup = {
+        q: round(results[base][q] / max(results[top][q], 0.01), 2)
+        for q in queries
+    }
+    return speedup, [q for q, s in speedup.items() if s < min_speedup]
+
+
+def run_worker(cores: int, tier: str, sf_dir: str, reps: int) -> None:
+    """Child-process body: time the tier's queries at local[cores]."""
+    from multiomix_aws_emr_spark.queries import QUERIES
+    from multiomix_aws_emr_spark.session import build_session
+
+    from tools.scale_probe import TIER_QUERIES
+
+    spark = build_session(
+        app_name=f"core_scaling_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sec: dict[str, float] = {}
+    for qid in TIER_QUERIES[tier]:
+        runs = []
+        for rep in range(reps + 1):  # rep 0 is the warm pass
+            t0 = time.perf_counter()
+            QUERIES[qid](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            if rep > 0:
+                runs.append(time.perf_counter() - t0)
+        sec[qid] = round(min(runs), 2)
+    spark.stop()
+    print(json.dumps({"cores": cores, "tier": tier, "sec": sec}))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tier", default="documents")
+    ap.add_argument("--replicas", type=int, default=100)
+    ap.add_argument("--cores-list", default="4,8,16,32")
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--min-speedup", type=float, default=2.0)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out-root", default="/tmp/scale_probe")
+    ap.add_argument("--worker-cores", type=int, default=None,
+                    help="internal: run as the timing subprocess")
+    ap.add_argument("--sf-dir", default=None, help="internal: corpus dir")
+    args = ap.parse_args()
+
+    if args.worker_cores is not None:
+        run_worker(args.worker_cores, args.tier, args.sf_dir, args.reps)
+        return 0
+
+    # Materialize (or reuse) the scaled corpus once, with a throwaway
+    # full-width session, so every per-N subprocess times identical bytes.
+    from multiomix_aws_emr_spark.session import build_session
+
+    from tools.scale_probe import TIER_QUERIES, synthesize
+
+    out_dir = os.path.join(args.out_root, f"{args.tier}_{args.replicas}x")
+    spark = build_session(app_name="core_scaling_synth")
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize(spark, args.tier, args.src, out_dir, args.replicas)
+    spark.stop()
+
+    cores_list = sorted(int(c) for c in args.cores_list.split(","))
+    results: dict[int, dict[str, float]] = {}
+    for cores in cores_list:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--worker-cores", str(cores),
+                "--tier", args.tier,
+                "--sf-dir", out_dir,
+                "--reps", str(args.reps),
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        line = [
+            ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+        ][-1]
+        rec = json.loads(line)
+        results[cores] = rec["sec"]
+        print(line)
+
+    speedup, flat = speedup_summary(
+        results, TIER_QUERIES[args.tier], args.min_speedup
+    )
+    print(
+        json.dumps(
+            {
+                "tier": args.tier,
+                "replicas": args.replicas,
+                f"speedup_{cores_list[0]}to{cores_list[-1]}_cores": speedup,
+                "min_speedup_required": args.min_speedup,
+                "not_scaling": flat,
+            }
+        )
+    )
+    return 1 if flat else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
