@@ -276,10 +276,13 @@ def test_core_scaling_speedup_summary_flags_flat_queries():
     from tools.core_scaling_probe import speedup_summary
 
     results = {
-        4: {"a": 8.0, "b": 4.0, "c": 0.0},
-        32: {"a": 2.0, "b": 3.9, "c": 0.0},
+        4: {"a": 8.0, "b": 4.0, "c": 0.0, "d": 0.6},
+        32: {"a": 2.0, "b": 3.9, "c": 0.0, "d": 0.5},
     }
-    speedup, flat = speedup_summary(results, ("a", "b", "c"), 2.0)
+    speedup, flat = speedup_summary(results, ("a", "b", "c", "d"), 2.0)
     assert speedup["a"] == 4.0
-    # b is flat (1.03x); c pins the zero-wall division clamp
-    assert flat == ["b", "c"]
+    # b is flat (1.03x) at a wall worth parallelizing -> flagged; c pins
+    # the zero-wall division clamp but sits under the 2 s floor, and d is
+    # a flat sub-second shape -> both exempt (fixed overhead, not serial
+    # bottleneck)
+    assert flat == ["b"]

@@ -47,16 +47,25 @@ def speedup_summary(
     results: dict[int, dict[str, float]],
     queries: tuple[str, ...],
     min_speedup: float,
+    wall_floor: float = 2.0,
 ) -> tuple[dict[str, float], list[str]]:
     """speedup(top cores) = wall(min cores)/wall(max cores) per query, and
     the queries whose speedup falls below ``min_speedup`` (flat curve =
-    serial bottleneck)."""
+    serial bottleneck). Queries whose base wall is under ``wall_floor``
+    are exempt from the requirement: at a couple of seconds the wall is
+    fixed per-query overhead (plan compile, stage scheduling), there is
+    nothing left to parallelize, and a flat curve proves nothing."""
     base, top = min(results), max(results)
     speedup = {
         q: round(results[base][q] / max(results[top][q], 0.01), 2)
         for q in queries
     }
-    return speedup, [q for q, s in speedup.items() if s < min_speedup]
+    flat = [
+        q
+        for q, s in speedup.items()
+        if s < min_speedup and results[base][q] >= wall_floor
+    ]
+    return speedup, flat
 
 
 def run_worker(cores: int, tier: str, sf_dir: str, reps: int) -> None:
