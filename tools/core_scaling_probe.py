@@ -22,8 +22,12 @@ subprocess times identical bytes.
 
 Usage:
   python tools/core_scaling_probe.py [--tier documents] [--replicas 100]
-      [--cores-list 4,8,16,32] [--reps 2]
+      [--cores-list 4,8,16,32] [--reps 2] [--jvm-runs 1]
       [--src /root/testdata/sf0.1] [--out-root /tmp/scale_probe]
+
+``--jvm-runs J`` launches J independent subprocesses per core count and
+takes the per-query min across JVMs (the BASELINE §C core-sweep table
+was recorded with J=2; the cross-JVM min dampens host-noise windows).
 
 Prints one JSON line per core count plus a speedup summary; exits
 non-zero if any query FAILS TO SCALE: speedup at the top core count
@@ -102,6 +106,8 @@ def main() -> int:
     ap.add_argument("--replicas", type=int, default=100)
     ap.add_argument("--cores-list", default="4,8,16,32")
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--jvm-runs", type=int, default=1,
+                    help="independent JVMs per core count; min is taken")
     ap.add_argument("--min-speedup", type=float, default=2.0)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out-root", default="/tmp/scale_probe")
@@ -110,9 +116,26 @@ def main() -> int:
     ap.add_argument("--sf-dir", default=None, help="internal: corpus dir")
     args = ap.parse_args()
 
+    # Argument validation (ADVICE r5): reps=0 would leave the measured-run
+    # list empty (only the warm pass executes) and min() would raise a
+    # bare ValueError deep in the worker; a worker invocation without
+    # --sf-dir would pass sf_dir=None into the query loaders.
+    if args.reps < 1:
+        ap.error("--reps must be >= 1 (rep 0 is the unmeasured warm pass)")
+    if args.jvm_runs < 1:
+        ap.error("--jvm-runs must be >= 1")
     if args.worker_cores is not None:
+        if args.sf_dir is None:
+            ap.error("--worker-cores requires --sf-dir (the corpus dir)")
         run_worker(args.worker_cores, args.tier, args.sf_dir, args.reps)
         return 0
+
+    cores_list = sorted({int(c) for c in args.cores_list.split(",")})
+    if len(cores_list) < 2:
+        # A single core count makes speedup(base==top) identically 1.0 for
+        # every query, so every heavy shape would be flagged "not scaling"
+        # and the probe would exit non-zero on a degenerate input.
+        ap.error("--cores-list needs at least two distinct core counts")
 
     # Materialize (or reuse) the scaled corpus once, with a throwaway
     # full-width session, so every per-N subprocess times identical bytes.
@@ -126,28 +149,45 @@ def main() -> int:
     synthesize(spark, args.tier, args.src, out_dir, args.replicas)
     spark.stop()
 
-    cores_list = sorted(int(c) for c in args.cores_list.split(","))
     results: dict[int, dict[str, float]] = {}
     for cores in cores_list:
-        proc = subprocess.run(
-            [
-                sys.executable,
-                os.path.abspath(__file__),
-                "--worker-cores", str(cores),
-                "--tier", args.tier,
-                "--sf-dir", out_dir,
-                "--reps", str(args.reps),
-            ],
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        line = [
-            ln for ln in proc.stdout.splitlines() if ln.startswith("{")
-        ][-1]
-        rec = json.loads(line)
-        results[cores] = rec["sec"]
-        print(line)
+        per_jvm: list[dict[str, float]] = []
+        for _ in range(args.jvm_runs):
+            try:
+                proc = subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.abspath(__file__),
+                        "--worker-cores", str(cores),
+                        "--tier", args.tier,
+                        "--sf-dir", out_dir,
+                        "--reps", str(args.reps),
+                    ],
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                )
+            except subprocess.CalledProcessError as exc:
+                # Surface the worker's captured streams — without this the
+                # CalledProcessError hides the actual Spark/Python error.
+                print(exc.stdout, file=sys.stderr)
+                print(exc.stderr, file=sys.stderr)
+                raise
+            json_lines = [
+                ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+            ]
+            if not json_lines:
+                raise RuntimeError(
+                    f"worker local[{cores}] exited 0 but printed no JSON "
+                    f"result line.\nstdout:\n{proc.stdout}\n"
+                    f"stderr:\n{proc.stderr}"
+                )
+            line = json_lines[-1]
+            per_jvm.append(json.loads(line)["sec"])
+            print(line)
+        results[cores] = {
+            q: min(run[q] for run in per_jvm) for q in per_jvm[0]
+        }
 
     speedup, flat = speedup_summary(
         results, TIER_QUERIES[args.tier], args.min_speedup
