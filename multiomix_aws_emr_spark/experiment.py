@@ -203,7 +203,7 @@ def run_experiment(spark: SparkSession, args: argparse.Namespace) -> dict:
         },
         args.results_dir,
     )
-    return {
+    summary = {
         "app_name": args.app_name,
         "result_json": result_path,
         "model_path": model_path,
@@ -211,6 +211,10 @@ def run_experiment(spark: SparkSession, args: argparse.Namespace) -> dict:
         "n_features": len(result.selected_features),
         "wall_seconds": round(_time.perf_counter() - t0, 4),
     }
+    if result.baseline_fitness is not None:
+        # R34 (`scripts/core.py:282`): the all-features comparison metric.
+        summary["baseline_metric"] = round(result.baseline_fitness, 4)
+    return summary
 
 
 def main(argv: list[str] | None = None) -> dict:

@@ -88,6 +88,9 @@ class BBHAResult:
     n_iterations: int
     execution_time: float
     history: list[dict] = field(default_factory=list)
+    #: R34 (`scripts/core.py:171-179`): CV fitness of the all-features
+    #: mask, evaluated once before the search as the comparison baseline.
+    baseline_fitness: Optional[float] = None
 
     def history_df(self, spark: SparkSession) -> DataFrame:
         """Per-(iteration, star) metrics as a tidy DataFrame — replaces the
@@ -112,15 +115,20 @@ class BBHAResult:
 
     def to_result_json(self) -> str:
         """The reference's result.json shape (`scripts/core.py:277-285`,
-        R24): features as a ' | '-joined string + scalars."""
-        return json.dumps(
-            {
-                "features": " | ".join(self.selected_features),
-                "best_metric": round(self.best_fitness, 4),
-                "n_iterations": self.n_iterations,
-                "execution_time": round(self.execution_time, 4),
-            }
-        )
+        R24): features as a ' | '-joined string + scalars, including the
+        all-features baseline under the reference's own key name
+        (``best_metric_with_all_features``, `core.py:282`, R34)."""
+        payload = {
+            "features": " | ".join(self.selected_features),
+            "best_metric": round(self.best_fitness, 4),
+            "n_iterations": self.n_iterations,
+            "execution_time": round(self.execution_time, 4),
+        }
+        if self.baseline_fitness is not None:
+            payload["best_metric_with_all_features"] = round(
+                self.baseline_fitness, 4
+            )
+        return json.dumps(payload)
 
 
 def _make_evaluator(bc, fitness_fn: FitnessFn):
@@ -164,6 +172,31 @@ def _make_evaluator(bc, fitness_fn: FitnessFn):
 _EVAL_SCHEMA = (
     "star_id int, fitness double, n_features int, exec_time double, hostname string"
 )
+
+
+def evaluate_all_features_baseline(
+    spark: SparkSession, evaluator, n_features: int
+) -> dict:
+    """R34 (`scripts/core.py:171-179`): evaluate ``np.ones(n_features)``
+    once before the metaheuristic, through the SAME grouped-Arrow
+    evaluator the search uses (the reference routes it through the same
+    ``compute_cross_validation``), so the baseline is measured under
+    identical CV folds, seeding, and executor placement. One 1-row Spark
+    job; returned as a history-row dict with the reserved coordinates
+    ``iteration=-1, star_id=-1``."""
+    sdf = spark.createDataFrame(
+        [(-1, 0, [1] * n_features)],
+        schema="star_id int, bin_id int, mask array<int>",
+    )
+    row = sdf.groupBy("bin_id").applyInPandas(evaluator, _EVAL_SCHEMA).collect()[0]
+    return {
+        "iteration": -1,
+        "star_id": -1,
+        "fitness": float(row.fitness),
+        "n_features": int(row.n_features),
+        "exec_time": float(row.exec_time),
+        "hostname": row.hostname,
+    }
 
 
 #: Admissible improved-variant coefficients (`metaheuristics.py:358-367`,
@@ -239,6 +272,9 @@ def run_bbha(
     )
     evaluator = _make_evaluator(bc, fitness_fn)
 
+    # R34: all-features baseline before the search (`core.py:171-179`).
+    baseline = evaluate_all_features_baseline(spark, evaluator, n_features)
+
     # Star initialization: star i from seed random_state * (i + 1)
     # (seed threading shape of metaheuristics.py:524-527).
     masks = [
@@ -268,7 +304,7 @@ def run_bbha(
             for r in res
         )
 
-    history: list[dict] = []
+    history: list[dict] = [baseline]
     bh_idx, bh_fitness = -1, -np.inf
     # improved variant: per-star personal bests (`metaheuristics.py:371-374`)
     best_masks = [m.copy() for m in masks]
@@ -383,4 +419,5 @@ def run_bbha(
         n_iterations=n_iterations,
         execution_time=_time.perf_counter() - t_start,
         history=history,
+        baseline_fitness=baseline["fitness"],
     )

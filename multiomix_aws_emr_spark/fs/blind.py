@@ -26,6 +26,7 @@ from multiomix_aws_emr_spark.fs.bbha import (
     FitnessFn,
     _EVAL_SCHEMA,
     _make_evaluator,
+    evaluate_all_features_baseline,
     random_mask,
 )
 from multiomix_aws_emr_spark.fs.fitness import cv_linear_cox_fitness
@@ -59,6 +60,10 @@ def run_blind_search(
         }
     )
     evaluator = _make_evaluator(bc, fitness_fn)
+    # R34: the reference computes the all-features baseline before
+    # EITHER algorithm branch (`scripts/core.py:171-179`), so blind
+    # search reports it too.
+    baseline = evaluate_all_features_baseline(spark, evaluator, n_features)
     masks = [
         random_mask(n_features, np.random.RandomState(random_state * (i + 1)))
         for i in range(n_subsets)
@@ -68,7 +73,7 @@ def run_blind_search(
     sdf = spark.createDataFrame(rows, schema="star_id int, bin_id int, mask array<int>")
     res = sdf.groupBy("bin_id").applyInPandas(evaluator, _EVAL_SCHEMA).collect()
 
-    history = [
+    history = [baseline] + [
         {
             "iteration": 0,
             "star_id": r.star_id,
@@ -88,4 +93,5 @@ def run_blind_search(
         n_iterations=1,
         execution_time=_time.perf_counter() - t_start,
         history=history,
+        baseline_fitness=baseline["fitness"],
     )

@@ -144,7 +144,9 @@ class RuntimeCostModel:
         row = self._design(
             np.array([float(n_features)]), np.array([float(n_samples)])
         )
-        return float(max(row @ beta, 1e-6))
+        # row is (1, d): take the scalar explicitly — max(array, float)
+        # returns a 0-d-convertible array NumPy >= 1.25 deprecates casting
+        return max(float((row @ beta)[0]), 1e-6)
 
 
 def plan_star_bins(

@@ -17,13 +17,18 @@ from multiomix_aws_emr_spark.queries.registry import query
 from multiomix_aws_emr_spark.sources.tables import load
 
 
-#: Invariant-grid oracle for the BBHA history (8 stars x 2 iterations):
-#: the run must emit exactly the full (iteration, star) grid, every
-#: fitness must be a valid CV concordance (in [0, 1], or the -1.0
-#: zero-feature guard value — fs/fitness.py:30), and every mask width
-#: must stay within the 16-dim feature space. A crashed star, a NaN
-#: fitness, or a mask escaping the space each breaks the hash.
+#: Invariant-grid oracle for the BBHA history (8 stars x 2 iterations,
+#: plus the R34 all-features baseline row at (-1, -1) — `scripts/
+#: core.py:171-179`): the run must emit exactly the full (iteration,
+#: star) grid AND the baseline row, every fitness must be a valid CV
+#: concordance (in [0, 1], or the -1.0 zero-feature guard value —
+#: fs/fitness.py:30), and every mask width must stay within the 16-dim
+#: feature space. A crashed star, a NaN fitness, a mask escaping the
+#: space, or a missing baseline evaluation each breaks the hash.
 _BBHA_ORACLE = """
+SELECT CAST(-1 AS INTEGER) AS iteration, CAST(-1 AS INTEGER) AS star_id,
+       TRUE AS fitness_ok, TRUE AS nf_ok
+UNION ALL
 SELECT CAST(t.i // 8 AS INTEGER) AS iteration,
        CAST(t.i % 8 AS INTEGER) AS star_id,
        TRUE AS fitness_ok,

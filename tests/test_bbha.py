@@ -48,21 +48,42 @@ def test_bbha_deterministic(spark, dataset):
 def test_bbha_finds_signal(spark, dataset):
     r = _run(spark, dataset)
     assert r.best_fitness > 0.7  # far above the 0.5 random baseline
-    assert len(r.history) == 6 * 3
-    # history covers every (iteration, star)
+    # 18 search rows + the R34 all-features baseline at (-1, -1)
+    assert len(r.history) == 6 * 3 + 1
     assert {(h["iteration"], h["star_id"]) for h in r.history} == {
         (i, s) for i in range(3) for s in range(6)
-    }
+    } | {(-1, -1)}
+
+
+def test_bbha_all_features_baseline(spark, dataset):
+    # R34 (`scripts/core.py:171-179`): the all-features fitness is
+    # evaluated once before the search, carried on the result, and its
+    # history row records the full feature width.
+    r = _run(spark, dataset)
+    assert r.baseline_fitness is not None and 0.0 <= r.baseline_fitness <= 1.0
+    base_rows = [h for h in r.history if h["iteration"] == -1]
+    assert len(base_rows) == 1
+    assert base_rows[0]["n_features"] == dataset[0].shape[1]
+    assert base_rows[0]["fitness"] == r.baseline_fitness
+    # seeded determinism extends to the baseline evaluation
+    assert _run(spark, dataset).baseline_fitness == r.baseline_fitness
 
 
 def test_bbha_metrics_and_json(spark, dataset):
     r = _run(spark, dataset)
     hdf = r.history_df(spark)
-    assert hdf.count() == 18
+    assert hdf.count() == 19
     host = r.host_metrics_df(spark).collect()
     assert all(row.busy_sec >= 0 for row in host)
     doc = json.loads(r.to_result_json())
-    assert set(doc) == {"features", "best_metric", "n_iterations", "execution_time"}
+    assert set(doc) == {
+        "features",
+        "best_metric",
+        "n_iterations",
+        "execution_time",
+        "best_metric_with_all_features",
+    }
+    assert doc["best_metric_with_all_features"] == round(r.baseline_fitness, 4)
     assert doc["features"].count("|") == len(r.selected_features) - 1
 
 
@@ -114,9 +135,15 @@ def test_blind_search_one_pass(spark, dataset):
         spark, x, time_col, event_col, n_subsets=12, random_state=42
     )
     assert r1.selected_features == r2.selected_features  # seeded
-    assert len(r1.history) == 12 and r1.n_iterations == 1
+    # 12 subsets + the R34 all-features baseline row at iteration -1
+    assert len(r1.history) == 13 and r1.n_iterations == 1
+    assert r1.baseline_fitness is not None
     # best-of-12 must match a driver-side argmax over its own history
-    best = max(r1.history, key=lambda h: (h["fitness"], -h["n_features"]))
+    # (the baseline row is reporting, not a search candidate)
+    best = max(
+        (h for h in r1.history if h["iteration"] >= 0),
+        key=lambda h: (h["fitness"], -h["n_features"]),
+    )
     assert r1.best_fitness == best["fitness"]
     # with informative features planted, random search still beats chance
     assert r1.best_fitness > 0.5

@@ -62,11 +62,22 @@ def test_experiment_writes_all_artifacts(spark, tsvs, tmp_path):
     assert os.path.exists(summary["model_path"])
 
     res = json.load(open(summary["result_json"]))
-    assert set(res) == {"features", "best_metric", "n_iterations", "execution_time"}
+    assert set(res) == {
+        "features",
+        "best_metric",
+        "n_iterations",
+        "execution_time",
+        "best_metric_with_all_features",
+    }
     assert res["best_metric"] == summary["best_metric"] > 0.5  # beats random
+    # R34: the all-features baseline metric is in the payload (the
+    # reference's key name, `scripts/core.py:282`) and in the summary.
+    assert res["best_metric_with_all_features"] == summary["baseline_metric"]
+    assert 0.0 <= res["best_metric_with_all_features"] <= 1.0
 
     metrics = spark.read.parquet(str(tmp_path / "r1" / "metrics.parquet"))
-    assert metrics.count() == 6 * 3  # n_stars x iterations
+    # n_stars x iterations + the iteration=-1 baseline row
+    assert metrics.count() == 6 * 3 + 1
     assert "iteration" in [f.name for f in metrics.schema.fields]
 
     from multiomix_aws_emr_spark.sources.sinks import read_model_artifact

@@ -84,7 +84,8 @@ def test_bbha_survives_flaky_isolated_fitness(spark):
         fitness_fn=isolated(flaky),
     )
     assert res.best_fitness >= WORST_FITNESS
-    assert len(res.history) == 8
+    # 4 stars x 2 iterations + the R34 all-features baseline row
+    assert len(res.history) == 9
 
 
 # ---------------------------------------------------------------------------
