@@ -557,14 +557,22 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy). The portable signature hash makes the whole composition
     DuckDB-recomputable, so the end-to-end pipeline is hash-checked.
     """
+    from multiomix_aws_emr_spark.functions.fingerprint import (
+        text_fingerprint_cols,
+    )
     from multiomix_aws_emr_spark.operators.dedup import minhash_lsh_clusters
 
     d = load(spark, sf_dir, "documents")
     base = d.filter(F.col("lang").isin("en", "es", "de")).filter(
         F.col("n_chars") >= 100
     )
-    # exact dedup: keep the minimum doc_id per identical text
-    keeper = base.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # exact dedup: keep the minimum doc_id per identical text — grouped
+    # on the ~20-byte fingerprint key (functions/fingerprint.py), NOT the
+    # raw text, so this shuffle carries ids + hashes, never document
+    # bodies; identical result to GROUP BY text (the declared oracle)
+    keeper = base.groupBy(*text_fingerprint_cols("text")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
     exact = base.join(keeper.select("doc_id"), "doc_id", "left_semi")
     # near-dup: keep only cluster representatives (doc == its rep)
     reps = minhash_lsh_clusters(
@@ -816,13 +824,20 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked against DuckDB restating every stage."""
     from pyspark.sql.window import Window
 
+    from multiomix_aws_emr_spark.functions.fingerprint import (
+        text_fingerprint_cols,
+    )
     from multiomix_aws_emr_spark.operators.dedup import minhash_lsh_clusters
 
     d = load(spark, sf_dir, "documents")
     base = d.filter(F.col("lang").isin("en", "es", "de")).filter(
         F.col("n_chars") >= 100
     )
-    keeper = base.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # cheap-key exact dedup: fingerprint group keys, not document bodies
+    # (functions/fingerprint.py) — identical result to GROUP BY text
+    keeper = base.groupBy(*text_fingerprint_cols("text")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
     exact = base.join(keeper.select("doc_id"), "doc_id", "left_semi")
     reps = minhash_lsh_clusters(
         exact, text_col="text", id_col="doc_id", portable=True

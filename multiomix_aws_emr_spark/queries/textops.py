@@ -73,12 +73,27 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup as a deterministic hash-aggregate (keep min doc_id).
 
-    At 100 TB, group on a fingerprint (see `text_fingerprint`) instead of
-    the raw text so the shuffle carries 32-byte keys, not documents.
+    Groups on the compact (length, 2x seeded xxhash64) fingerprint
+    instead of the raw text, so the shuffle key is ~20 bytes, not the
+    document body (functions/fingerprint.py has the collision-odds
+    argument). The emitted text comes back as ``min(text)`` — equal
+    within a group, and a map-side partial aggregate, so each map task
+    ships one copy per distinct document rather than one per duplicate
+    row. Result is identical to ``GROUP BY text`` (the declared oracle).
     """
+    from multiomix_aws_emr_spark.functions.fingerprint import (
+        text_fingerprint_cols,
+    )
+
     d = load(spark, sf_dir, "documents")
-    return d.groupBy("text").agg(
-        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count")
+    return (
+        d.groupBy(*text_fingerprint_cols("text"))
+        .agg(
+            F.min("text").alias("text"),
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select("text", "keep_id", "dup_count")
     )
 
 
