@@ -121,7 +121,7 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*mins)
 
 
-def minhash_lsh_clusters(
+def banded_buckets(
     df: DataFrame,
     *,
     text_col: str,
@@ -131,15 +131,17 @@ def minhash_lsh_clusters(
     shingle_words: int = 3,
     portable: bool = False,
 ) -> DataFrame:
-    """Near-dup cluster assignment: (id, rep_id), total over the corpus.
+    """(id, band, bucket) LSH candidate rows — the per-document sketch.
 
-    rep_id = smallest id sharing any LSH band bucket (itself when unique).
-    With K=16, B=4 (R=4 rows/band) the candidate threshold sits near
-    Jaccard ~ (1/B)^(1/R) ~ 0.5.
-
-    ``portable=True`` uses the cross-engine signature hash and an md5
-    string over the band's signature values as the bucket key (both
-    DuckDB-recomputable); default keeps xxhash64 throughout.
+    Every column is a function of the document's OWN text (signatures
+    are mins over the doc's own shingles; buckets hash the doc's own
+    signature), so the sketch for a document is identical whether
+    computed over the full corpus or any subset containing it. That
+    per-doc property is what makes this sub-plan shareable: compute it
+    once over the corpus, then restrict by semi-join for any filtered
+    pipeline (plans/sketchcache.py) — at warehouse scale the same move
+    is materializing the sketch as its own table and reusing it across
+    every pipeline variant that deduplicates.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must divide evenly into bands")
@@ -164,13 +166,55 @@ def minhash_lsh_clusters(
         F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
         for b in range(bands)
     ]
-    banded = sig.select(
+    return sig.select(
         id_col, F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
 
+
+def lsh_cluster_assign(banded: DataFrame, *, id_col: str) -> DataFrame:
+    """(id, rep_id) one-step cluster assignment over a banded sketch:
+    rep_id = smallest id sharing any band bucket (itself when unique).
+    The rep choice depends on which ids are PRESENT in ``banded``, so
+    subset restriction must happen before this call."""
     reps = banded.groupBy("band", "bucket").agg(F.min(id_col).alias("_rep"))
     return (
         banded.join(reps, ["band", "bucket"])
         .groupBy(id_col)
         .agg(F.min("_rep").alias("rep_id"))
     )
+
+
+def minhash_lsh_clusters(
+    df: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-dup cluster assignment: (id, rep_id), total over the corpus.
+
+    rep_id = smallest id sharing any LSH band bucket (itself when unique).
+    With K=16, B=4 (R=4 rows/band) the candidate threshold sits near
+    Jaccard ~ (1/B)^(1/R) ~ 0.5.
+
+    ``portable=True`` uses the cross-engine signature hash and an md5
+    string over the band's signature values as the bucket key (both
+    DuckDB-recomputable); default keeps xxhash64 throughout.
+
+    Composition of :func:`banded_buckets` + :func:`lsh_cluster_assign`;
+    callers that dedup the same corpus repeatedly should reuse the
+    banded sketch via plans/sketchcache.py instead of recomputing it.
+    """
+    banded = banded_buckets(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_words=shingle_words,
+        portable=portable,
+    )
+    return lsh_cluster_assign(banded, id_col=id_col)

@@ -494,14 +494,15 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical edges and close them with a recursive transitive-closure
     CTE — the iterative fixpoint is hash-checked end to end."""
     from multiomix_aws_emr_spark.operators.components import connected_components
-    from multiomix_aws_emr_spark.operators.dedup import minhash_lsh_clusters
+    from multiomix_aws_emr_spark.operators.dedup import lsh_cluster_assign
+    from multiomix_aws_emr_spark.plans.sketchcache import banded_documents
 
-    d = load(spark, sf_dir, "documents")
     # Materialize the sketch output once: it feeds BOTH the fixpoint and
     # the final stitch join, and is (doc, rep) pairs — small relative to
-    # the corpus text it derives from.
-    one_step = minhash_lsh_clusters(
-        d, text_col="text", id_col="doc_id", portable=True
+    # the corpus text it derives from. The banded sketch itself comes
+    # from the session-scoped shared cache (plans/sketchcache.py).
+    one_step = lsh_cluster_assign(
+        banded_documents(spark, sf_dir, portable=True), id_col="doc_id"
     ).localCheckpoint()
     # The fixpoint only concerns docs in non-trivial clusters; most of a
     # real corpus is singletons (doc_id == rep_id), which would bloat every
@@ -560,7 +561,8 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multiomix_aws_emr_spark.functions.fingerprint import (
         text_fingerprint_cols,
     )
-    from multiomix_aws_emr_spark.operators.dedup import minhash_lsh_clusters
+    from multiomix_aws_emr_spark.operators.dedup import lsh_cluster_assign
+    from multiomix_aws_emr_spark.plans.sketchcache import banded_documents
 
     d = load(spark, sf_dir, "documents")
     base = d.filter(F.col("lang").isin("en", "es", "de")).filter(
@@ -574,10 +576,16 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id")
     )
     exact = base.join(keeper.select("doc_id"), "doc_id", "left_semi")
-    # near-dup: keep only cluster representatives (doc == its rep)
-    reps = minhash_lsh_clusters(
-        exact, text_col="text", id_col="doc_id", portable=True
-    ).filter(F.col("doc_id") == F.col("rep_id"))
+    # near-dup: keep only cluster representatives (doc == its rep). The
+    # banded sketch is per-doc, so restricting the SHARED corpus sketch
+    # (plans/sketchcache.py) by semi-join is exactly the sketch of
+    # ``exact``; rep assignment then runs over the subset.
+    banded = banded_documents(spark, sf_dir, portable=True).join(
+        exact.select("doc_id"), "doc_id", "left_semi"
+    )
+    reps = lsh_cluster_assign(banded, id_col="doc_id").filter(
+        F.col("doc_id") == F.col("rep_id")
+    )
     curated = exact.join(reps.select("doc_id"), "doc_id", "left_semi")
     return (
         curated.groupBy("lang")
@@ -827,7 +835,8 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multiomix_aws_emr_spark.functions.fingerprint import (
         text_fingerprint_cols,
     )
-    from multiomix_aws_emr_spark.operators.dedup import minhash_lsh_clusters
+    from multiomix_aws_emr_spark.operators.dedup import lsh_cluster_assign
+    from multiomix_aws_emr_spark.plans.sketchcache import banded_documents
 
     d = load(spark, sf_dir, "documents")
     base = d.filter(F.col("lang").isin("en", "es", "de")).filter(
@@ -839,9 +848,15 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id")
     )
     exact = base.join(keeper.select("doc_id"), "doc_id", "left_semi")
-    reps = minhash_lsh_clusters(
-        exact, text_col="text", id_col="doc_id", portable=True
-    ).filter(F.col("doc_id") == F.col("rep_id"))
+    # near-dup reps over the shared per-doc sketch, restricted to the
+    # exact-dedup survivors (plans/sketchcache.py — same sub-plan as
+    # dedup_near_minhash / pipeline_curation, computed once per session)
+    banded = banded_documents(spark, sf_dir, portable=True).join(
+        exact.select("doc_id"), "doc_id", "left_semi"
+    )
+    reps = lsh_cluster_assign(banded, id_col="doc_id").filter(
+        F.col("doc_id") == F.col("rep_id")
+    )
     curated = exact.join(reps.select("doc_id"), "doc_id", "left_semi")
 
     # 5-gram shingles over the full corpus (eval side needs all docs)

@@ -132,11 +132,16 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (queries/minhash_oracle.py) recomputes the exact signatures, band
     buckets, and rep assignment — full hash-checked parity for an LSH
     sketch pipeline. ``portable=False`` gives the same plan on xxhash64.
-    """
-    from multiomix_aws_emr_spark.operators.dedup import minhash_lsh_clusters
 
-    d = load(spark, sf_dir, "documents")  # shingle_rows repartitions internally
-    return minhash_lsh_clusters(d, text_col="text", id_col="doc_id", portable=True)
+    The banded sketch comes from the session-scoped cache
+    (plans/sketchcache.py): four declared queries share this exact
+    sub-plan, and it is computed once per session + corpus.
+    """
+    from multiomix_aws_emr_spark.operators.dedup import lsh_cluster_assign
+    from multiomix_aws_emr_spark.plans.sketchcache import banded_documents
+
+    banded = banded_documents(spark, sf_dir, portable=True)
+    return lsh_cluster_assign(banded, id_col="doc_id")
 
 
 _ANN_ORACLE_TMPL = """
