@@ -60,6 +60,14 @@ def main() -> None:
         _identity, schema="id long"
     ).write.mode("overwrite").format("noop").save()
 
+    # Warm the Structured Streaming runtime once (micro-batch engine,
+    # offset/commit logs, state store, streaming codegen): the session's
+    # FIRST streaming run is ~2-3.5x its steady state, and without this
+    # it lands on whichever streaming query sorts first.
+    from multiomix_aws_emr_spark.streaming.util import prewarm_streaming_runtime
+
+    prewarm_streaming_runtime(spark, sf_dir)
+
     # Failure-isolated: one broken query loses its own number, never the
     # whole artifact (r3 lesson — a single loader bug zeroed the round's
     # only performance signal).

@@ -21,6 +21,55 @@ from contextlib import contextmanager
 from pyspark.sql import SparkSession
 
 
+def prewarm_streaming_runtime(spark: SparkSession, sf_dir: str) -> None:
+    """Pay the Structured Streaming engine's first-run cost on a bounded
+    stream over the 5-row ``region`` table so it lands here instead of
+    in the first measured streaming query.
+
+    The first streaming run of a session is ~2-3.5x its steady-state
+    wall (measured at sf0.1: 5.3 s first vs 1.5-1.7 s repeats of the
+    SAME shape; first-batch addBatch 1801 ms vs 425-512 ms warm):
+    micro-batch engine classes, offset/commit log machinery, the
+    HDFS-backed state store, and the streaming codegen paths all
+    initialize once per session. This run exercises exactly that set —
+    file-stream source, event-time watermark, stateful windowed
+    aggregate, state-store commit, memory sink, availableNow
+    termination — reusing an existing fixture file (the session's first
+    parquet WRITE costs ~10 s of committer/output-path init on its own,
+    so the warm deliberately writes nothing). Failures are swallowed:
+    a pre-warm must never break the caller.
+    """
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    try:
+        _, stream, _ = static_and_stream(spark, sf_dir, "region.parquet")
+        out = (
+            stream.select(
+                F.timestamp_millis(F.col("r_regionkey") * 1000).alias("tts")
+            )
+            .withWatermark("tts", "0 seconds")
+            .groupBy(F.window("tts", "1 second"))
+            .count()
+        )
+        with tempfile.TemporaryDirectory() as ckpt, bounded_state_partitions(
+            spark, 2
+        ):
+            q = (
+                out.writeStream.format("memory")
+                .queryName(f"prewarm_{uuid.uuid4().hex[:8]}")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    except Exception:
+        pass
+
+
 @contextmanager
 def bounded_state_partitions(spark: SparkSession, n: int | None = None):
     """Temporarily size shuffle/state partitions for a bounded stream run."""

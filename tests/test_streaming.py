@@ -386,3 +386,16 @@ def test_static_and_stream_state_sizing(spark, sf_dir, tmp_path):
     _, _, n_dir = static_and_stream(spark, str(dir_sf), "events.parquet")
     cores = spark.sparkContext.defaultParallelism
     assert n_dir == max(cores // 4, min(4, cores))
+
+
+def test_prewarm_streaming_runtime(spark, sf_dir):
+    """The bench warm helper: runs a bounded stream end-to-end, restores
+    the shuffle-partition conf, never raises (even on a bogus dir)."""
+    from multiomix_aws_emr_spark.streaming.util import prewarm_streaming_runtime
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    prewarm_streaming_runtime(spark, sf_dir)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # idempotent and failure-swallowing by contract
+    prewarm_streaming_runtime(spark, sf_dir)
+    prewarm_streaming_runtime(spark, "/nonexistent/sfdir")
