@@ -65,43 +65,31 @@ def _last_verified_round() -> dict[str, int]:
 
 
 # Queries whose newest driver evidence predates their current code or
-# oracle (VERDICT r4 "staleness" list + everything edited in round 5).
-# They must land inside the driver's ~50-query budget regardless of what
-# the LRU sort alone would pick — e.g. graph_copurchase_pairs sat at
-# position 51 under pure LRU.
+# oracle. They must land inside the driver's ~50-query budget regardless
+# of what the LRU sort alone would pick (the r5 convention: code-newer-
+# than-evidence is the worst staleness). Every r5 priority entry got its
+# clean r5 record, so round 6 lists only the queries round 6 itself
+# edited; after them the LRU sort surfaces the 54-query cohort whose
+# newest clean record is from r1/r2 (VERDICT r5 task 1) oldest-first —
+# pipeline_curation_v2 is both edited and in that cohort.
 _STALE_PRIORITY = [
-    # oracles upgraded in r4 — newest clean record predates the oracle
-    "agg_approx_distinct",
-    "agg_approx_quantiles",
-    "agg_kll_quantiles",
-    "agg_hll_reaggregate",
-    "multimodal_features",
-    "multimodal_framesample",
-    # code refactored in r4 — newest clean record predates the code
-    "dedup_ngram_jaccard",
-    "udaf_group_stats",
-    "graph_copurchase_pairs",
-    # rows-only -> oracle-checked in r5 (exact+bound / invariant-grid)
-    "similarity_ann_lsh",
-    "similarity_ivf",
-    "ml_kmeans_embeddings",
+    # r6: BBHA invariant oracle extended with the R34 baseline row, and
+    # the runs now evaluate the all-features baseline first
     "fs_bbha_embeddings",
     "fs_bbha_improved",
-    # connector robustness edits in r5 (utf-8 shards, termination errors)
-    "source_python_datasource",
-    "source_python_stream",
-    "sink_python_datasource",
-    # streaming source layout dispatch added r5 (directory-style parquet
-    # tables crashed the bounded runners; static_and_stream fixes it)
-    "stream_watermark_latedrop",
-    "stream_stateful_totals",
-    "stream_session_window",
-    "stream_dedup_watermark",
-    "stream_rollup_upsert",
-    "stream_static_join",
-    "stream_interval_join",
-    "stream_interval_join_outer",
+    # r6: exact dedup regrouped on compact fingerprints (identical
+    # results, new plan) and the MinHash banded sketch shared via
+    # plans/sketchcache.py
+    "dedup_exact",
+    "dedup_near_minhash",
+    "dedup_minhash_components",
+    "pipeline_curation",
+    "pipeline_curation_v2",
 ]
+# With a ~50-query budget this covers the 7 edited queries plus 44 of
+# the 54-member r1/r2 cohort; the 10 residual r2-stale queries (from
+# unpivot_long through set_union_by_name_evolution in declaration
+# order — unchanged code, green-if-old records) lead the r7 rotation.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
