@@ -73,3 +73,45 @@ def banded_documents(
         ).persist()
         _cache[key] = banded
         return banded
+
+
+def fivegram_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct (doc_id, s) 5-gram-hash table of ``documents`` —
+    the decontamination probe index shared by ``text_decontaminate`` and
+    ``pipeline_curation_v2`` (identical xxhash64-of-concat expression in
+    both), computed and persisted at most once per session + corpus.
+    Like the banded sketch, each row is a function of its own document
+    only, so consumers restrict by filter/semi-join exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from multiomix_aws_emr_spark.sources.tables import load
+
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir), "5gram")
+    with _lock:
+        cached = _cache.get(key)
+        if cached is not None:
+            return cached
+        d = load(spark, sf_dir, "documents")
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        n_parts = max(
+            spark.sparkContext.defaultParallelism, d.rdd.getNumPartitions()
+        )
+        tok = (
+            d.repartition(n_parts, "doc_id")
+            .select(
+                "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+            )
+            .filter(F.col("tok") != "")
+        )
+        leads = [F.lead("tok", j).over(w) for j in range(1, 5)]
+        gram = tok.select(
+            "doc_id",
+            leads[-1].alias("_last"),
+            F.xxhash64(F.concat_ws(" ", "tok", *leads)).alias("s"),
+        ).filter(F.col("_last").isNotNull())
+        # doc_id partitioning satisfies the (doc_id, s) clustered
+        # distribution, so the dedup aggregates without a new shuffle
+        sh = gram.dropDuplicates(["doc_id", "s"]).select("doc_id", "s").persist()
+        _cache[key] = sh
+        return sh

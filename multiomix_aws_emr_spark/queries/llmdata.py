@@ -703,27 +703,11 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCASTS — the corpus is scanned once and never shuffled for the
     probe, at any corpus size. Output: contaminated doc, how many
     distinct 5-grams leaked, and the first eval doc hit."""
-    from pyspark.sql.window import Window
+    from multiomix_aws_emr_spark.plans.sketchcache import fivegram_hashes
 
-    d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    n_parts = max(
-        spark.sparkContext.defaultParallelism, d.rdd.getNumPartitions()
-    )
-    tok = (
-        d.repartition(n_parts, "doc_id")
-        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
-        .filter(F.col("tok") != "")
-    )
-    leads = [F.lead("tok", j).over(w) for j in range(1, 5)]
-    gram = tok.select(
-        "doc_id",
-        leads[-1].alias("_last"),
-        F.concat_ws(" ", "tok", *leads).alias("_s"),
-    ).filter(F.col("_last").isNotNull())
-    sh = gram.select("doc_id", F.xxhash64("_s").alias("s")).dropDuplicates(
-        ["doc_id", "s"]
-    )
+    # shared per-doc 5-gram-hash index (plans/sketchcache.py) — also
+    # consumed by pipeline_curation_v2's decontamination stage
+    sh = fivegram_hashes(spark, sf_dir)
     ev = sh.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("eval_doc"), "s"
     )
@@ -830,13 +814,14 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages shuffle on their own keys, decontamination is a broadcast
     anti join, sampling is a map-side expression — end-to-end
     hash-checked against DuckDB restating every stage."""
-    from pyspark.sql.window import Window
-
     from multiomix_aws_emr_spark.functions.fingerprint import (
         text_fingerprint_cols,
     )
     from multiomix_aws_emr_spark.operators.dedup import lsh_cluster_assign
-    from multiomix_aws_emr_spark.plans.sketchcache import banded_documents
+    from multiomix_aws_emr_spark.plans.sketchcache import (
+        banded_documents,
+        fivegram_hashes,
+    )
 
     d = load(spark, sf_dir, "documents")
     base = d.filter(F.col("lang").isin("en", "es", "de")).filter(
@@ -859,22 +844,10 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     curated = exact.join(reps.select("doc_id"), "doc_id", "left_semi")
 
-    # 5-gram shingles over the full corpus (eval side needs all docs)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    tok = (
-        d.repartition(
-            max(spark.sparkContext.defaultParallelism, d.rdd.getNumPartitions()),
-            "doc_id",
-        )
-        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
-        .filter(F.col("tok") != "")
-    )
-    leads = [F.lead("tok", j).over(w) for j in range(1, 5)]
-    gram = tok.select(
-        "doc_id",
-        leads[-1].alias("_last"),
-        F.xxhash64(F.concat_ws(" ", "tok", *leads)).alias("s"),
-    ).filter(F.col("_last").isNotNull())
+    # 5-gram decontamination over the full corpus (eval side needs all
+    # docs), probing the shared per-doc 5-gram index
+    # (plans/sketchcache.py — same sub-plan as text_decontaminate)
+    gram = fivegram_hashes(spark, sf_dir)
     ev_sh = gram.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
     contaminated = (
         gram.filter(F.col("doc_id") % 97 != 0)

@@ -1,0 +1,62 @@
+"""plans/sketchcache: session-scoped reuse of shared sub-plans.
+
+Correctness of the CONSUMERS is covered by the oracle-parity suite
+(dedup_near_minhash, dedup_minhash_components, pipeline_curation,
+pipeline_curation_v2, text_decontaminate); this file pins the cache
+contract itself: memoization per (session, corpus, params), persistence,
+and exact equivalence of subset-restriction vs direct computation.
+"""
+
+from pyspark.sql import functions as F
+
+from multiomix_aws_emr_spark.plans.sketchcache import (
+    banded_documents,
+    fivegram_hashes,
+)
+
+
+def test_banded_documents_memoized_and_persisted(spark, sf_dir):
+    a = banded_documents(spark, sf_dir, portable=True)
+    b = banded_documents(spark, sf_dir, portable=True)
+    assert a is b  # one sketch per (session, corpus, params)
+    assert a.storageLevel.useMemory
+    # different params -> different cache entry
+    c = banded_documents(spark, sf_dir, portable=True, bands=2, num_hashes=16)
+    assert c is not a
+
+
+def test_subset_restriction_equals_direct_computation(spark, sf_dir):
+    """Semi-joining the corpus sketch to a doc subset must equal running
+    the full pipeline on the subset — the per-document property that
+    makes the sketch shareable."""
+    from multiomix_aws_emr_spark.operators.dedup import (
+        banded_buckets,
+        lsh_cluster_assign,
+    )
+    from multiomix_aws_emr_spark.sources.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    subset = d.filter(F.col("doc_id") % 3 == 0)
+
+    direct = lsh_cluster_assign(
+        banded_buckets(subset, text_col="text", id_col="doc_id", portable=True),
+        id_col="doc_id",
+    )
+    shared = lsh_cluster_assign(
+        banded_documents(spark, sf_dir, portable=True).join(
+            subset.select("doc_id"), "doc_id", "left_semi"
+        ),
+        id_col="doc_id",
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, shared.collect())
+    )
+
+
+def test_fivegram_hashes_memoized_and_distinct(spark, sf_dir):
+    a = fivegram_hashes(spark, sf_dir)
+    assert fivegram_hashes(spark, sf_dir) is a
+    assert a.storageLevel.useMemory
+    assert a.columns == ["doc_id", "s"]
+    # distinct per (doc_id, s) by construction
+    assert a.count() == a.dropDuplicates(["doc_id", "s"]).count()
