@@ -180,7 +180,14 @@ def _synth_relational(spark, src_dir: str, replicas: int):
 
     out = {}
     for table, keys in _RELATIONAL_KEYS.items():
-        d = load(spark, src_dir, table)
+        # Spread the source across the cores BEFORE the 1000x explode:
+        # a single-file fixture scans as ONE input partition, and the
+        # explode inherits it — at --replicas 1000 that serializes a
+        # 600M-row lineitem expansion into one task (observed: the r6
+        # relational synth stalled ~20 min on exactly this).
+        d = load(spark, src_dir, table).repartition(
+            spark.sparkContext.defaultParallelism
+        )
         rep = d.select("*", _replica_index(replicas))
         shifted = [
             (F.col(c) * replicas + F.col("k")).alias(c)
