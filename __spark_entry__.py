@@ -85,6 +85,10 @@ _STALE_PRIORITY = [
     "dedup_minhash_components",
     "pipeline_curation",
     "pipeline_curation_v2",
+    # r6: exact-integer order-independent aggregation (the directory-
+    # layout sweep caught a summation-order ULP flip at a .xxxx5 mean
+    # boundary; code AND oracle rewritten together)
+    "udaf_group_stats",
 ]
 # With a ~50-query budget this covers the 7 edited queries plus 44 of
 # the 54-member r1/r2 cohort; the 10 residual r2-stale queries (from

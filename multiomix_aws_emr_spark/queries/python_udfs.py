@@ -64,28 +64,71 @@ def _group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def _bucket_group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     """Vectorized per-user stats for a whole hash bucket of users in ONE
-    Python call: pandas groupby does the per-group n / NaN-skipping mean /
-    population std (ddof=0, matching SQL STDDEV_POP and the reference's
-    idle-time sigma, metaheuristics.py:707-714 R20)."""
-    g = pdf.groupby("user_id", sort=False)
-    n = g.size()
-    mean = g["value"].mean()
-    sd = g["value"].std(ddof=0)
-    return pd.DataFrame(
+    Python call — in ORDER-INDEPENDENT exact arithmetic.
+
+    A plain float mean is summation-order-sensitive, and this dataset
+    makes rounding boundaries COMMON (2-decimal values divided by group
+    sizes like 80 land exactly on .xxxx5), so the round-6
+    directory-layout sweep caught a 4-part copy flipping user 20's mean
+    by one ULP across the .55575 boundary (58.5558 vs 58.5557). Fix:
+    scale values to exact integers (vi = rint(value * 1e9) — identical
+    to the oracle's ROUND(value*1e9) since the product sits within 1e-4
+    of an integer), aggregate in exact integer arithmetic (Python ints
+    for the squares; no overflow at any group size), and do the half-up
+    mean rounding in integers too, so the emitted doubles are
+    bit-identical for every summation order and engine. sd_pop uses the
+    exact-integer population-variance numerator n*S2 - S1^2 >= 0, with
+    the one sqrt in IEEE double (correctly rounded, layout-independent).
+    ddof=0 matches SQL STDDEV_POP and the reference's idle-time sigma
+    (metaheuristics.py:707-714, R20).
+    """
+    import math
+
+    vi = np.rint(pdf["value"].to_numpy() * 1e9).astype(np.int64)
+    obj = vi.astype(object)  # Python ints: exact squares at any magnitude
+    tmp = pd.DataFrame(
         {
-            "user_id": n.index.to_numpy(),
-            "n": n.to_numpy(),
-            "mean_v": mean.reindex(n.index).to_numpy(),
-            "sd_pop": sd.reindex(n.index).to_numpy(),
+            "user_id": pdf["user_id"].to_numpy(),
+            "s1": obj,
+            "s2": obj * obj,
         }
+    )
+    g = tmp.groupby("user_id", sort=False)
+    n = g.size()
+    s1 = g["s1"].sum()
+    s2 = g["s2"].sum()
+    rows = []
+    for uid in n.index:
+        ni, a, q = int(n[uid]), int(s1[uid]), int(s2[uid])
+        # round(S1 / (1e9 n), 4) half-up, exactly, in integers
+        mean_v = ((2 * a * 10**4 + ni * 10**9) // (2 * ni * 10**9)) / 1e4
+        sd = math.sqrt(float(ni * q - a * a)) / (1e9 * ni)
+        rows.append((uid, ni, mean_v, sd))
+    return pd.DataFrame(
+        rows, columns=["user_id", "n", "mean_v", "sd_pop"]
     )
 
 
 @query(
     "udaf_group_stats",
+    # Oracle mirrors the exact-integer arithmetic of _bucket_group_stats
+    # (not AVG/STDDEV_POP, which are float-summation-order-sensitive and
+    # therefore layout-sensitive at this dataset's common .xxxx5 mean
+    # boundaries): vi = ROUND(value*1e9) is the identical integer both
+    # engines derive, sums are exact HUGEINT, the half-up mean rounding
+    # happens in integer floor-division, and sd's single sqrt runs on a
+    # bit-identical double.
     oracle=with_events_v(
-        "SELECT user_id, COUNT(*) AS n, ROUND(AVG(value), 4) AS mean_v, "
-        "ROUND(STDDEV_POP(value), 4) AS sd_pop FROM events_v GROUP BY user_id"
+        ", v AS (SELECT user_id, "
+        "  CAST(ROUND(value * 1000000000, 0) AS HUGEINT) AS vi FROM events_v), "
+        "s AS (SELECT user_id, COUNT(*) AS n, SUM(vi) AS s1, "
+        "  SUM(vi * vi) AS s2 FROM v GROUP BY user_id) "
+        "SELECT user_id, n, "
+        "  CAST((2 * s1 * 10000 + n * 1000000000) "
+        "       // (2 * n * 1000000000) AS DOUBLE) / 10000.0 AS mean_v, "
+        "  ROUND(SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)) "
+        "        / (1000000000.0 * n), 4) AS sd_pop "
+        "FROM s"
     ),
 )
 def udaf_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -36,8 +36,11 @@ def duck(sf_dir):
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
     ):
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
-        )
+        src = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(src):
+            # directory-layout copies (tools/make_dirlayout.py): DuckDB
+            # needs the part-file glob where Spark takes the dir itself
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
     yield con
     con.close()
