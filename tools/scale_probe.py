@@ -133,7 +133,9 @@ def _synth_documents(spark, src_dir: str, replicas: int):
 
     from multiomix_aws_emr_spark.sources.tables import load
 
-    d = load(spark, src_dir, "documents")
+    d = load(spark, src_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     rep = d.select("*", _replica_index(replicas))
     scrambled = F.array_join(
         F.transform(
@@ -204,7 +206,9 @@ def _synth_events(spark, src_dir: str, replicas: int):
 
     from multiomix_aws_emr_spark.sources.tables import load
 
-    d = load(spark, src_dir, "events")
+    d = load(spark, src_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     rep = d.select("*", _replica_index(replicas))
     shifted = [
         (F.col(c) * replicas + F.col("k")).alias(c)
@@ -220,7 +224,9 @@ def _synth_embeddings(spark, src_dir: str, replicas: int):
 
     from multiomix_aws_emr_spark.sources.tables import load
 
-    d = load(spark, src_dir, "embeddings")
+    d = load(spark, src_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     rep = d.select("*", _replica_index(replicas))
     # deterministic per-(dim, copy) sign in {+1, -1}: an orthogonal
     # transform per copy, so within-copy cosines are preserved exactly.
