@@ -284,6 +284,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from multiomix_aws_emr_spark.session import configure
     from multiomix_aws_emr_spark.streaming.util import (
+        await_bounded,
         bounded_state_partitions,
         static_and_stream,
     )
@@ -310,7 +311,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_bounded(q, "stream-static join run")
     return spark.table(name)
 
 

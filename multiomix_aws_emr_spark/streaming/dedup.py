@@ -14,16 +14,13 @@ different event times, which re-delivery in practice does).
 
 from __future__ import annotations
 
-import tempfile
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multiomix_aws_emr_spark.session import configure
 from multiomix_aws_emr_spark.sources.tables import ts_ms_expr
 from multiomix_aws_emr_spark.streaming.util import (
-    bounded_state_partitions,
+    bounded_result,
     static_and_stream,
 )
 
@@ -51,22 +48,19 @@ def dedup_plan(events_stream: DataFrame) -> DataFrame:
 
 
 def run_streaming_dedup(
-    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    *,
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """Run the dedup + windowed count over parquet as a bounded stream
-    (availableNow, one file per micro-batch, memory sink)."""
+    (availableNow, byte-capped micro-batches; memory sink by default,
+    durable parquet sink via ``sink_dir`` /
+    ``SPARK_GRAFT_STREAM_SINK_DIR`` for big replays)."""
     configure(spark)
     _, stream, n_state = static_and_stream(spark, sf_dir, glob)
     out = dedup_plan(stream)
-    name = f"dedup_{uuid.uuid4().hex[:8]}"
-    with bounded_state_partitions(spark, n_state):
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_dedup_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-    return spark.table(name)
+    return bounded_result(
+        spark, out, "dedup", n_state=n_state, sink_dir=sink_dir
+    )

@@ -19,16 +19,13 @@ Execution model:
 
 from __future__ import annotations
 
-import tempfile
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multiomix_aws_emr_spark.session import configure
 from multiomix_aws_emr_spark.sources.tables import ts_ms_expr
 from multiomix_aws_emr_spark.streaming.util import (
-    bounded_state_partitions,
+    bounded_result,
     static_and_stream,
 )
 
@@ -58,23 +55,24 @@ def session_window_plan(events_stream: DataFrame) -> DataFrame:
 
 
 def run_streaming_sessions(
-    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    *,
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """Run the session aggregate over parquet as a bounded stream
-    (availableNow, one file per micro-batch, memory sink) and return the
-    watermark-finalized sessions."""
+    (availableNow, byte-capped micro-batches) and return the
+    watermark-finalized sessions.
+
+    Emitted sessions are row-proportional to the replayed events, so the
+    sink choice is the scale axis: memory sink for fixture replays / the
+    driver contract, ``sink_dir`` (or ``SPARK_GRAFT_STREAM_SINK_DIR``)
+    for big replays — see :func:`~.util.bounded_result`.
+    """
     configure(spark)
     _, stream, n_state = static_and_stream(spark, sf_dir, glob)
     out = session_window_plan(stream)
-    name = f"sessions_{uuid.uuid4().hex[:8]}"
-    with bounded_state_partitions(spark, n_state):
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_sessions_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-    return spark.table(name)
+    return bounded_result(
+        spark, out, "sessions", n_state=n_state, sink_dir=sink_dir
+    )

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from multiomix_aws_emr_spark.session import configure
 from multiomix_aws_emr_spark.sources.tables import ts_ms_expr
 from multiomix_aws_emr_spark.streaming.util import (
+    await_bounded,
     bounded_state_partitions,
     static_and_stream,
 )
@@ -89,7 +90,7 @@ def run_rollup_upsert(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_bounded(q, "rollup upsert run")
     return spark.read.parquet(out_dir).select(
         "window_start_ms", "event_type", "n", "sum_value"
     )

@@ -16,9 +16,20 @@ so batch queries keep their own sizing.
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+#: bytes of source data per micro-batch for bounded directory replays.
+#: In-flight stateful-operator state is proportional to the rows of the
+#: CURRENT micro-batch (the watermark only advances between batches, so
+#: nothing is evicted mid-batch): the fixture-tuned "~4 micro-batches"
+#: rule made a 1000x events replay process 25M rows (≈200 MB of parquet)
+#: per batch, whose session/dedup state OOM'd an 8 GB local heap. Capping
+#: the batch by SOURCE BYTES bounds in-flight state regardless of replay
+#: volume — the same rule a production stream gets from its arrival rate.
+_BATCH_TARGET_BYTES = 64 << 20
 
 
 def prewarm_streaming_runtime(spark: SparkSession, sf_dir: str) -> None:
@@ -70,17 +81,104 @@ def prewarm_streaming_runtime(spark: SparkSession, sf_dir: str) -> None:
         pass
 
 
+#: RocksDB state store provider: off-heap, disk-backed state. The default
+#: HDFS-backed provider keeps every state row as JVM heap objects — right
+#: for fixture replays (no per-partition store-open cost), wrong once
+#: state outgrows the heap (the local 1000x events replay holds ALL state
+#: partitions in ONE JVM; a real cluster spreads them across executors,
+#: so per-executor state is what production sizes against). Set
+#: ``SPARK_GRAFT_STATE_STORE=rocksdb`` for big bounded replays.
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
 @contextmanager
 def bounded_state_partitions(spark: SparkSession, n: int | None = None):
-    """Temporarily size shuffle/state partitions for a bounded stream run."""
+    """Temporarily size shuffle/state partitions (and, when
+    ``SPARK_GRAFT_STATE_STORE=rocksdb``, the state-store provider) for a
+    bounded stream run."""
     if n is None:
         n = max(4, spark.sparkContext.defaultParallelism // 4)
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    old_provider = spark.conf.get(_PROVIDER_CONF, None)
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        spark.conf.set(_PROVIDER_CONF, _ROCKSDB_PROVIDER)
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        if old_provider is None:
+            spark.conf.unset(_PROVIDER_CONF)
+        else:
+            spark.conf.set(_PROVIDER_CONF, old_provider)
+
+
+def await_bounded(q, what: str = "bounded streaming run") -> None:
+    """Wait for a bounded (availableNow) streaming query to actually
+    terminate.
+
+    ``awaitTermination(120)`` looked like a safety cap but was a silent
+    truncation: on timeout it returns ``False`` with the query STILL
+    RUNNING, so the caller reads a partial memory table while the run
+    keeps consuming the session's cores in the background (observed on
+    the 1000x events replay). Bounded runs are finite by construction, so
+    wait for real termination; the guard (``SPARK_GRAFT_STREAM_TIMEOUT``
+    seconds, default 600 — fixture replays finish in single-digit
+    seconds) STOPS the query and raises instead of returning a partial,
+    racing result.
+    """
+    timeout_s = int(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", "600"))
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"{what} still running after {timeout_s}s "
+            "(raise SPARK_GRAFT_STREAM_TIMEOUT for big replays)"
+        )
+
+
+def bounded_result(
+    spark: SparkSession,
+    plan,
+    name_prefix: str,
+    *,
+    n_state: int | None,
+    sink_dir: str | None = None,
+):
+    """Run an append-mode bounded stream and return its full result.
+
+    ``sink_dir=None`` (and ``SPARK_GRAFT_STREAM_SINK_DIR`` unset) uses the
+    memory sink — right for fixture replays and the driver contract, where
+    emitted rows are few. For big replays the memory sink IS the scale
+    bug: it materializes every emitted row as driver-heap objects (the
+    1000x events replay emits ~100M sessions — OOM before the first batch
+    commits). With a sink directory the stream writes parquet — the
+    durable-sink shape a production stream uses — and the returned
+    DataFrame reads it back lazily.
+    """
+    import tempfile
+    import uuid
+
+    sink_dir = sink_dir or os.environ.get("SPARK_GRAFT_STREAM_SINK_DIR") or None
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    with bounded_state_partitions(spark, n_state):
+        w = (
+            plan.writeStream.outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix=f"ck_{name}_")
+            )
+            .trigger(availableNow=True)
+        )
+        if sink_dir is None:
+            q = w.format("memory").queryName(name).start()
+            await_bounded(q, name)
+            return spark.table(name)
+        out_path = os.path.join(sink_dir, name)
+        q = w.format("parquet").option("path", out_path).start()
+        await_bounded(q, name)
+        return spark.read.schema(plan.schema).parquet(out_path)
 
 
 def static_and_stream(spark, sf_dir: str, table_file: str):
@@ -125,12 +223,23 @@ def static_and_stream(spark, sf_dir: str, table_file: str):
         return static, stream, None
     static = spark.read.parquet(path)
     try:
-        n_files = sum(
-            1 for f in os.listdir(path) if f.endswith(".parquet")
-        )
+        part_bytes = [
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        n_files = len(part_bytes)
     except OSError:
-        n_files = 4
+        part_bytes, n_files = [], 4
     per_trigger = max(1, math.ceil(n_files / 4))
+    if part_bytes:
+        # cap the batch by SOURCE BYTES so in-flight stateful-operator
+        # state stays bounded no matter the replay volume (see
+        # _BATCH_TARGET_BYTES); fixture-sized directories keep the
+        # ~4-batch split (the byte cap only binds on big synthesized
+        # replays).
+        avg = max(1, sum(part_bytes) // n_files)
+        per_trigger = max(1, min(per_trigger, _BATCH_TARGET_BYTES // avg))
     stream = (
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", str(per_trigger))

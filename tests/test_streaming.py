@@ -399,3 +399,36 @@ def test_prewarm_streaming_runtime(spark, sf_dir):
     # idempotent and failure-swallowing by contract
     prewarm_streaming_runtime(spark, sf_dir)
     prewarm_streaming_runtime(spark, "/nonexistent/sfdir")
+
+
+def test_bounded_result_parquet_sink_matches_memory(spark, sf_dir, tmp_path):
+    """The durable-sink path (the big-replay shape: emitted rows never
+    touch driver heap) returns the same sessions as the memory-sink path."""
+    from multiomix_aws_emr_spark.streaming.sessions import run_streaming_sessions
+
+    mem = sorted(map(tuple, run_streaming_sessions(spark, sf_dir).collect()))
+    parq = sorted(
+        map(
+            tuple,
+            run_streaming_sessions(
+                spark, sf_dir, sink_dir=str(tmp_path / "sink")
+            ).collect(),
+        )
+    )
+    assert mem == parq
+    assert len(mem) > 0
+
+
+def test_bounded_rocksdb_state_store_matches_default(spark, sf_dir, monkeypatch):
+    """SPARK_GRAFT_STATE_STORE=rocksdb flips the state-store provider for
+    bounded runs (the off-heap path for state that outgrows the local
+    heap) without changing results, and the conf is restored afterwards."""
+    from multiomix_aws_emr_spark.streaming.dedup import run_streaming_dedup
+    from multiomix_aws_emr_spark.streaming.util import _PROVIDER_CONF
+
+    default = sorted(map(tuple, run_streaming_dedup(spark, sf_dir).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "rocksdb")
+    rocks = sorted(map(tuple, run_streaming_dedup(spark, sf_dir).collect()))
+    assert default == rocks
+    assert len(rocks) > 0
+    assert spark.conf.get(_PROVIDER_CONF, None) is None
