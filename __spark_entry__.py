@@ -89,11 +89,24 @@ _STALE_PRIORITY = [
     # layout sweep caught a summation-order ULP flip at a .xxxx5 mean
     # boundary; code AND oracle rewritten together)
     "udaf_group_stats",
+    # r6 (late): bounded streaming runners reworked for scale after the
+    # 1000x events probe OOM (durable-sink option, await_bounded true
+    # termination, byte-capped micro-batches — commit b40de7f). Fixture
+    # behavior is contract-identical (memory sink, per-file triggers),
+    # but the code is newer than every prior driver record, so all
+    # declared queries routed through streaming/util.py re-verify now:
+    "stream_session_window",
+    "stream_dedup_watermark",
+    "stream_rollup_upsert",
+    "stream_static_join",
+    "stream_watermark_latedrop",
+    "stream_stateful_totals",
+    "stream_interval_join_outer",
+    "source_python_stream",
 ]
-# With a ~50-query budget this covers the 7 edited queries plus 44 of
-# the 54-member r1/r2 cohort; the 10 residual r2-stale queries (from
-# unpivot_long through set_union_by_name_evolution in declaration
-# order — unchanged code, green-if-old records) lead the r7 rotation.
+# With a ~50-query budget this covers the 15 edited queries plus ~36 of
+# the 54-member r1/r2 cohort; the residual r2-stale queries (unchanged
+# code, green-if-old records) lead the r7 rotation.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
