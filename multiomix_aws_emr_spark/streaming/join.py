@@ -22,16 +22,13 @@ Execution model notes:
 
 from __future__ import annotations
 
-import tempfile
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multiomix_aws_emr_spark.session import configure
 from multiomix_aws_emr_spark.sources.tables import ts_ms_expr
 from multiomix_aws_emr_spark.streaming.util import (
-    bounded_state_partitions,
+    bounded_result,
     static_and_stream,
 )
 
@@ -86,23 +83,16 @@ def run_stream_interval_join(
     glob: str = "events.parquet",
     *,
     how: str = "inner",
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """Run the interval join with BOTH sides as bounded streams
-    (availableNow, memory sink) and return the emitted rows."""
+    (availableNow) and return the emitted rows.
+
+    Emitted pairs are row-proportional to the replayed events, so the
+    sink choice is the scale axis (memory sink for fixtures, durable
+    parquet via ``sink_dir`` / ``SPARK_GRAFT_STREAM_SINK_DIR`` for big
+    replays) — see :func:`~.util.bounded_result`."""
     configure(spark)
     _, stream, n_state = static_and_stream(spark, sf_dir, glob)
     out = interval_join_plan(stream, how=how)
-    table = f"ssj_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory() as ckpt, bounded_state_partitions(spark, n_state):
-        q = (
-            out.writeStream.format("memory")
-            .queryName(table)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    result = spark.table(table)
-    result.count()
-    return result
+    return bounded_result(spark, out, "ssj", n_state=n_state, sink_dir=sink_dir)

@@ -97,6 +97,9 @@ TIER_QUERIES = {
         # event rate within the watermark horizon — the streaming scale axis
         "stream_session_window",
         "stream_dedup_watermark",
+        # the heaviest streaming state shape: stream-stream interval join
+        # buffers BOTH sides within watermark + interval
+        "stream_interval_join_outer",
     ),
     "embeddings": (
         "dedup_embedding_cosine",
