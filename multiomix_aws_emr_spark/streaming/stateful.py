@@ -67,35 +67,61 @@ def running_totals_plan(events_stream: DataFrame) -> DataFrame:
 
 
 def run_running_totals(
-    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    *,
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """Drive the stateful operator over parquet files as a bounded stream
-    (one file per micro-batch, availableNow, memory sink). Update mode
-    emits one row per (user, batch-with-activity); the FINAL update per
-    user equals the batch groupBy total, so the result reduces the sink
-    to it — per-user n_events strictly increases across that user's
-    updates, making max_by exact. (A single-file replay has one batch and
-    the reduction is a no-op; a multi-part directory replay emits
-    intermediate updates — caught by the directory-layout parity sweep,
-    round 5.)"""
+    (one file per micro-batch, availableNow). Update mode emits one row
+    per (user, batch-with-activity); the FINAL update per user equals the
+    batch groupBy total, so the result reduces the sink to it — per-user
+    n_events strictly increases across that user's updates, making max_by
+    exact. (A single-file replay has one batch and the reduction is a
+    no-op; a multi-part directory replay emits intermediate updates —
+    caught by the directory-layout parity sweep, round 5.)
+
+    Emitted updates are row-proportional to (users x active batches), so
+    big replays need a durable sink — but FILE sinks reject update mode,
+    so the scale path (``sink_dir`` / ``SPARK_GRAFT_STREAM_SINK_DIR``) is
+    ``foreachBatch`` appending each batch's updates to parquet: duplicate
+    keys across batches are exactly what the reduction already handles.
+    """
+    import os
+
     configure(spark)
     _, stream, n_state = static_and_stream(spark, sf_dir, glob)
     out = running_totals_plan(stream)
+    sink_dir = sink_dir or os.environ.get("SPARK_GRAFT_STREAM_SINK_DIR") or None
     table = f"st_{uuid.uuid4().hex[:8]}"
+    from multiomix_aws_emr_spark.streaming.util import await_bounded
+
     with tempfile.TemporaryDirectory() as ckpt, bounded_state_partitions(spark, n_state):
-        q = (
-            out.writeStream.format("memory")
-            .queryName(table)
-            .outputMode("update")
+        w = (
+            out.writeStream.outputMode("update")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
-            .start()
         )
-        q.awaitTermination()
+        if sink_dir is None:
+            q = w.format("memory").queryName(table).start()
+        else:
+            out_path = os.path.join(sink_dir, table)
+
+            def _append(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.write.mode("append").parquet(out_path)
+
+            q = w.foreachBatch(_append).start()
+        await_bounded(q, table)
     from pyspark.sql import functions as F
 
-    result = spark.table(table)
-    result.count()
+    if sink_dir is None:
+        result = spark.table(table)
+        result.count()
+    elif os.path.exists(out_path):
+        result = spark.read.schema(out.schema).parquet(out_path)
+    else:  # zero batches emitted — nothing was ever appended
+        result = spark.createDataFrame([], out.schema)
     final = result.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max_by("sum_value", "n_events").alias("sum_value"),

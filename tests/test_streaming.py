@@ -432,3 +432,21 @@ def test_bounded_rocksdb_state_store_matches_default(spark, sf_dir, monkeypatch)
     assert default == rocks
     assert len(rocks) > 0
     assert spark.conf.get(_PROVIDER_CONF, None) is None
+
+
+def test_running_totals_foreachbatch_sink_matches_memory(spark, sf_dir, tmp_path):
+    """Update-mode output can't use a file sink, so the big-replay path is
+    foreachBatch append; the reduced totals must match the memory path."""
+    from multiomix_aws_emr_spark.streaming.stateful import run_running_totals
+
+    mem = sorted(map(tuple, run_running_totals(spark, sf_dir).collect()))
+    fb = sorted(
+        map(
+            tuple,
+            run_running_totals(
+                spark, sf_dir, sink_dir=str(tmp_path / "stsink")
+            ).collect(),
+        )
+    )
+    assert mem == fb
+    assert len(mem) > 0
