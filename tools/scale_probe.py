@@ -100,6 +100,9 @@ TIER_QUERIES = {
         # the heaviest streaming state shape: stream-stream interval join
         # buffers BOTH sides within watermark + interval
         "stream_interval_join_outer",
+        # the custom Python stateful operator (applyInPandasWithState):
+        # Arrow-batched per-key state, the slow-path custom-operator claim
+        "stream_stateful_totals",
     ),
     "embeddings": (
         "dedup_embedding_cosine",
