@@ -18,6 +18,7 @@ pass; this module keeps the hourly tier continuously maintained.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -82,15 +83,22 @@ def run_rollup_upsert(
             .parquet(out_dir)
         )
 
+    # one-shot bounded run: the checkpoint is deleted on success (at big
+    # replays it holds GBs of state deltas), kept on failure for
+    # diagnosis; restart recovery uses a caller-owned checkpoint
+    # (tests/test_streaming_recovery.py drives this runner's plan with
+    # its own persistent checkpointLocation).
+    ckpt = tempfile.mkdtemp(prefix="ck_upsert_")
     with bounded_state_partitions(spark, n_state):
         q = (
             out.writeStream.foreachBatch(upsert)
             .outputMode("update")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_upsert_"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         await_bounded(q, "rollup upsert run")
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out_dir).select(
         "window_start_ms", "event_type", "n", "sum_value"
     )

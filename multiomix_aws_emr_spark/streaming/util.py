@@ -158,27 +158,36 @@ def bounded_result(
     durable-sink shape a production stream uses — and the returned
     DataFrame reads it back lazily.
     """
+    import shutil
     import tempfile
     import uuid
 
     sink_dir = sink_dir or os.environ.get("SPARK_GRAFT_STREAM_SINK_DIR") or None
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    # A one-shot bounded replay's checkpoint has no recovery value once
+    # the result is returned, and at big replays it holds GBs of
+    # state-store deltas (a 100M-row sessionization leaves ~6 GB) — so it
+    # is deleted on SUCCESS and kept on failure for diagnosis. Restart
+    # recovery is a different surface with a caller-owned checkpoint
+    # (tests/test_streaming_recovery.py).
+    ckpt = tempfile.mkdtemp(prefix=f"ck_{name}_")
     with bounded_state_partitions(spark, n_state):
         w = (
             plan.writeStream.outputMode("append")
-            .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix=f"ck_{name}_")
-            )
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
         )
         if sink_dir is None:
             q = w.format("memory").queryName(name).start()
             await_bounded(q, name)
-            return spark.table(name)
-        out_path = os.path.join(sink_dir, name)
-        q = w.format("parquet").option("path", out_path).start()
-        await_bounded(q, name)
-        return spark.read.schema(plan.schema).parquet(out_path)
+            result = spark.table(name)
+        else:
+            out_path = os.path.join(sink_dir, name)
+            q = w.format("parquet").option("path", out_path).start()
+            await_bounded(q, name)
+            result = spark.read.schema(plan.schema).parquet(out_path)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result
 
 
 def static_and_stream(spark, sf_dir: str, table_file: str):
