@@ -195,12 +195,15 @@ def run_event_feed_rollup(
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
     name = f"feed_{_uuid.uuid4().hex[:8]}"
+    # one-shot replay: checkpoint removed on success, kept on failure
+    # (same policy as streaming/util.bounded_result)
+    ckpt = tempfile.mkdtemp(prefix="ck_feed_")
     with bounded_state_partitions(spark):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
             .outputMode("complete")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_feed_"))
+            .option("checkpointLocation", ckpt)
             .start()
         )
         deadline = _time.monotonic() + timeout_sec
@@ -253,6 +256,9 @@ def run_event_feed_rollup(
             f"event_feed rollup did not reach offset {n_total} "
             f"within {timeout_sec}s (last offset seen: {off})"
         )
+    import shutil as _shutil
+
+    _shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
