@@ -65,48 +65,72 @@ def _last_verified_round() -> dict[str, int]:
 
 
 # Queries whose newest driver evidence predates their current code or
-# oracle. They must land inside the driver's ~50-query budget regardless
-# of what the LRU sort alone would pick (the r5 convention: code-newer-
-# than-evidence is the worst staleness). Every r5 priority entry got its
-# clean r5 record, so round 6 lists only the queries round 6 itself
-# edited; after them the LRU sort surfaces the 54-query cohort whose
-# newest clean record is from r1/r2 (VERDICT r5 task 1) oldest-first —
-# pipeline_curation_v2 is both edited and in that cohort.
+# oracle must land inside the driver's ~50-query budget regardless of
+# what the LRU sort alone would pick (the r5 convention: code-newer-
+# than-evidence is the worst staleness). Round 7 edits NO declared-query
+# code (its changes are driver-path-unreachable hardening: a zero-batch
+# fallback in streaming/util.bounded_result, a bench-only prewarm
+# timeout, sketch-cache eviction for stopped sessions, a NaN assert in
+# udaf_group_stats that passes on every driver fixture), so the round-7
+# rotation is pure freshness closure: the exact 19-member r2-stale plus
+# 31-member r3-stale cohort (VERDICT r6 task 1), oldest evidence first,
+# declaration order within a round. After r07 the maximum staleness of
+# any of the 177 qids drops to r4. The LRU sort below would produce the
+# same 50 on its own; listing them pins the contract explicitly.
 _STALE_PRIORITY = [
-    # r6: BBHA invariant oracle extended with the R34 baseline row, and
-    # the runs now evaluate the all-features baseline first
-    "fs_bbha_embeddings",
-    "fs_bbha_improved",
-    # r6: exact dedup regrouped on compact fingerprints (identical
-    # results, new plan) and the MinHash banded sketch shared via
-    # plans/sketchcache.py
-    "dedup_exact",
-    "dedup_near_minhash",
-    "dedup_minhash_components",
-    "pipeline_curation",
-    "pipeline_curation_v2",
-    # r6: exact-integer order-independent aggregation (the directory-
-    # layout sweep caught a summation-order ULP flip at a .xxxx5 mean
-    # boundary; code AND oracle rewritten together)
-    "udaf_group_stats",
-    # r6 (late): bounded streaming runners reworked for scale after the
-    # 1000x events probe OOM (durable-sink option, await_bounded true
-    # termination, byte-capped micro-batches — commit b40de7f). Fixture
-    # behavior is contract-identical (memory sink, per-file triggers),
-    # but the code is newer than every prior driver record, so all
-    # declared queries routed through streaming/util.py re-verify now:
-    "stream_session_window",
-    "stream_dedup_watermark",
-    "stream_rollup_upsert",
-    "stream_static_join",
-    "stream_watermark_latedrop",
-    "stream_stateful_totals",
-    "stream_interval_join_outer",
-    "source_python_stream",
+    # newest clean driver record r2 (19 qids)
+    "join_range_binned",
+    "join_asof_event",
+    "join_temporal_dim",
+    "sort_limit_topk",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_intersect_all",
+    "set_except_all",
+    "unpivot_long",
+    "flagship_revenue_by_region",
+    "sql_shipping_priority",
+    "sql_returned_items",
+    "sql_order_priority",
+    "join_salted_skew",
+    "join_full_outer",
+    "join_null_safe",
+    "set_union_by_name_evolution",
+    # newest clean driver record r3 (31 qids)
+    "similarity_pairwise",
+    "similarity_topk",
+    "dedup_entity_fuzzy",
+    "multimodal_decode",
+    "multimodal_resize_decode",
+    "multimodal_audio_decode",
+    "sample_topk_hash",
+    "sql_correlated_scalar",
+    "sql_local_supplier_volume",
+    "sql_revenue_change",
+    "sql_promo_revenue",
+    "sql_disjunctive_join_filter",
+    "sql_lateral_topk",
+    "sql_recursive_chain",
+    "join_bucketed_colocated",
+    "scalar_string",
+    "scalar_date",
+    "scalar_array",
+    "array_explode",
+    "array_aggregate",
+    "text_wordcount",
+    "text_stats",
+    "text_token_count",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_lang_id",
+    "udtf_expand",
+    "text_token_count_bpe",
+    "text_chunk_windows",
+    "pipeline_pack_sequences",
+    "text_redact_pii",
 ]
-# With a ~50-query budget this covers the 15 edited queries plus ~36 of
-# the 54-member r1/r2 cohort; the residual r2-stale queries (unchanged
-# code, green-if-old records) lead the r7 rotation.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
