@@ -20,9 +20,11 @@ sketch is exact (the rep assignment recomputes over the subset); only
 the per-doc sketch rows are shared.
 
 The cache key includes the Spark application id, so entries from a
-stopped session are never served to a new one; stale entries are
-unreachable and individually tiny (a plan handle, not data — the
-persisted blocks die with their session).
+stopped session are never served to a new one; on every insert,
+entries keyed to OTHER application ids are evicted (a multi-session
+process — e.g. a test run that builds several sessions — would
+otherwise accumulate dead DataFrame/JVM plan handles; the persisted
+blocks themselves die with their session either way).
 """
 
 from __future__ import annotations
@@ -34,6 +36,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 _lock = threading.Lock()
 _cache: dict[tuple, DataFrame] = {}
+
+
+def _put(key: tuple, df: DataFrame) -> None:
+    """Insert under ``_lock``, evicting entries from other sessions: key[0]
+    is always the owning applicationId, so anything keyed differently
+    belongs to a stopped (or at least different) session whose plan
+    handles this process can no longer use."""
+    app_id = key[0]
+    for k in [k for k in _cache if k[0] != app_id]:
+        del _cache[k]
+    _cache[key] = df
 
 
 def banded_documents(
@@ -71,7 +84,7 @@ def banded_documents(
             shingle_words=shingle_words,
             portable=portable,
         ).persist()
-        _cache[key] = banded
+        _put(key, banded)
         return banded
 
 
@@ -113,5 +126,5 @@ def fivegram_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         # doc_id partitioning satisfies the (doc_id, s) clustered
         # distribution, so the dedup aggregates without a new shuffle
         sh = gram.dropDuplicates(["doc_id", "s"]).select("doc_id", "s").persist()
-        _cache[key] = sh
+        _put(key, sh)
         return sh

@@ -84,7 +84,14 @@ def _bucket_group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     """
     import math
 
-    vi = np.rint(pdf["value"].to_numpy() * 1e9).astype(np.int64)
+    values = pdf["value"].to_numpy()
+    # np.rint(NaN).astype(int64) is undefined garbage (typically
+    # INT64_MIN), which would silently corrupt n/mean/sd if a NULL ever
+    # reached this path; the events fixture has none, so fail loudly
+    # rather than diverge quietly from the NULL-skipping oracle.
+    if not np.isfinite(values).all():
+        raise ValueError("udaf_group_stats: non-finite value in events.value")
+    vi = np.rint(values * 1e9).astype(np.int64)
     obj = vi.astype(object)  # Python ints: exact squares at any magnitude
     tmp = pd.DataFrame(
         {

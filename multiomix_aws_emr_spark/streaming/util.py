@@ -76,7 +76,14 @@ def prewarm_streaming_runtime(spark: SparkSession, sf_dir: str) -> None:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination()
+            # Bounded wait: the docstring promise is that a pre-warm can
+            # never break the caller, and an unbounded awaitTermination()
+            # would turn a wedged streaming engine into a hang (exceptions
+            # are swallowed below; hangs would not be). The 5-row replay
+            # finishes in single-digit seconds; on timeout stop and move
+            # on — the warm is best-effort.
+            if not q.awaitTermination(60):
+                q.stop()
     except Exception:
         pass
 
@@ -185,7 +192,17 @@ def bounded_result(
             out_path = os.path.join(sink_dir, name)
             q = w.format("parquet").option("path", out_path).start()
             await_bounded(q, name)
-            result = spark.read.schema(plan.schema).parquet(out_path)
+            if os.path.exists(out_path):
+                result = spark.read.schema(plan.schema).parquet(out_path)
+            else:
+                # The parquet sink only creates its directory at the first
+                # batch COMMIT; a bounded stream that emits zero rows (all
+                # input late-dropped, empty source dir) terminates cleanly
+                # without ever creating it, and reading it would raise
+                # PATH_NOT_FOUND. Mirror the memory-sink branch (an empty
+                # in-memory table) with an empty DataFrame of the plan's
+                # schema — same contract stateful.py already applies.
+                result = spark.createDataFrame([], plan.schema)
     shutil.rmtree(ckpt, ignore_errors=True)
     return result
 

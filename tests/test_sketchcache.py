@@ -60,3 +60,23 @@ def test_fivegram_hashes_memoized_and_distinct(spark, sf_dir):
     assert a.columns == ["doc_id", "s"]
     # distinct per (doc_id, s) by construction
     assert a.count() == a.dropDuplicates(["doc_id", "s"]).count()
+
+
+def test_put_evicts_other_sessions_entries():
+    """Entries keyed to a different applicationId are evicted on insert,
+    so a multi-session process never accumulates dead plan handles."""
+    from multiomix_aws_emr_spark.plans import sketchcache as sc
+
+    with sc._lock:
+        saved = dict(sc._cache)
+        sc._cache.clear()
+        try:
+            sc._put(("app-old", "corpus", 1), "df_old")
+            sc._put(("app-old", "corpus", 2), "df_old2")
+            sc._put(("app-new", "corpus", 1), "df_new")
+            assert set(sc._cache) == {("app-new", "corpus", 1)}
+            sc._put(("app-new", "corpus", 2), "df_new2")
+            assert len(sc._cache) == 2
+        finally:
+            sc._cache.clear()
+            sc._cache.update(saved)

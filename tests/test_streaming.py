@@ -419,6 +419,31 @@ def test_bounded_result_parquet_sink_matches_memory(spark, sf_dir, tmp_path):
     assert len(mem) > 0
 
 
+def test_bounded_result_zero_commit_returns_empty(spark, tmp_path):
+    """A bounded durable-sink stream that never commits a batch (empty
+    source directory) returns an empty DataFrame of the plan's schema
+    instead of raising PATH_NOT_FOUND — the parquet sink only creates its
+    output directory at the first batch commit."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from multiomix_aws_emr_spark.streaming.util import bounded_result
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    schema = StructType([StructField("v", LongType())])
+    plan = (
+        spark.readStream.schema(schema)
+        .parquet(str(src))
+        .select((F.col("v") * 2).alias("v2"))
+    )
+    out = bounded_result(
+        spark, plan, "zero_commit", n_state=2, sink_dir=str(tmp_path / "sink")
+    )
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["v2"]
+
+
 def test_bounded_rocksdb_state_store_matches_default(spark, sf_dir, monkeypatch):
     """SPARK_GRAFT_STATE_STORE=rocksdb flips the state-store provider for
     bounded runs (the off-heap path for state that outgrows the local
