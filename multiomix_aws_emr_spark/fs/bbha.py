@@ -131,6 +131,27 @@ class BBHAResult:
         return json.dumps(payload)
 
 
+class _ClosureValue:
+    """Duck-typed stand-in for a Broadcast when ``use_broadcast=False``
+    (the reference's `--use-broadcast false` path, `scripts/core.py` /
+    `parameters.py:100-102`): the payload rides inside each task's
+    serialized closure instead of the torrent-distributed broadcast —
+    re-shipped per task rather than once per executor. Kept as an
+    explicit toggle for parity and for A/B-ing distribution cost; the
+    broadcast default is the right choice at any real scale."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        self.value = value
+
+
+def _payload_handle(sc, payload: dict, use_broadcast: bool):
+    """The evaluator's data handle: a real Broadcast, or the closure
+    wrapper when broadcast is disabled."""
+    return sc.broadcast(payload) if use_broadcast else _ClosureValue(payload)
+
+
 def _make_evaluator(bc, fitness_fn: FitnessFn):
     """Grouped-map evaluator: one Arrow batch per bin, one fitness call per
     star in the bin (the reference's mapPartitions body,
@@ -222,6 +243,8 @@ def run_bbha(
     variant: str = "classic",
     coeff_1: float = 2.2,
     coeff_2: float = 0.1,
+    use_load_balancer: bool = True,
+    use_broadcast: bool = True,
 ) -> BBHAResult:
     """Run BBHA feature selection over a samples x features pandas frame.
 
@@ -233,6 +256,16 @@ def run_bbha(
     once ready, steers greedy bin-packing — iteration 0 (and any
     constant-width population) falls back to the sequential partitioner
     (R8), the reference's own no-model behavior.
+
+    ``use_load_balancer=False`` (the reference's `--use-load-balancer
+    false`, `scripts/parameters.py:91-93`) forces the sequential
+    partitioner for every iteration — no cost model is trained and an
+    injected ``cost_fn`` is ignored. ``use_broadcast=False``
+    (`--use-broadcast false`) ships the molecules payload in each task
+    closure instead of a Broadcast (see :class:`_ClosureValue`). Both
+    default to the reference parser's defaults ('true'); results are
+    identical either way — the toggles trade distribution/packing cost
+    only.
 
     ``variant='improved'`` applies the three modifications of the improved
     BBHA the reference gates behind a flag (`metaheuristics.py:342-465`,
@@ -262,13 +295,15 @@ def run_bbha(
     if n_bins is None:
         n_bins = max(1, sc.defaultParallelism)  # R33 executor discovery analog
 
-    bc = sc.broadcast(
+    bc = _payload_handle(
+        sc,
         {
             "values": x.to_numpy(dtype=np.float64),
             "sample_ids": x.index.to_numpy(),
             "time": np.asarray(time_col, dtype=np.float64),
             "event": np.asarray(event_col, dtype=bool),
-        }
+        },
+        use_broadcast,
     )
     evaluator = _make_evaluator(bc, fitness_fn)
 
@@ -283,12 +318,15 @@ def run_bbha(
     ]
     loop_rng = np.random.RandomState(random_state)
 
-    cost_model = RuntimeCostModel()
+    cost_model = RuntimeCostModel() if use_load_balancer else None
 
     def evaluate_all(iteration: int) -> list[tuple[int, float, int, float, str]]:
         star_ids = list(range(n_stars))
         bins, _ = plan_star_bins(
-            masks, n_bins, cost_fn=cost_fn, cost_model=cost_model
+            masks,
+            n_bins,
+            cost_fn=cost_fn if use_load_balancer else None,
+            cost_model=cost_model,
         )
         rows = [(i, bins[i], [int(b) for b in masks[i]]) for i in star_ids]
         sdf = spark.createDataFrame(
@@ -314,7 +352,8 @@ def run_bbha(
         results = evaluate_all(iteration)
         fitnesses = np.array([r[1] for r in results])
         for sid, fit, nf, dt, host in results:
-            cost_model.observe(nf, dt)  # R30: train the width->time curve
+            if cost_model is not None:
+                cost_model.observe(nf, dt)  # R30: train the width->time curve
             history.append(
                 {
                     "iteration": iteration,

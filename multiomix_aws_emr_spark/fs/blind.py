@@ -43,21 +43,32 @@ def run_blind_search(
     random_state: int = 42,
     n_bins: Optional[int] = None,
     fitness_fn: FitnessFn = cv_linear_cox_fitness,
+    use_broadcast: bool = True,
 ) -> BBHAResult:
-    """Evaluate ``n_subsets`` seeded random feature subsets in one pass."""
+    """Evaluate ``n_subsets`` seeded random feature subsets in one pass.
+
+    ``use_broadcast`` mirrors the reference's `--use-broadcast` toggle
+    exactly as in :func:`multiomix_aws_emr_spark.fs.bbha.run_bbha`
+    (closure-shipped payload when False; identical results). Blind
+    search always uses the sequential partitioner — there is no
+    iteration history to train a load balancer on."""
+    from multiomix_aws_emr_spark.fs.bbha import _payload_handle
+
     t_start = _time.perf_counter()
     sc = spark.sparkContext
     n_features = x.shape[1]
     if n_bins is None:
         n_bins = max(1, sc.defaultParallelism)
 
-    bc = sc.broadcast(
+    bc = _payload_handle(
+        sc,
         {
             "values": x.to_numpy(dtype=np.float64),
             "sample_ids": x.index.to_numpy(),
             "time": np.asarray(time_col, dtype=np.float64),
             "event": np.asarray(event_col, dtype=bool),
-        }
+        },
+        use_broadcast,
     )
     evaluator = _make_evaluator(bc, fitness_fn)
     # R34: the reference computes the all-features baseline before

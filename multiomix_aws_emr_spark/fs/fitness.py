@@ -319,6 +319,27 @@ def logrank_chi2(
     return float(chi2)
 
 
+def _cox_partial_loglik_mean(
+    beta: np.ndarray, x: np.ndarray, time: np.ndarray, event: np.ndarray
+) -> float:
+    """Average Breslow partial log-likelihood per observation at ``beta``
+    — the ``log_likelihood`` scoring convention of lifelines'
+    ``CoxPHFitter.score`` that the reference passes through verbatim
+    (`scripts/main.py:97-103`). Negative; higher is better."""
+    order = np.argsort(-np.asarray(time, float), kind="mergesort")
+    xs = np.asarray(x, float)[order]
+    ts = np.asarray(time, float)[order]
+    es = np.asarray(event, bool)[order]
+    if not es.any():
+        return 0.0
+    eta = xs @ beta
+    eta -= eta.max()
+    s0 = np.cumsum(np.exp(eta))
+    last_of_block = np.searchsorted(-ts, -ts, side="right") - 1
+    d0 = s0[last_of_block][es]
+    return float((eta[es] - np.log(d0)).sum()) / len(ts)
+
+
 def cv_clustering_logrank_fitness(
     x: np.ndarray,
     time: np.ndarray,
@@ -329,6 +350,7 @@ def cv_clustering_logrank_fitness(
     folds: int = 3,
     seed: int = 42,
     algorithm: str = "kmeans",
+    scoring: str = "logrank",
 ) -> float:
     """The reference's clustering+Cox fitness family
     (`scripts/main.py:79-112`, R27) re-founded dependency-free: per CV
@@ -346,11 +368,30 @@ def cv_clustering_logrank_fitness(
     normalized-Laplacian spectral embedding (``_spectral_labels``) and —
     since spectral clustering has no out-of-sample map — assigns each
     test row the label of its nearest train row (1-NN in standardized
-    feature space), the standard Nystrom-free extension."""
+    feature space), the standard Nystrom-free extension.
+
+    ``scoring`` mirrors the reference's ``--clustering-scoring-method``
+    (`scripts/main.py:97-112`: fit a Cox PH on the cluster label as a
+    single covariate, then ``cph.score(df, scoring_method)``):
+
+    - ``"logrank"`` (default, this engine's re-foundation): log-rank
+      chi2 squashed to (0, 1) — bounded, composes with the C-index
+      contract, and what every declared query/oracle pins;
+    - ``"concordance_index"``: C-index of the label-covariate Cox risk
+      on the test fold (in [0, 1], higher is better);
+    - ``"log_likelihood"``: average Cox partial log-likelihood per test
+      observation (negative, higher is better — lifelines' convention).
+      The reference's own comment calls LL lower-is-better while its
+      BBHA maximizes the raw value; the maximize-raw-score behavior is
+      reproduced here, including its quirk that an empty-subset
+      WORST_FITNESS (-1.0) can exceed a valid LL below -1.
+    """
     if x.ndim != 2 or x.shape[1] == 0:
         return WORST_FITNESS
     if algorithm not in ("kmeans", "spectral"):
         raise ValueError(f"unknown clustering algorithm: {algorithm!r}")
+    if scoring not in ("logrank", "concordance_index", "log_likelihood"):
+        raise ValueError(f"unknown clustering scoring method: {scoring!r}")
     fold_of = deterministic_folds(sample_ids, folds, seed)
     scores = []
     for f in range(folds):
@@ -370,8 +411,24 @@ def cv_clustering_logrank_fitness(
             cent = _kmeans_deterministic(xtr, sample_ids[train], n_clusters)
             d = ((xte[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             lab = d.argmin(axis=1)
-        chi2 = logrank_chi2(lab, time[test], event[test])
-        scores.append(chi2 / (chi2 + 1.0))
+        if scoring == "logrank":
+            chi2 = logrank_chi2(lab, time[test], event[test])
+            scores.append(chi2 / (chi2 + 1.0))
+        else:
+            # the reference's shape: the cluster label is the ONE numeric
+            # covariate of a Cox PH fit+scored on the same clustered rows
+            from multiomix_aws_emr_spark.fs.survival_models import cox_ph_fit
+
+            xg = lab.astype(np.float64)[:, None]
+            beta = cox_ph_fit(xg, time[test], event[test])
+            if scoring == "concordance_index":
+                scores.append(
+                    concordance_index((xg @ beta).ravel(), time[test], event[test])
+                )
+            else:
+                scores.append(
+                    _cox_partial_loglik_mean(beta, xg, time[test], event[test])
+                )
     if not scores:
         return WORST_FITNESS
     return float(np.mean(scores))

@@ -138,3 +138,167 @@ def test_arg_parser_mirrors_reference_params():
         ]
     )
     assert args.model == "cox" and args.n_stars == 8
+
+
+def test_reference_arg_list_ports_verbatim():
+    """A reference-style spark-submit arg list (every knob of
+    `scripts/parameters.py:75-173`) parses without unknown-argument
+    errors and lands on the parsed namespace with the reference's
+    string-boolean convention applied."""
+    p = build_arg_parser()
+    args = p.parse_args(
+        [
+            "--app-name", "ref-exp",
+            "--master", "local[2]",
+            "--molecules-dataset", "m.tsv",
+            "--clinical-dataset", "c.tsv",
+            "--model", "svm",
+            "--use-load-balancer", "false",
+            "--svm-is-regression", "true",
+            "--random-state", "10",
+            "--use-broadcast", "false",
+            "--debug", "true",
+            "--svm-kernel", "rbf",
+            "--svm-optimizer", "rbtree",
+            "--svm-max-iterations", "800",
+            "--rf-n-estimators", "25",
+            "--tree-n-jobs", "2",
+            "--clustering-algorithm", "k_means",
+            "--clustering-scoring-method", "log_likelihood",
+            "--number-of-clusters", "3",
+            "--n-jobs", "4",
+            "--cv-folds", "5",
+            "--return-train-scores", "true",
+            "--bbha-iterations", "4",
+            "--n-stars", "9",
+        ]
+    )
+    assert args.use_load_balancer is False
+    assert args.use_broadcast is False
+    assert args.svm_is_regression is True
+    assert args.debug is True
+    assert args.return_train_scores is True
+    assert (args.svm_kernel, args.svm_optimizer, args.svm_max_iterations) == (
+        "rbf", "rbtree", 800,
+    )
+    assert (args.rf_n_estimators, args.tree_n_jobs) == (25, 2)
+    assert args.clustering_algorithm == "k_means"
+    assert args.number_of_clusters == 3
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        p.parse_args(["--app-name", "x", "--molecules-dataset", "m",
+                      "--clinical-dataset", "c", "--debug", "maybe"])
+
+
+def test_estimator_knobs_reach_fitness_builder(monkeypatch):
+    """--svm-kernel/--svm-optimizer/--svm-max-iterations/--svm-is-regression
+    and --rf-n-estimators/--tree-n-jobs are forwarded into the sksurv
+    fitness builder (the reference's estimator construction surface,
+    `scripts/main.py:29-42`)."""
+    from multiomix_aws_emr_spark import experiment
+    from multiomix_aws_emr_spark.fs import sksurv_backend
+
+    captured = {}
+
+    def fake_make_fitness(model, **kw):
+        captured[model] = kw
+        return lambda *a, **k: 0.5
+
+    monkeypatch.setattr(sksurv_backend, "available", lambda: True)
+    monkeypatch.setattr(sksurv_backend, "make_fitness", fake_make_fitness)
+    args = build_arg_parser().parse_args(
+        ["--app-name", "x", "--molecules-dataset", "m",
+         "--clinical-dataset", "c", "--model", "svm",
+         "--svm-kernel", "poly", "--svm-optimizer", "rbtree",
+         "--svm-max-iterations", "321", "--svm-is-regression", "true",
+         "--rf-n-estimators", "17", "--tree-n-jobs", "3",
+         "--cv-folds", "6", "--random-state", "5"]
+    )
+    experiment._svm_or_rf_fitness("svm", args.cv_folds, args.random_state, args)
+    experiment._svm_or_rf_fitness("rf", args.cv_folds, args.random_state, args)
+    assert captured["svm"]["kernel"] == "poly"
+    assert captured["svm"]["optimizer"] == "rbtree"
+    assert captured["svm"]["max_iter"] == 321
+    assert captured["svm"]["is_regression"] is True
+    assert captured["svm"]["folds"] == 6 and captured["svm"]["seed"] == 5
+    assert captured["rf"]["n_estimators"] == 17
+    assert captured["rf"]["n_jobs"] == 3
+
+
+def test_estimator_knobs_reach_dependency_free_fallback():
+    """Without sksurv, the knobs that change results (max_iter,
+    n_estimators) reach the NumPy fallbacks, and the inexpressible ones
+    (non-linear kernel, regression objective) fail loudly."""
+    from multiomix_aws_emr_spark import experiment
+    from multiomix_aws_emr_spark.fs import sksurv_backend
+
+    if sksurv_backend.available():  # pragma: no cover - env-dependent
+        pytest.skip("sksurv installed; fallback path not active")
+
+    args = build_arg_parser().parse_args(
+        ["--app-name", "x", "--molecules-dataset", "m",
+         "--clinical-dataset", "c", "--svm-max-iterations", "77",
+         "--rf-n-estimators", "4"]
+    )
+    svm = experiment._svm_or_rf_fitness("svm", 3, 42, args)
+    rf = experiment._svm_or_rf_fitness("rf", 3, 42, args)
+    assert svm.keywords["max_iter"] == 77
+    assert rf.keywords["n_estimators"] == 4
+
+    bad_kernel = build_arg_parser().parse_args(
+        ["--app-name", "x", "--molecules-dataset", "m",
+         "--clinical-dataset", "c", "--svm-kernel", "rbf"]
+    )
+    with pytest.raises(ValueError, match="svm-kernel"):
+        experiment._svm_or_rf_fitness("svm", 3, 42, bad_kernel)
+    bad_reg = build_arg_parser().parse_args(
+        ["--app-name", "x", "--molecules-dataset", "m",
+         "--clinical-dataset", "c", "--svm-is-regression", "true"]
+    )
+    with pytest.raises(ValueError, match="svm-is-regression"):
+        experiment._svm_or_rf_fitness("svm", 3, 42, bad_reg)
+
+
+def test_load_balancer_and_broadcast_toggles(spark, tsvs, tmp_path):
+    """--use-load-balancer false / --use-broadcast false run end-to-end
+    and are result-identical to the defaults (they trade packing and
+    distribution cost only, `scripts/parameters.py:91-102`)."""
+    base = run_experiment(spark, _args(tsvs, tmp_path / "on"))
+    off = run_experiment(
+        spark,
+        _args(
+            tsvs, tmp_path / "off",
+            use_load_balancer=False, use_broadcast=False,
+        ),
+    )
+    r_on = json.load(open(base["result_json"]))
+    r_off = json.load(open(off["result_json"]))
+    assert r_on["features"] == r_off["features"]
+    assert r_on["best_metric"] == r_off["best_metric"]
+    assert (
+        r_on["best_metric_with_all_features"]
+        == r_off["best_metric_with_all_features"]
+    )
+
+
+def test_clustering_scoring_methods_run(spark, tsvs, tmp_path):
+    """The reference's two lifelines scoring methods
+    (--clustering-scoring-method concordance_index|log_likelihood,
+    `scripts/main.py:97-112`) drive the clustering model end-to-end."""
+    for method, lo, hi in [
+        ("concordance_index", 0.0, 1.0),
+        ("log_likelihood", -1e6, 1.0),
+    ]:
+        res = run_experiment(
+            spark,
+            _args(
+                tsvs, tmp_path / method,
+                model="clustering",
+                clustering_algorithm="k_means",
+                clustering_scoring_method=method,
+                number_of_clusters=2,
+                n_stars=4, bbha_iterations=2,
+            ),
+        )
+        assert lo <= res["best_metric"] <= hi, method
