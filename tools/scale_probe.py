@@ -110,6 +110,16 @@ TIER_QUERIES = {
         "similarity_ann_lsh",
         "similarity_ivf",
     ),
+    # the Arrow mapInPandas media batch path: genuine PPM/WAV decode,
+    # resample round-trip, byte histogram, frame expansion — the
+    # bytes/s-per-core number a 100 TB media pass needs
+    "multimodal": (
+        "multimodal_decode",
+        "multimodal_features",
+        "multimodal_resize_decode",
+        "multimodal_audio_decode",
+        "multimodal_framesample",
+    ),
 }
 
 #: the row-count anchor table per tier (reported beside the timings).
@@ -118,6 +128,7 @@ TIER_ANCHOR = {
     "relational": "lineitem",
     "events": "events",
     "embeddings": "embeddings",
+    "multimodal": "documents",
 }
 
 #: tables written TIME-ORDERED (range-partitioned by this column, part
@@ -264,11 +275,39 @@ def _synth_embeddings(spark, src_dir: str, replicas: int):
     }
 
 
+def _synth_multimodal(spark, src_dir: str, replicas: int):
+    """documents replicated by doc_id shift with the text UNCHANGED — the
+    cheap synth for the media tier. Every multimodal payload is a pure
+    function of doc_id (PPM pixel = f(doc_id, i), WAV sample =
+    f(doc_id, i), text payload = encode(text)), so shifting ids alone
+    yields distinct decode work per copy; the word-scramble of
+    :func:`_synth_documents` buys near-dup structure this tier never
+    reads and would dominate a 1000x synth for nothing."""
+    from pyspark.sql import functions as F
+
+    from multiomix_aws_emr_spark.sources.tables import load
+
+    d = load(spark, src_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    rep = d.select("*", _replica_index(replicas))
+    return {
+        "documents": rep.select(
+            (F.col("doc_id") * replicas + F.col("k")).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    }
+
+
 _SYNTH = {
     "documents": _synth_documents,
     "relational": _synth_relational,
     "events": _synth_events,
     "embeddings": _synth_embeddings,
+    "multimodal": _synth_multimodal,
 }
 
 
