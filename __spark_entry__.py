@@ -67,69 +67,61 @@ def _last_verified_round() -> dict[str, int]:
 # Queries whose newest driver evidence predates their current code or
 # oracle must land inside the driver's ~50-query budget regardless of
 # what the LRU sort alone would pick (the r5 convention: code-newer-
-# than-evidence is the worst staleness). Round 7 edits NO declared-query
-# code (its changes are driver-path-unreachable hardening: a zero-batch
-# fallback in streaming/util.bounded_result, a bench-only prewarm
-# timeout, sketch-cache eviction for stopped sessions, a NaN assert in
-# udaf_group_stats that passes on every driver fixture), so the round-7
-# rotation is pure freshness closure: the exact 19-member r2-stale plus
-# 31-member r3-stale cohort (VERDICT r6 task 1), oldest evidence first,
-# declaration order within a round. After r07 the maximum staleness of
-# any of the 177 qids drops to r4. The LRU sort below would produce the
-# same 50 on its own; listing them pins the contract explicitly.
+# than-evidence is the worst staleness). Round 8 pins exactly the
+# code-newer-than-evidence cohort (VERDICT r7 task 2 + this round's own
+# edits):
+#
+# 1. python_udfs.py was edited by r7's hardening commit (NaN guard in
+#    _bucket_group_stats executes on every driver fixture) — all five
+#    qids that file backs;
+# 2. streaming/util.py was edited in r7 (zero-commit sink fallback) AND
+#    again in r8 (the fallback now probes via read + PATH_NOT_FOUND
+#    catch instead of os.path.exists) — every bounded-streaming qid plus
+#    the pydatasource trio that replays through the same runner;
+# 3. plans/sketchcache.py was edited in r7 (stopped-session eviction) —
+#    the sketch-cache dedup/curation family;
+# 4. fs/fitness.py + fs/bbha.py + experiment.py were edited in r8
+#    (NEG_INF sentinel for log_likelihood scoring, Efron tie handling in
+#    the LL scorer, worst_fitness threading) — both BBHA qids. The
+#    declared queries pin the logrank path whose values are untouched,
+#    but the convention is file-level.
+#
+# That is 27 qids; the LRU sort below fills the remaining ~23 of the
+# driver's budget with the r4-stale cohort (36 unpinned qids, oldest
+# evidence first, declaration order within a round), so after r08 the
+# residual r4-stale tail is ~13 and leads the r9 rotation automatically.
 _STALE_PRIORITY = [
-    # newest clean driver record r2 (19 qids)
-    "join_range_binned",
-    "join_asof_event",
-    "join_temporal_dim",
-    "sort_limit_topk",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_intersect_all",
-    "set_except_all",
-    "unpivot_long",
-    "flagship_revenue_by_region",
-    "sql_shipping_priority",
-    "sql_returned_items",
-    "sql_order_priority",
-    "join_salted_skew",
-    "join_full_outer",
-    "join_null_safe",
-    "set_union_by_name_evolution",
-    # newest clean driver record r3 (31 qids)
-    "similarity_pairwise",
-    "similarity_topk",
-    "dedup_entity_fuzzy",
-    "multimodal_decode",
-    "multimodal_resize_decode",
-    "multimodal_audio_decode",
-    "sample_topk_hash",
-    "sql_correlated_scalar",
-    "sql_local_supplier_volume",
-    "sql_revenue_change",
-    "sql_promo_revenue",
-    "sql_disjunctive_join_filter",
-    "sql_lateral_topk",
-    "sql_recursive_chain",
-    "join_bucketed_colocated",
-    "scalar_string",
-    "scalar_date",
-    "scalar_array",
-    "array_explode",
-    "array_aggregate",
-    "text_wordcount",
-    "text_stats",
-    "text_token_count",
-    "text_quality_score",
-    "text_fingerprint",
-    "text_lang_id",
-    "udtf_expand",
-    "text_token_count_bpe",
-    "text_chunk_windows",
-    "pipeline_pack_sequences",
-    "text_redact_pii",
+    # (1) python_udfs.py — r7 edit, r6 evidence
+    "udaf_group_stats",
+    "udf_binarize_tanh",
+    "udf_arrow_vector_norm",
+    "udf_cogroup_asof",
+    "udtf_python_tokenize",
+    # (2) streaming/util.py — r7 + r8 edits
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_interval_join",
+    "stream_watermark_latedrop",
+    "stream_stateful_totals",
+    "stream_session_window",
+    "stream_dedup_watermark",
+    "stream_rollup_upsert",
+    "stream_static_join",
+    "stream_interval_join_outer",
+    "source_python_stream",
+    "source_python_datasource",
+    "sink_python_datasource",
+    # (3) plans/sketchcache.py — r7 edit
+    "dedup_near_minhash",
+    "dedup_minhash_components",
+    "pipeline_curation",
+    "pipeline_curation_v2",
+    "pipeline_curation_v3",
+    "text_decontaminate",
+    # (4) fs/* + experiment.py — r8 edits
+    "fs_bbha_embeddings",
+    "fs_bbha_improved",
 ]
 
 

@@ -205,10 +205,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--number-of-clusters", type=int, default=2)
     # CV parameters (`scripts/parameters.py:137-141`)
-    p.add_argument("--n-jobs", type=int, default=-1)
+    p.add_argument(
+        "--n-jobs", type=int, default=-1,
+        help="accepted for reference CLI parity but UNUSED: fold "
+        "evaluation runs inside one Arrow batch per star, not a joblib "
+        "pool (the reference's sklearn n_jobs has no analog here)",
+    )
     p.add_argument("--cv-folds", type=int, default=10)
     p.add_argument(
         "--return-train-scores", type=_tf, default=False, metavar="{true,false}",
+        help="accepted for reference CLI parity but UNUSED: train-fold "
+        "scores are not computed (the declared result surface pins test "
+        "scores only)",
     )
     # BBHA parameters (`scripts/parameters.py:143-147`)
     p.add_argument("--n-stars", type=int, default=30)
@@ -237,6 +245,11 @@ def run_experiment(spark: SparkSession, args: argparse.Namespace) -> dict:
     )
 
     t0 = _time.perf_counter()
+    # Empty-subset / error sentinel for the metaheuristic: -1.0 for every
+    # bounded-in-[0,1] fitness; the reference's NEG_INF for the
+    # unbounded-below clustering log_likelihood scoring (ADVICE r7 —
+    # otherwise a valid subset with LL < -1 ranks below the empty one).
+    worst_fitness = None
     if args.model == "cox":
         fitness = _cox_fitness(args.cv_folds, args.random_state)
     elif args.model == "coxph":
@@ -262,14 +275,33 @@ def run_experiment(spark: SparkSession, args: argparse.Namespace) -> dict:
         )
 
         algo = getattr(args, "clustering_algorithm", "kmeans")
+        scoring = getattr(args, "clustering_scoring_method", "logrank")
+        if scoring == "logrank":
+            # Deliberate default deviation: the reference defaults to
+            # 'log_likelihood' (`scripts/parameters.py:126-135`); this
+            # engine defaults to the bounded squashed-logrank that its
+            # declared queries/oracles pin. Say so once, loudly, so a
+            # reference spark-submit line that omits the flag is not
+            # silently rescored.
+            print(
+                "[experiment] clustering scoring is 'logrank' (this "
+                "engine's default); note the reference defaults to "
+                "'log_likelihood' — pass --clustering-scoring-method "
+                "log_likelihood for reference-default semantics",
+                file=__import__("sys").stderr,
+            )
         fitness = _ft.partial(
             cv_clustering_logrank_fitness,
             folds=args.cv_folds,
             seed=args.random_state,
             algorithm="kmeans" if algo == "k_means" else algo,
             n_clusters=getattr(args, "number_of_clusters", 2),
-            scoring=getattr(args, "clustering_scoring_method", "logrank"),
+            scoring=scoring,
         )
+        if scoring == "log_likelihood":
+            from multiomix_aws_emr_spark.fs.fitness import NEG_INF_FITNESS
+
+            worst_fitness = NEG_INF_FITNESS
 
     molecules = read_molecules_tsv(spark, args.molecules_dataset)
     wide = clean_wide(long_to_wide(molecules))
@@ -295,6 +327,7 @@ def run_experiment(spark: SparkSession, args: argparse.Namespace) -> dict:
             random_state=args.random_state,
             fitness_fn=fitness,
             use_broadcast=getattr(args, "use_broadcast", True),
+            worst_fitness=worst_fitness,
         )
     else:
         result = run_bbha(
@@ -311,6 +344,7 @@ def run_experiment(spark: SparkSession, args: argparse.Namespace) -> dict:
             coeff_2=getattr(args, "coeff_2", 0.1),
             use_load_balancer=getattr(args, "use_load_balancer", True),
             use_broadcast=getattr(args, "use_broadcast", True),
+            **({"worst_fitness": worst_fitness} if worst_fitness is not None else {}),
         )
 
     if getattr(args, "debug", False):

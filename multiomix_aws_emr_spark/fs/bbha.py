@@ -152,10 +152,15 @@ def _payload_handle(sc, payload: dict, use_broadcast: bool):
     return sc.broadcast(payload) if use_broadcast else _ClosureValue(payload)
 
 
-def _make_evaluator(bc, fitness_fn: FitnessFn):
+def _make_evaluator(bc, fitness_fn: FitnessFn, worst_fitness: float = WORST_FITNESS):
     """Grouped-map evaluator: one Arrow batch per bin, one fitness call per
     star in the bin (the reference's mapPartitions body,
-    `metaheuristics.py:214-222` + zero-feature guard `core.py:52-77`)."""
+    `metaheuristics.py:214-222` + zero-feature guard `core.py:52-77`).
+
+    ``worst_fitness`` is the zero-feature sentinel; callers whose fitness
+    is unbounded below (clustering ``log_likelihood`` scoring) must pass
+    ``float('-inf')`` — the reference's NEG_INF (`scripts/core.py:74`) —
+    so the empty subset can never outrank a valid one."""
 
     def evaluate(pdf: pd.DataFrame) -> pd.DataFrame:
         payload = bc.value
@@ -166,7 +171,7 @@ def _make_evaluator(bc, fitness_fn: FitnessFn):
             m = np.asarray(mask, dtype=np.int32)
             start = _time.perf_counter()
             if m.sum() == 0:
-                fit = WORST_FITNESS  # R13: never evaluate the empty subset
+                fit = worst_fitness  # R13: never evaluate the empty subset
             else:
                 fit = fitness_fn(
                     x[:, m == 1],
@@ -245,6 +250,7 @@ def run_bbha(
     coeff_2: float = 0.1,
     use_load_balancer: bool = True,
     use_broadcast: bool = True,
+    worst_fitness: float = WORST_FITNESS,
 ) -> BBHAResult:
     """Run BBHA feature selection over a samples x features pandas frame.
 
@@ -305,7 +311,7 @@ def run_bbha(
         },
         use_broadcast,
     )
-    evaluator = _make_evaluator(bc, fitness_fn)
+    evaluator = _make_evaluator(bc, fitness_fn, worst_fitness)
 
     # R34: all-features baseline before the search (`core.py:171-179`).
     baseline = evaluate_all_features_baseline(spark, evaluator, n_features)

@@ -44,6 +44,7 @@ def run_blind_search(
     n_bins: Optional[int] = None,
     fitness_fn: FitnessFn = cv_linear_cox_fitness,
     use_broadcast: bool = True,
+    worst_fitness: Optional[float] = None,
 ) -> BBHAResult:
     """Evaluate ``n_subsets`` seeded random feature subsets in one pass.
 
@@ -70,7 +71,11 @@ def run_blind_search(
         },
         use_broadcast,
     )
-    evaluator = _make_evaluator(bc, fitness_fn)
+    evaluator = (
+        _make_evaluator(bc, fitness_fn)
+        if worst_fitness is None
+        else _make_evaluator(bc, fitness_fn, worst_fitness)
+    )
     # R34: the reference computes the all-features baseline before
     # EITHER algorithm branch (`scripts/core.py:171-179`), so blind
     # search reports it too.

@@ -25,8 +25,17 @@ import numpy as np
 
 #: Fitness assigned to an empty feature subset — the reference's
 #: zero-feature guard returns the worst value without evaluating
-#: (`scripts/core.py:52-77`, R13).
+#: (`scripts/core.py:52-77`, R13). -1.0 is a safe sentinel for every
+#: bounded-in-[0,1] scoring (C-index, squashed log-rank); scorings that
+#: are unbounded below (``log_likelihood``) must use
+#: :data:`NEG_INF_FITNESS` instead — the reference's own error score
+#: (`scripts/core.py:17` NEG_INF, `scripts/main.py:69`) — or a valid
+#: subset scoring below -1 would rank WORSE than the empty subset.
 WORST_FITNESS = -1.0
+
+#: The reference's NEG_INF error/empty sentinel (`scripts/core.py:17`),
+#: required whenever the scoring is unbounded below.
+NEG_INF_FITNESS = float("-inf")
 
 
 def concordance_index(
@@ -322,10 +331,22 @@ def logrank_chi2(
 def _cox_partial_loglik_mean(
     beta: np.ndarray, x: np.ndarray, time: np.ndarray, event: np.ndarray
 ) -> float:
-    """Average Breslow partial log-likelihood per observation at ``beta``
-    — the ``log_likelihood`` scoring convention of lifelines'
-    ``CoxPHFitter.score`` that the reference passes through verbatim
-    (`scripts/main.py:97-103`). Negative; higher is better."""
+    """Average Cox partial log-likelihood per observation at ``beta``
+    with **Efron** tie handling — the default of lifelines'
+    ``CoxPHFitter``, whose ``.score(df, 'log_likelihood')`` the reference
+    passes through verbatim (`scripts/main.py:97-103`). Negative; higher
+    is better.
+
+    Efron vs Breslow matters exactly when event times tie (common for
+    discretized survival data, and guaranteed here where the covariate is
+    a small-integer cluster label): for a tied block D_t with d events,
+    Efron's denominator for the l-th event (l = 0..d-1) deflates the risk
+    set by ``(l/d) * sum_{i in D_t} exp(eta_i)`` instead of reusing the
+    full risk-set sum d times. With no ties the two coincide. Note the
+    deliberate asymmetry: :func:`survival_models.cox_ph_fit` still FITS
+    with the Breslow approximation (documented there) — this scorer
+    evaluates whatever ``beta`` it is given under lifelines' convention.
+    """
     order = np.argsort(-np.asarray(time, float), kind="mergesort")
     xs = np.asarray(x, float)[order]
     ts = np.asarray(time, float)[order]
@@ -334,10 +355,21 @@ def _cox_partial_loglik_mean(
         return 0.0
     eta = xs @ beta
     eta -= eta.max()
-    s0 = np.cumsum(np.exp(eta))
+    exp_eta = np.exp(eta)
+    s0 = np.cumsum(exp_eta)
     last_of_block = np.searchsorted(-ts, -ts, side="right") - 1
-    d0 = s0[last_of_block][es]
-    return float((eta[es] - np.log(d0)).sum()) / len(ts)
+    ll = float(eta[es].sum())
+    # Per tied EVENT block: risk-set sum at the block, sum of exp(eta)
+    # over the block's events, and the Efron-deflated log-denominators.
+    for t in np.unique(ts[es]):
+        in_block = ts == t
+        d_events = es & in_block
+        d = int(d_events.sum())
+        risk_sum = float(s0[last_of_block[in_block.argmax()]])
+        tie_sum = float(exp_eta[d_events].sum())
+        ell = np.arange(d, dtype=float)
+        ll -= float(np.log(risk_sum - (ell / d) * tie_sum).sum())
+    return ll / len(ts)
 
 
 def cv_clustering_logrank_fitness(
@@ -380,18 +412,21 @@ def cv_clustering_logrank_fitness(
     - ``"concordance_index"``: C-index of the label-covariate Cox risk
       on the test fold (in [0, 1], higher is better);
     - ``"log_likelihood"``: average Cox partial log-likelihood per test
-      observation (negative, higher is better — lifelines' convention).
-      The reference's own comment calls LL lower-is-better while its
-      BBHA maximizes the raw value; the maximize-raw-score behavior is
-      reproduced here, including its quirk that an empty-subset
-      WORST_FITNESS (-1.0) can exceed a valid LL below -1.
+      observation (negative, higher is better — lifelines' convention,
+      Efron ties; see :func:`_cox_partial_loglik_mean`). Because LL is
+      unbounded below, the empty/degenerate sentinel for this scoring is
+      :data:`NEG_INF_FITNESS` — matching the reference's NEG_INF error
+      score (`scripts/core.py:17`, `scripts/main.py:69`) — NOT
+      WORST_FITNESS (-1.0), which would rank the empty subset above any
+      valid subset whose LL falls below -1 and invert BBHA's selection.
     """
-    if x.ndim != 2 or x.shape[1] == 0:
-        return WORST_FITNESS
-    if algorithm not in ("kmeans", "spectral"):
-        raise ValueError(f"unknown clustering algorithm: {algorithm!r}")
     if scoring not in ("logrank", "concordance_index", "log_likelihood"):
         raise ValueError(f"unknown clustering scoring method: {scoring!r}")
+    worst = NEG_INF_FITNESS if scoring == "log_likelihood" else WORST_FITNESS
+    if x.ndim != 2 or x.shape[1] == 0:
+        return worst
+    if algorithm not in ("kmeans", "spectral"):
+        raise ValueError(f"unknown clustering algorithm: {algorithm!r}")
     fold_of = deterministic_folds(sample_ids, folds, seed)
     scores = []
     for f in range(folds):
@@ -430,5 +465,5 @@ def cv_clustering_logrank_fitness(
                     _cox_partial_loglik_mean(beta, xg, time[test], event[test])
                 )
     if not scores:
-        return WORST_FITNESS
+        return worst
     return float(np.mean(scores))

@@ -290,6 +290,13 @@ def cox_ph_fit(
     keeps the Hessian invertible on separable or collinear subsets.
     Returns beta; predict risk with ``x @ beta`` (higher == earlier
     failure — the same orientation every fitness here scores).
+
+    Tie handling is a documented deviation: lifelines' CoxPHFitter FITS
+    with the Efron approximation by default, this fit uses Breslow (a
+    simpler prefix-sum Newton step); with tied event times the two
+    converge to slightly different beta. The log_likelihood SCORER
+    (`fs/fitness._cox_partial_loglik_mean`) does use Efron, so a given
+    beta is scored under lifelines' convention.
     """
     x = np.asarray(x, dtype=np.float64)
     time = np.asarray(time, dtype=np.float64)

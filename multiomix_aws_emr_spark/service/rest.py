@@ -1,7 +1,9 @@
 """Stdlib-HTTP REST facade over :class:`JobService` — the reference's
 Flask surface (`src/app.py`) with zero dependencies.
 
-Routes (verb + path, same lifecycle as `src/app.py:42-152`):
+Routes (verb + path, same lifecycle as `src/app.py:37-152`):
+- ``GET    /``          index/version banner (`src/app.py:37-40`) — the
+  first thing an operator curls to confirm the service is up
 - ``POST   /job``       schedule; 201 + Location header, 400 on invalid
 - ``GET    /job/<id>``  status projection (D8); 404 unknown
 - ``DELETE /job/<id>``  cancel; 200 / 404 / 409 (`src/app.py:95-105`)
@@ -16,6 +18,7 @@ import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from multiomix_aws_emr_spark import __version__
 from multiomix_aws_emr_spark.service.jobs import JobService
 
 _JOB_PATH = re.compile(r"^/job/([A-Za-z0-9\-]+)$")
@@ -50,6 +53,16 @@ def _make_handler(service: JobService):
             self._send(status, out, location=out.get("location"))
 
         def do_GET(self):
+            if self.path == "/":
+                # index/version banner (`src/app.py:37-40`); HTML there,
+                # JSON here — every other route of this facade is JSON
+                return self._send(
+                    200,
+                    {
+                        "service": "multiomix-aws-emr-spark",
+                        "version": __version__,
+                    },
+                )
             job_id = self._job_id()
             if job_id is None:
                 return self._send(404, {"error": "not found"})

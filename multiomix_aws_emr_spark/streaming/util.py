@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 from contextlib import contextmanager
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import SparkSession
 
 #: bytes of source data per micro-batch for bounded directory replays.
@@ -192,16 +193,23 @@ def bounded_result(
             out_path = os.path.join(sink_dir, name)
             q = w.format("parquet").option("path", out_path).start()
             await_bounded(q, name)
-            if os.path.exists(out_path):
+            # The parquet sink only creates its directory at the first
+            # batch COMMIT; a bounded stream that emits zero rows (all
+            # input late-dropped, empty source dir) terminates cleanly
+            # without ever creating it, and reading it would raise
+            # PATH_NOT_FOUND. Attempt the read and catch exactly that
+            # error class — NOT an os.path.exists probe, which is always
+            # False for hdfs://"/"s3a:// sink dirs and would silently
+            # discard committed results on any non-local durable sink
+            # (ADVICE r7). On the miss, mirror the memory-sink branch
+            # (an empty in-memory table) with an empty DataFrame of the
+            # plan's schema — same contract stateful.py already applies.
+            try:
                 result = spark.read.schema(plan.schema).parquet(out_path)
-            else:
-                # The parquet sink only creates its directory at the first
-                # batch COMMIT; a bounded stream that emits zero rows (all
-                # input late-dropped, empty source dir) terminates cleanly
-                # without ever creating it, and reading it would raise
-                # PATH_NOT_FOUND. Mirror the memory-sink branch (an empty
-                # in-memory table) with an empty DataFrame of the plan's
-                # schema — same contract stateful.py already applies.
+                result.schema  # force eager path resolution
+            except AnalysisException as exc:
+                if (exc.getCondition() or "") != "PATH_NOT_FOUND":
+                    raise
                 result = spark.createDataFrame([], plan.schema)
     shutil.rmtree(ckpt, ignore_errors=True)
     return result

@@ -312,3 +312,88 @@ def test_coxph_recovers_true_hazard_ratios():
     assert fit > 0.7
     assert fit == cv_coxph_fitness(x, tobs, event, ids, seed=1)
     assert cv_coxph_fitness(x[:, :0], tobs, event, ids) == WORST_FITNESS
+
+
+def test_log_likelihood_sentinel_is_neg_inf():
+    """ADVICE r7: log_likelihood fitness is unbounded below, so its
+    empty/degenerate sentinel must be the reference's NEG_INF
+    (`scripts/core.py:17`, `main.py:69`) — a -1.0 sentinel would rank
+    the empty subset ABOVE any valid subset scoring below -1."""
+    from multiomix_aws_emr_spark.fs.fitness import (
+        NEG_INF_FITNESS,
+        cv_clustering_logrank_fitness,
+    )
+
+    empty = np.zeros((10, 0))
+    t, e, ids = np.arange(10.0) + 1, np.ones(10, bool), np.arange(10)
+    ll = cv_clustering_logrank_fitness(empty, t, e, ids, scoring="log_likelihood")
+    assert ll == NEG_INF_FITNESS == float("-inf")
+    # bounded scorings keep the -1.0 sentinel (declared queries pin it)
+    for scoring in ("logrank", "concordance_index"):
+        assert (
+            cv_clustering_logrank_fitness(empty, t, e, ids, scoring=scoring)
+            == WORST_FITNESS
+        )
+    # and any finite valid LL ranks above the sentinel — the inversion fix
+    rng = np.random.RandomState(7)
+    x = rng.normal(size=(60, 3))
+    valid = cv_clustering_logrank_fitness(
+        x, rng.exponential(10, 60) + 0.1, np.ones(60, bool), np.arange(60),
+        scoring="log_likelihood",
+    )
+    assert np.isfinite(valid) and valid > ll
+
+
+def test_bbha_empty_star_uses_caller_sentinel():
+    """`_make_evaluator(worst_fitness=...)` threads the scoring-aware
+    sentinel to the R13 zero-feature guard (`scripts/core.py:52-77`)."""
+    import pandas as pd
+
+    from multiomix_aws_emr_spark.fs.bbha import _ClosureValue, _make_evaluator
+
+    payload = _ClosureValue(
+        {
+            "values": np.random.RandomState(0).normal(size=(8, 4)),
+            "sample_ids": np.arange(8),
+            "time": np.arange(8.0) + 1,
+            "event": np.ones(8, bool),
+        }
+    )
+    pdf = pd.DataFrame({"star_id": [0], "mask": [np.zeros(4, dtype=np.int32)]})
+    ev_default = _make_evaluator(payload, cv_linear_cox_fitness)
+    assert ev_default(pdf)["fitness"].iloc[0] == WORST_FITNESS
+    ev_ll = _make_evaluator(payload, cv_linear_cox_fitness, float("-inf"))
+    assert ev_ll(pdf)["fitness"].iloc[0] == float("-inf")
+
+
+def test_cox_partial_loglik_efron_ties():
+    """The LL scorer uses Efron tie handling (lifelines' default, which
+    the reference scores through): equal to the Breslow form when no
+    event times tie, strictly above it when they do."""
+    from multiomix_aws_emr_spark.fs.fitness import _cox_partial_loglik_mean
+
+    def breslow(beta, x, time, event):
+        order = np.argsort(-np.asarray(time, float), kind="mergesort")
+        xs, ts, es = (
+            np.asarray(x, float)[order],
+            np.asarray(time, float)[order],
+            np.asarray(event, bool)[order],
+        )
+        eta = xs @ beta
+        eta -= eta.max()
+        s0 = np.cumsum(np.exp(eta))
+        last = np.searchsorted(-ts, -ts, side="right") - 1
+        return float((eta[es] - np.log(s0[last][es])).sum()) / len(ts)
+
+    rng = np.random.RandomState(3)
+    beta = np.array([0.8, -0.5])
+    x = rng.normal(size=(30, 2))
+    t_untied = np.arange(30.0) + 1.0
+    e = np.ones(30, bool)
+    assert _cox_partial_loglik_mean(beta, x, t_untied, e) == pytest.approx(
+        breslow(beta, x, t_untied, e), abs=1e-12
+    )
+    t_tied = np.repeat(np.arange(10.0) + 1.0, 3)  # every event time x3
+    assert _cox_partial_loglik_mean(beta, x, t_tied, e) > breslow(
+        beta, x, t_tied, e
+    )

@@ -115,6 +115,23 @@ def _req(method, url, body=None):
         return e.code, json.loads(e.read() or b"{}"), dict(e.headers)
 
 
+def test_rest_index_version_banner(server):
+    """GET / answers with the service/version banner (`src/app.py:37-40`)
+    — the liveness probe an operator curls first; JSON here where the
+    reference renders HTML, same lifecycle."""
+    from multiomix_aws_emr_spark import __version__
+
+    srv, _, _ = server
+    status, body, _ = _req("GET", f"{srv.address}/")
+    assert status == 200
+    assert body == {
+        "service": "multiomix-aws-emr-spark",
+        "version": __version__,
+    }
+    # any other non-/job GET path still 404s
+    assert _req("GET", f"{srv.address}/nope")[0] == 404
+
+
 def test_rest_roundtrip(server):
     srv, backend, notifications = server
     # schedule -> 201 + Location (src/app.py:59-63)
