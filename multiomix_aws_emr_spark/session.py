@@ -106,6 +106,7 @@ def build_session(
     app_name: str = "multiomix-aws-emr-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build a local session sized for the harness environment.
 
@@ -128,5 +129,12 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for key, value in RUNTIME_CONF.items():
+        builder = builder.config(key, value)
+    # Caller overrides land last so they win over RUNTIME_CONF. Needed by
+    # the local-cluster probe: `local-cluster[n,cores,MEM]` sizes only the
+    # WORKER's budget — executors still launch at the 1g
+    # spark.executor.memory default and OOM (observed: -Xmx1024M in the
+    # executor command despite 24576 in the master string).
+    for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return configure(builder.getOrCreate())

@@ -51,25 +51,59 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.scale_probe import synthesize  # noqa: E402
 
 
-def _session(master: str, app: str):
+def _session(
+    master: str,
+    app: str,
+    driver_mem_mb: int | None = None,
+    exec_mem_mb: int | None = None,
+):
+    """Equal-budget session. Two memory knobs this probe found the hard
+    way (both first runs failed):
+
+    * local[*]: the driver JVM IS the executor fleet, so its heap must
+      match the summed executor memory the local-cluster side gets
+      (q18_1000x OOM'd at the 8g default — BASELINE.md's 1000x rule is
+      ~1.5 GB/task);
+    * local-cluster[n,cores,MEM]: MEM sizes the WORKER budget only —
+      executors still launch at the 1g ``spark.executor.memory`` default
+      (-Xmx1024M observed in the executor command) and die mid-stage, so
+      the executor heap must be set explicitly.
+    """
     from multiomix_aws_emr_spark.session import build_session
 
-    spark = build_session(app_name=app, master=master)
+    owned = os.environ.get("_LC_PROBE_MEM_OWNED")
+    if "SPARK_GRAFT_DRIVER_MEM" not in os.environ or owned:
+        if driver_mem_mb is not None:
+            os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{driver_mem_mb}m"
+            os.environ["_LC_PROBE_MEM_OWNED"] = "1"
+        elif owned:
+            del os.environ["SPARK_GRAFT_DRIVER_MEM"]
+            del os.environ["_LC_PROBE_MEM_OWNED"]
+    extra = (
+        {"spark.executor.memory": f"{exec_mem_mb}m"} if exec_mem_mb else None
+    )
+    spark = build_session(app_name=app, master=master, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 
 
-def _time_query(spark, qid: str, sf_dir: str, runs: int = 2) -> float:
-    """Min-of-N wall of a noop-sink execution (same protocol as
-    tools/scale_probe.time_queries, plus an explicit warm run)."""
+def _time_query(spark, qid: str, sf_dir: str, runs: int = 2) -> tuple[float, float]:
+    """(cold, warm-min) walls of a noop-sink execution. The cold first
+    run matters here more than in tools/scale_probe: queries backed by
+    the session-scoped sketch cache (dedup_near_minhash) pay their wide
+    exploded shuffle only on the first execution per session+corpus, so
+    the warm min times the cache-hit plan. Both are A/B-relevant — cold
+    exercises the full cross-executor shuffle, warm the persisted-block
+    reuse path (cached blocks live ON the executors under
+    local-cluster)."""
     from multiomix_aws_emr_spark.queries import QUERIES
 
     walls = []
-    for _ in range(runs + 1):  # first run is the warm-up, dropped
+    for _ in range(runs + 1):
         t0 = time.perf_counter()
         QUERIES[qid](spark, sf_dir).write.mode("overwrite").format("noop").save()
         walls.append(round(time.perf_counter() - t0, 2))
-    return min(walls[1:])
+    return walls[0], min(walls[1:])
 
 
 def main() -> int:
@@ -103,24 +137,37 @@ def main() -> int:
         ("near_minhash_100x", "dedup_near_minhash", doc_dir),
         ("fs_bbha_embeddings", "fs_bbha_embeddings", args.src),
     ]
-    # same total budget: local[2*cores] one JVM vs N JVMs of cores each
+    # same total budget: local[2*cores] one JVM (heap = summed executor
+    # memory) vs N executor JVMs of cores/mem each (driver stays at the
+    # build_session default — it runs no tasks under local-cluster).
     total_cores = args.executors * args.exec_cores
+    total_mem_mb = args.executors * args.exec_mem_mb
     masters = [
-        (f"local[{total_cores}]", "local"),
+        (f"local[{total_cores}]", "local", total_mem_mb, None),
         (
             f"local-cluster[{args.executors},{args.exec_cores},{args.exec_mem_mb}]",
             "local-cluster",
+            None,
+            args.exec_mem_mb,
         ),
     ]
     results: dict[str, dict[str, float]] = {}
-    for master, label in masters:
-        spark = _session(master, f"lc_probe_{label}")
+    for master, label, mem_mb, exec_mem in masters:
+        spark = _session(
+            master, f"lc_probe_{label}", driver_mem_mb=mem_mb, exec_mem_mb=exec_mem
+        )
         for name, qid, sf_dir in shapes:
-            wall = _time_query(spark, qid, sf_dir, runs=args.runs)
-            results.setdefault(name, {})[label] = wall
+            cold, warm = _time_query(spark, qid, sf_dir, runs=args.runs)
+            results.setdefault(name, {})[label] = (cold, warm)
             print(
                 json.dumps(
-                    {"master": master, "shape": name, "qid": qid, "wall_sec": wall}
+                    {
+                        "master": master,
+                        "shape": name,
+                        "qid": qid,
+                        "cold_wall_sec": cold,
+                        "warm_wall_sec": warm,
+                    }
                 ),
                 flush=True,
             )
@@ -128,7 +175,10 @@ def main() -> int:
         gc.collect()
 
     ratios = {
-        name: round(w["local-cluster"] / max(w["local"], 0.01), 2)
+        name: {
+            "cold": round(w["local-cluster"][0] / max(w["local"][0], 0.01), 2),
+            "warm": round(w["local-cluster"][1] / max(w["local"][1], 0.01), 2),
+        }
         for name, w in results.items()
     }
     print(
