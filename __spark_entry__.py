@@ -86,6 +86,14 @@ def _last_verified_round() -> dict[str, int]:
 #    declared queries pin the logrank path whose values are untouched,
 #    but the convention is file-level.
 #
+# NOT pinned: session.py's r8 edit (the localcluster probe's extra_conf
+# override hook, default None) backs every qid, so file-level pinning
+# would demand all 177 in one 50-qid budget. The honest reading: the
+# driver path passes no extra_conf (byte-identical RUNTIME_CONF), and a
+# session-level breakage is not a per-qid staleness risk — it fails
+# every query in the round at once, which the driver run itself
+# detects. tests/test_session.py covers the hook both ways.
+#
 # That is 27 qids; the LRU sort below fills the remaining ~23 of the
 # driver's budget with the r4-stale cohort (36 unpinned qids, oldest
 # evidence first, declaration order within a round), so after r08 the

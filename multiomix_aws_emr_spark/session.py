@@ -121,20 +121,27 @@ def build_session(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
 
-    builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-    )
-    for key, value in RUNTIME_CONF.items():
-        builder = builder.config(key, value)
-    # Caller overrides land last so they win over RUNTIME_CONF. Needed by
-    # the local-cluster probe: `local-cluster[n,cores,MEM]` sizes only the
-    # WORKER's budget — executors still launch at the 1g
-    # spark.executor.memory default and OOM (observed: -Xmx1024M in the
-    # executor command despite 24576 in the master string).
-    for key, value in (extra_conf or {}).items():
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for key, value in assemble_conf(shuffle_partitions, extra_conf).items():
         builder = builder.config(key, value)
     return configure(builder.getOrCreate())
+
+
+def assemble_conf(
+    shuffle_partitions: int, extra_conf: dict[str, str] | None = None
+) -> dict[str, str]:
+    """Session conf as a plain dict, in override order: harness sizing,
+    then RUNTIME_CONF, then caller overrides LAST so they win. The
+    caller-override hook is needed by the local-cluster probe:
+    `local-cluster[n,cores,MEM]` sizes only the WORKER's budget —
+    executors still launch at the 1g spark.executor.memory default and
+    OOM (observed: -Xmx1024M in the executor command despite 24576 in
+    the master string)."""
+    conf = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    }
+    conf.update(RUNTIME_CONF)
+    conf.update(extra_conf or {})
+    return conf

@@ -23,6 +23,18 @@ SAME total core/memory budget and reports the walls side by side:
                 payload + applyInPandas closures, the python-worker-
                 per-executor serialization path
 
+With --streaming (a separate invocation because the walls are minutes,
+not seconds), two Structured Streaming shapes at the 100x time-ordered
+events synth (10M events) — the state-store axis batch shapes cannot
+see. Under local-cluster the HDFSBackedStateStore partitions live ON
+the executors (load/commit/snapshot per micro-batch per state
+partition), micro-batch planning crosses the driver<->executor RPC
+boundary every batch, and the applyInPandasWithState shape adds
+per-executor Python state workers:
+
+  stream_stateful_100x   applyInPandasWithState per-user running totals
+  stream_session_100x    session_window watermark aggregation (append)
+
 Synthetic dirs are produced by tools/scale_probe.synthesize (pure
 deterministic expressions) with a plain local[32] session and REUSED for
 both masters — only query execution is A/B'd.
@@ -41,6 +53,7 @@ from __future__ import annotations
 
 import argparse
 import gc
+import subprocess
 import json
 import os
 import sys
@@ -57,8 +70,8 @@ def _session(
     driver_mem_mb: int | None = None,
     exec_mem_mb: int | None = None,
 ):
-    """Equal-budget session. Two memory knobs this probe found the hard
-    way (both first runs failed):
+    """Equal-budget session. THREE memory knobs this probe found the hard
+    way (each from a failed run):
 
     * local[*]: the driver JVM IS the executor fleet, so its heap must
       match the summed executor memory the local-cluster side gets
@@ -67,18 +80,21 @@ def _session(
     * local-cluster[n,cores,MEM]: MEM sizes the WORKER budget only —
       executors still launch at the 1g ``spark.executor.memory`` default
       (-Xmx1024M observed in the executor command) and die mid-stage, so
-      the executor heap must be set explicitly.
+      the executor heap must be set explicitly;
+    * ``spark.driver.memory`` is honored ONLY at JVM launch — the first
+      SparkSession in a Python process fixes -Xmx for every later
+      session in that process. The streaming probe's first run wedged
+      exactly here: the synth session launched the JVM at the 8g
+      default, the "48g" local[32] measurement session silently
+      inherited it, and the 10M-event session-window state GC-thrashed
+      at 0 completed tasks. Hence the subprocess-per-master layout
+      below: each master measures in a FRESH process whose first (and
+      only) session launches the JVM with the intended heap.
     """
     from multiomix_aws_emr_spark.session import build_session
 
-    owned = os.environ.get("_LC_PROBE_MEM_OWNED")
-    if "SPARK_GRAFT_DRIVER_MEM" not in os.environ or owned:
-        if driver_mem_mb is not None:
-            os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{driver_mem_mb}m"
-            os.environ["_LC_PROBE_MEM_OWNED"] = "1"
-        elif owned:
-            del os.environ["SPARK_GRAFT_DRIVER_MEM"]
-            del os.environ["_LC_PROBE_MEM_OWNED"]
+    if driver_mem_mb is not None:
+        os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{driver_mem_mb}m"
     extra = (
         {"spark.executor.memory": f"{exec_mem_mb}m"} if exec_mem_mb else None
     )
@@ -106,7 +122,68 @@ def _time_query(spark, qid: str, sf_dir: str, runs: int = 2) -> tuple[float, flo
     return walls[0], min(walls[1:])
 
 
-def main() -> int:
+def _shapes(args) -> tuple[list[tuple[str, str, str]], list[str]]:
+    """(shapes, missing synth dirs) for the selected probe set."""
+    if args.streaming:
+        ev_dir = os.path.join(args.out_root, "events_100x")
+        need = [] if os.path.exists(ev_dir) else [ev_dir]
+        shapes = [
+            ("stream_stateful_100x", "stream_stateful_totals", ev_dir),
+            ("stream_session_100x", "stream_session_window", ev_dir),
+        ]
+    else:
+        rel_dir = os.path.join(args.out_root, "relational_1000x")
+        doc_dir = os.path.join(args.out_root, "documents_100x")
+        need = [d for d in (rel_dir, doc_dir) if not os.path.exists(d)]
+        shapes = [
+            ("q18_1000x", "sql_large_volume_customer", rel_dir),
+            ("near_minhash_100x", "dedup_near_minhash", doc_dir),
+            ("fs_bbha_embeddings", "fs_bbha_embeddings", args.src),
+        ]
+    return shapes, need
+
+
+def _worker(args) -> int:
+    """One master's measurement in a fresh process (fresh JVM => the
+    driver heap actually applies). Emits one JSON line per shape."""
+    total_cores = args.executors * args.exec_cores
+    total_mem_mb = args.executors * args.exec_mem_mb
+    if args.worker == "local":
+        master, mem_mb, exec_mem = f"local[{total_cores}]", total_mem_mb, None
+    else:
+        master = (
+            f"local-cluster[{args.executors},{args.exec_cores},{args.exec_mem_mb}]"
+        )
+        mem_mb, exec_mem = None, args.exec_mem_mb
+    shapes, need = _shapes(args)
+    if need:
+        print(f"missing synth dirs: {need}", file=sys.stderr)
+        return 2
+    spark = _session(
+        master,
+        f"lc_probe_{args.worker}",
+        driver_mem_mb=mem_mb,
+        exec_mem_mb=exec_mem,
+    )
+    for name, qid, sf_dir in shapes:
+        cold, warm = _time_query(spark, qid, sf_dir, runs=args.runs)
+        print(
+            json.dumps(
+                {
+                    "master": master,
+                    "shape": name,
+                    "qid": qid,
+                    "cold_wall_sec": cold,
+                    "warm_wall_sec": warm,
+                }
+            ),
+            flush=True,
+        )
+    spark.stop()
+    return 0
+
+
+def _parse_args(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out-root", default="/tmp/scale_probe")
@@ -115,64 +192,75 @@ def main() -> int:
     ap.add_argument("--exec-mem-mb", type=int, default=24576)
     ap.add_argument("--skip-synth", action="store_true")
     ap.add_argument("--runs", type=int, default=2)
-    args = ap.parse_args()
+    ap.add_argument(
+        "--streaming",
+        action="store_true",
+        help="probe the two streaming state shapes at events 100x instead "
+        "of the three batch shapes (separate run: minutes-long walls)",
+    )
+    ap.add_argument(
+        "--worker",
+        choices=["local", "local-cluster"],
+        help=argparse.SUPPRESS,  # internal: single-master measurement child
+    )
+    return ap.parse_args(argv)
 
-    rel_dir = os.path.join(args.out_root, "relational_1000x")
-    doc_dir = os.path.join(args.out_root, "documents_100x")
-    need = [d for d in (rel_dir, doc_dir) if not os.path.exists(d)]
+
+def main() -> int:
+    args = _parse_args()
+    if args.worker:
+        return _worker(args)
+
+    shapes, need = _shapes(args)
     if need:
         if args.skip_synth:
             print(f"missing synth dirs: {need}", file=sys.stderr)
             return 2
+        # Synth in the PARENT is safe now that measurements run in child
+        # processes; the parent JVM's heap never times anything.
         spark = _session(None, "lc_probe_synth")
-        if not os.path.exists(rel_dir):
-            synthesize(spark, "relational", args.src, rel_dir, 1000)
-        if not os.path.exists(doc_dir):
-            synthesize(spark, "documents", args.src, doc_dir, 100)
+        if args.streaming:
+            synthesize(
+                spark, "events", args.src, os.path.join(args.out_root, "events_100x"), 100
+            )
+        else:
+            rel_dir = os.path.join(args.out_root, "relational_1000x")
+            doc_dir = os.path.join(args.out_root, "documents_100x")
+            if not os.path.exists(rel_dir):
+                synthesize(spark, "relational", args.src, rel_dir, 1000)
+            if not os.path.exists(doc_dir):
+                synthesize(spark, "documents", args.src, doc_dir, 100)
         spark.stop()
         gc.collect()
 
-    shapes = [
-        ("q18_1000x", "sql_large_volume_customer", rel_dir),
-        ("near_minhash_100x", "dedup_near_minhash", doc_dir),
-        ("fs_bbha_embeddings", "fs_bbha_embeddings", args.src),
-    ]
     # same total budget: local[2*cores] one JVM (heap = summed executor
     # memory) vs N executor JVMs of cores/mem each (driver stays at the
     # build_session default — it runs no tasks under local-cluster).
-    total_cores = args.executors * args.exec_cores
-    total_mem_mb = args.executors * args.exec_mem_mb
-    masters = [
-        (f"local[{total_cores}]", "local", total_mem_mb, None),
-        (
-            f"local-cluster[{args.executors},{args.exec_cores},{args.exec_mem_mb}]",
-            "local-cluster",
-            None,
-            args.exec_mem_mb,
-        ),
-    ]
-    results: dict[str, dict[str, float]] = {}
-    for master, label, mem_mb, exec_mem in masters:
-        spark = _session(
-            master, f"lc_probe_{label}", driver_mem_mb=mem_mb, exec_mem_mb=exec_mem
+    # One FRESH child process per master: the first session in a process
+    # fixes the JVM heap (see _session), so sharing a process between
+    # masters silently mis-sizes whichever side comes second.
+    results: dict[str, dict[str, tuple[float, float]]] = {}
+    base_cmd = [sys.executable, os.path.abspath(__file__), "--skip-synth"]
+    for flag in ("src", "out_root", "executors", "exec_cores", "exec_mem_mb", "runs"):
+        base_cmd += [f"--{flag.replace('_', '-')}", str(getattr(args, flag))]
+    if args.streaming:
+        base_cmd.append("--streaming")
+    for label in ("local", "local-cluster"):
+        proc = subprocess.run(
+            [*base_cmd, "--worker", label], capture_output=True, text=True
         )
-        for name, qid, sf_dir in shapes:
-            cold, warm = _time_query(spark, qid, sf_dir, runs=args.runs)
-            results.setdefault(name, {})[label] = (cold, warm)
-            print(
-                json.dumps(
-                    {
-                        "master": master,
-                        "shape": name,
-                        "qid": qid,
-                        "cold_wall_sec": cold,
-                        "warm_wall_sec": warm,
-                    }
-                ),
-                flush=True,
+        for line in proc.stdout.splitlines():
+            if not line.startswith("{"):
+                continue
+            rec = json.loads(line)
+            results.setdefault(rec["shape"], {})[label] = (
+                rec["cold_wall_sec"],
+                rec["warm_wall_sec"],
             )
-        spark.stop()
-        gc.collect()
+            print(line, flush=True)
+        if proc.returncode != 0:
+            print(proc.stderr[-2000:], file=sys.stderr)
+            return proc.returncode
 
     ratios = {
         name: {
