@@ -118,10 +118,21 @@ def run_running_totals(
     if sink_dir is None:
         result = spark.table(table)
         result.count()
-    elif os.path.exists(out_path):
-        result = spark.read.schema(out.schema).parquet(out_path)
-    else:  # zero batches emitted — nothing was ever appended
-        result = spark.createDataFrame([], out.schema)
+    else:
+        # Zero batches emitted => foreachBatch never created out_path.
+        # Probe by attempting the read and catching exactly PATH_NOT_FOUND
+        # (same fix as util.bounded_result, ADVICE r7): an os.path.exists
+        # check is always False for hdfs://"/"s3a:// sink dirs and would
+        # silently discard committed results on a non-local durable sink.
+        from pyspark.errors import AnalysisException
+
+        try:
+            result = spark.read.schema(out.schema).parquet(out_path)
+            result.schema  # force eager path resolution
+        except AnalysisException as exc:
+            if (exc.getCondition() or "") != "PATH_NOT_FOUND":
+                raise
+            result = spark.createDataFrame([], out.schema)
     final = result.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max_by("sum_value", "n_events").alias("sum_value"),

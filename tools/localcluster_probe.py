@@ -57,6 +57,7 @@ import subprocess
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -148,6 +149,18 @@ def _worker(args) -> int:
     driver heap actually applies). Emits one JSON line per shape."""
     total_cores = args.executors * args.exec_cores
     total_mem_mb = args.executors * args.exec_mem_mb
+    if args.streaming:
+        # BASELINE.md rule 8(b), learned again the hard way HERE: a
+        # memory sink materializes every emitted update row on the
+        # driver. Under local-cluster the driver is (correctly) left at
+        # its small default heap — the 100x replay's update stream
+        # filled it, a full-GC storm ate a job-completion event, and the
+        # final noop write hung forever with both executors idle. The
+        # durable parquet sink is the production shape; use it for both
+        # masters so the A/B compares transport, not sink placement.
+        sink = tempfile.mkdtemp(prefix=f"lc_sink_{args.worker}_")
+        os.environ.setdefault("SPARK_GRAFT_STREAM_SINK_DIR", sink)
+        os.environ.setdefault("SPARK_GRAFT_STREAM_TIMEOUT", "3600")
     if args.worker == "local":
         master, mem_mb, exec_mem = f"local[{total_cores}]", total_mem_mb, None
     else:
