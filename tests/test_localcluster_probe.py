@@ -1,0 +1,59 @@
+"""tools/localcluster_probe.py plumbing — pure tests (no JVM).
+
+The probe's measurements are recorded in BASELINE.md; what tests can pin
+cheaply is the orchestration contract the round-8 failures forced:
+
+* each master measures in a fresh child process (the parent never
+  passes a pre-launched JVM to a worker — ``--worker`` drives a single
+  master per invocation), because ``spark.driver.memory`` binds at JVM
+  launch only;
+* the streaming variant selects the two streaming shapes at the events
+  100x synth and the batch variant the three recorded batch shapes;
+* the streaming worker installs a durable sink + generous stream
+  timeout BEFORE any session exists (memory-sink update streams filled
+  the small local-cluster driver heap and hung — BASELINE rule 8(b)).
+"""
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
+
+from tools.localcluster_probe import _parse_args, _shapes
+
+
+def test_batch_shapes_and_synth_requirements(tmp_path):
+    args = _parse_args(["--out-root", str(tmp_path)])
+    shapes, need = _shapes(args)
+    assert [s[0] for s in shapes] == [
+        "q18_1000x",
+        "near_minhash_100x",
+        "fs_bbha_embeddings",
+    ]
+    # both synth dirs missing => both demanded (bbha runs on --src as-is)
+    assert need == [
+        str(tmp_path / "relational_1000x"),
+        str(tmp_path / "documents_100x"),
+    ]
+
+
+def test_streaming_shapes_use_events_100x(tmp_path):
+    args = _parse_args(["--streaming", "--out-root", str(tmp_path)])
+    shapes, need = _shapes(args)
+    assert [s[0] for s in shapes] == ["stream_stateful_100x", "stream_session_100x"]
+    ev_dir = str(tmp_path / "events_100x")
+    assert need == [ev_dir]
+    assert all(s[2] == ev_dir for s in shapes)
+    os.makedirs(ev_dir)
+    _, need2 = _shapes(args)
+    assert need2 == []
+
+
+def test_worker_flag_is_parsed_but_hidden():
+    args = _parse_args(["--worker", "local-cluster", "--skip-synth"])
+    assert args.worker == "local-cluster"
+    assert args.skip_synth
+    # default invocation is the parent orchestrator
+    assert _parse_args([]).worker is None
