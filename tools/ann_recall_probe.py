@@ -20,9 +20,18 @@ exactly), compute exact brute-force top-5 ONCE for a spread query set, and
 report mean/min recall@5 per (tier, probe setting) alongside wall seconds
 — the probe-count guidance BASELINE.md records.
 
+The default synth keeps the fixture's ISOTROPIC geometry (no planted
+neighbors — the worst case for any bucketing ANN, the no-structure lower
+bound). --planted measures the other end of the guidance: each source
+vector is replicated with a small deterministic perturbation
+(x + 0.05*sin(a*vec_id + b*k + c*dim) per dim, within-family cosine
+~0.97 against a ~unit-norm signal), so a query's true top-5 are its own
+family — the concentrated-neighborhood geometry real embedding corpora
+have. Same corpus size, same settings, directly comparable tables.
+
 Usage:
   python tools/ann_recall_probe.py [--replicas 1000] [--n-queries 16]
-      [--src /root/testdata/sf0.1] [--out-root /tmp/scale_probe]
+      [--src /root/testdata/sf0.1] [--out-root /tmp/scale_probe] [--planted]
 
 One JSON line per configuration; clean up /tmp/scale_probe* afterwards
 (the synth is deterministic and reproducible).
@@ -41,6 +50,48 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.scale_probe import synthesize  # noqa: E402
 
 
+def synthesize_planted(spark, src_dir: str, out_dir: str, replicas: int) -> str:
+    """Replicate each source vector into a FAMILY of near-duplicates:
+    copy k of vector v gets a deterministic per-dim perturbation
+    ``0.05 * sin(7.13*vec_id + 3.77*k + 1.618*dim)`` (copy 0 keeps k=0's
+    perturbation too, so queries are family members, not centroids).
+    Against the fixture's ~unit-norm signal this lands within-family
+    cosines ~0.97 — far above the isotropic bulk's ~0.3 top-5 — giving
+    every query a concentrated true neighborhood, the geometry real
+    (clustered) embedding corpora have and the orthogonal-flip synth
+    deliberately destroys."""
+    from pyspark.sql import functions as F
+
+    from multiomix_aws_emr_spark.sources.tables import load
+
+    dst = os.path.join(out_dir, "embeddings.parquet")
+    if not os.path.exists(dst):
+        d = load(spark, src_dir, "embeddings").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        rep = d.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("k")
+        )
+        perturbed = F.transform(
+            F.col("embedding"),
+            lambda x, i: (
+                x
+                + F.lit(0.05)
+                * F.sin(
+                    F.col("vec_id") * F.lit(7.13)
+                    + F.col("k") * F.lit(3.77)
+                    + i.cast("double") * F.lit(1.618)
+                )
+            ).cast("float"),
+        )
+        rep.select(
+            (F.col("vec_id") * replicas + F.col("k")).alias("vec_id"),
+            perturbed.alias("embedding"),
+            "label",
+        ).repartition(32).write.mode("overwrite").parquet(dst)
+    return out_dir
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
@@ -48,6 +99,12 @@ def main() -> int:
     ap.add_argument("--replicas", type=int, default=1000)
     ap.add_argument("--n-queries", type=int, default=16)
     ap.add_argument("--k", type=int, default=5)
+    ap.add_argument(
+        "--planted",
+        action="store_true",
+        help="near-duplicate family synth (concentrated neighborhoods) "
+        "instead of the isotropic orthogonal-flip synth",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -64,13 +121,21 @@ def main() -> int:
     spark = build_session(app_name="ann_recall_probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    big_dir = synthesize(
-        spark,
-        "embeddings",
-        args.src,
-        os.path.join(args.out_root, f"embeddings_{args.replicas}x"),
-        args.replicas,
-    )
+    if args.planted:
+        big_dir = synthesize_planted(
+            spark,
+            args.src,
+            os.path.join(args.out_root, f"embeddings_planted_{args.replicas}x"),
+            args.replicas,
+        )
+    else:
+        big_dir = synthesize(
+            spark,
+            "embeddings",
+            args.src,
+            os.path.join(args.out_root, f"embeddings_{args.replicas}x"),
+            args.replicas,
+        )
     e = load(spark, big_dir, "embeddings")
     n = e.count()
     # k=0 copies of the first n_queries original ids survive every
@@ -89,6 +154,7 @@ def main() -> int:
             {
                 "corpus_vectors": n,
                 "replicas": args.replicas,
+                "geometry": "planted" if args.planted else "isotropic",
                 "n_queries": args.n_queries,
                 "k": args.k,
                 "exact_brute_force_wall_sec": wall_exact,
