@@ -212,11 +212,34 @@ def _parse_args(argv=None):
         "of the three batch shapes (separate run: minutes-long walls)",
     )
     ap.add_argument(
+        "--drop-caches",
+        action="store_true",
+        help="write 3 to /proc/sys/vm/drop_caches before each master's "
+        "measurements (root only) so COLD walls compare disk-read vs "
+        "disk-read — without it, whichever master runs second re-reads "
+        "page-cached parquet and cold ratios are incomparable",
+    )
+    ap.add_argument(
         "--worker",
         choices=["local", "local-cluster"],
         help=argparse.SUPPRESS,  # internal: single-master measurement child
     )
     return ap.parse_args(argv)
+
+
+def _drop_caches() -> bool:
+    """Equalize the OS page cache (root): sync + drop_caches=3. Returns
+    False (and prints a warning) when not permitted, so the probe still
+    runs — with the incomparable-cold caveat back in force."""
+    try:
+        os.sync()
+        with open("/proc/sys/vm/drop_caches", "w") as fh:
+            fh.write("3\n")
+        return True
+    except OSError as exc:
+        print(f"drop_caches unavailable ({exc}); cold walls share the "
+              "page cache", file=sys.stderr)
+        return False
 
 
 def main() -> int:
@@ -259,6 +282,8 @@ def main() -> int:
     if args.streaming:
         base_cmd.append("--streaming")
     for label in ("local", "local-cluster"):
+        if args.drop_caches:
+            _drop_caches()
         proc = subprocess.run(
             [*base_cmd, "--worker", label], capture_output=True, text=True
         )
