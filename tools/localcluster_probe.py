@@ -43,6 +43,9 @@ Usage:
   python tools/localcluster_probe.py [--out-root /tmp/scale_probe]
       [--executors 2] [--exec-cores 16] [--exec-mem-mb 24576]
       [--skip-synth]   # fail instead of synthesizing when dirs missing
+      [--streaming]    # the two streaming state shapes instead
+      [--drop-caches]  # root: equalize the page cache per master so
+                       # COLD walls compare disk-read vs disk-read
 
 One JSON line per (master, shape) with min-of-2 warm walls, plus a
 summary line with the local-cluster/local ratios. Clean up the synth dirs
