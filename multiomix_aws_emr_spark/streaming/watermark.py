@@ -98,18 +98,27 @@ def rate_source_smoke(
     *,
     rows_per_second: int = 500,
     min_batches: int = 2,
-    timeout_sec: float = 30.0,
+    stall_timeout_sec: float = 60.0,
+    hard_cap_sec: float = 600.0,
 ) -> dict:
     """Run the SAME watermarked plan against Spark's unbounded ``rate``
     source — the production shape (kafka/kinesis stand-in) — long enough
     to observe ``min_batches`` non-empty micro-batches, then stop.
 
+    The deadline is PROGRESS-BASED, not wall-clock-based: the run fails
+    only when the stream reports no NEW micro-batch progress event for
+    ``stall_timeout_sec`` seconds ("stream wedged"); while progress events
+    keep arriving — however slowly, e.g. under full-suite load — we keep
+    waiting, up to a generous ``hard_cap_sec`` safety cap. This
+    distinguishes a slow host from a dead stream at any load level.
+
     Returns {"input_rows": total rows ingested, "batches": progress count,
     "watermark_set": whether the event-time watermark advanced past the
-    epoch}. Append-mode 1-hour windows never finalize within a smoke run
-    (correct semantics); what this verifies is that the identical logical
-    plan binds to an unbounded source, micro-batches flow, and the
-    watermark tracks event time."""
+    epoch, "stalled": whether we gave up on a wedged stream}. Append-mode
+    1-hour windows never finalize within a smoke run (correct semantics);
+    what this verifies is that the identical logical plan binds to an
+    unbounded source, micro-batches flow, and the watermark tracks event
+    time."""
     import time as _time
 
     configure(spark)
@@ -135,15 +144,34 @@ def rate_source_smoke(
             .option("checkpointLocation", ckpt)
             .start()
         )
-        deadline = _time.monotonic() + timeout_sec
+        start = _time.monotonic()
+        hard_deadline = start + hard_cap_sec
+        # the stall clock counts from the stream start and resets on every
+        # NEW progress event (tracked by batchId); empty batches count as
+        # progress — the engine is alive, just hasn't ingested yet
+        last_progress_at = start
+        seen_batch_ids: set = set()
+        stalled = False
         try:
-            while _time.monotonic() < deadline:
+            while True:
+                for p in q.recentProgress:
+                    bid = p.get("batchId")
+                    if bid not in seen_batch_ids:
+                        seen_batch_ids.add(bid)
+                        last_progress_at = _time.monotonic()
                 nonempty = [
                     p
                     for p in q.recentProgress
                     if int(p.get("numInputRows", 0)) > 0
                 ]
                 if len(nonempty) >= min_batches:
+                    break
+                now = _time.monotonic()
+                if now - last_progress_at > stall_timeout_sec:
+                    stalled = True  # no new micro-batch for the window
+                    break
+                if now > hard_deadline:
+                    stalled = True  # safety cap: progress without rows
                     break
                 _time.sleep(0.5)
             progress = list(q.recentProgress)
@@ -159,4 +187,5 @@ def rate_source_smoke(
         "input_rows": input_rows,
         "batches": len(progress),
         "watermark_set": wm_set,
+        "stalled": stalled,
     }

@@ -102,17 +102,14 @@ def test_rate_source_smoke_runs_same_plan_unbounded(spark):
     the event-time watermark advances."""
     from multiomix_aws_emr_spark.streaming.watermark import rate_source_smoke
 
-    # Wall-clock-sensitive by nature (an unbounded source must be observed
-    # for real time): under full-suite load plus neighbor contention the
-    # 60s budget has still missed the second non-empty micro-batch, so a
-    # miss retries once with a fresh stream and a doubled budget before it
-    # counts as a failure. Passes in ~20s in isolation.
-    for timeout_sec in (60.0, 120.0):
-        stats = rate_source_smoke(
-            spark, rows_per_second=200, min_batches=2, timeout_sec=timeout_sec
-        )
-        if stats["batches"] >= 2:
-            break
+    # The deadline is progress-based: we fail only if the stream reports
+    # no NEW micro-batch progress for stall_timeout_sec — a slow host
+    # under full-suite load keeps emitting (slow) progress events and we
+    # keep waiting, while a genuinely wedged stream trips the stall clock.
+    stats = rate_source_smoke(
+        spark, rows_per_second=200, min_batches=2, stall_timeout_sec=90.0
+    )
+    assert not stats["stalled"], f"stream made no progress: {stats}"
     assert stats["input_rows"] > 0
     assert stats["batches"] >= 2
     assert stats["watermark_set"]

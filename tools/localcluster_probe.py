@@ -50,6 +50,8 @@ Usage:
 One JSON line per (master, shape) with min-of-2 warm walls, plus a
 summary line with the local-cluster/local ratios. Clean up the synth dirs
 after recording results (they are reproducible): rm -rf /tmp/scale_probe*
+Streaming runs write their durable replay sink under a per-worker temp
+dir which the worker removes itself after measuring.
 """
 
 from __future__ import annotations
@@ -59,6 +61,7 @@ import gc
 import subprocess
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -164,6 +167,8 @@ def _worker(args) -> int:
         sink = tempfile.mkdtemp(prefix=f"lc_sink_{args.worker}_")
         os.environ.setdefault("SPARK_GRAFT_STREAM_SINK_DIR", sink)
         os.environ.setdefault("SPARK_GRAFT_STREAM_TIMEOUT", "3600")
+    else:
+        sink = None
     if args.worker == "local":
         master, mem_mb, exec_mem = f"local[{total_cores}]", total_mem_mb, None
     else:
@@ -196,6 +201,10 @@ def _worker(args) -> int:
             flush=True,
         )
     spark.stop()
+    if sink is not None:
+        # the durable parquet sink accumulates a 10M-event replay per
+        # measurement run; leaving it would strand multiple GB in /tmp
+        shutil.rmtree(sink, ignore_errors=True)
     return 0
 
 
@@ -272,8 +281,8 @@ def main() -> int:
         spark.stop()
         gc.collect()
 
-    # same total budget: local[2*cores] one JVM (heap = summed executor
-    # memory) vs N executor JVMs of cores/mem each (driver stays at the
+    # same total budget: local[executors*cores] one JVM (heap = summed
+    # executor memory) vs N executor JVMs of cores/mem each (driver stays at the
     # build_session default — it runs no tasks under local-cluster).
     # One FRESH child process per master: the first session in a process
     # fixes the JVM heap (see _session), so sharing a process between
@@ -287,9 +296,27 @@ def main() -> int:
     for label in ("local", "local-cluster"):
         if args.drop_caches:
             _drop_caches()
-        proc = subprocess.run(
-            [*base_cmd, "--worker", label], capture_output=True, text=True
-        )
+        # a wedged worker JVM (e.g. the streaming heap wedge this probe
+        # once hit) would otherwise block the parent forever with zero
+        # output, since stdout is buffered until the child exits
+        budget = float(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", "3600"))
+        try:
+            proc = subprocess.run(
+                [*base_cmd, "--worker", label],
+                capture_output=True,
+                text=True,
+                timeout=budget + 600.0,
+            )
+        except subprocess.TimeoutExpired as exc:
+            err = (exc.stderr or b"")
+            if isinstance(err, bytes):
+                err = err.decode(errors="replace")
+            print(
+                f"worker {label} exceeded {budget + 600.0:.0f}s; "
+                f"partial stderr:\n{err[-4000:]}",
+                file=sys.stderr,
+            )
+            continue
         for line in proc.stdout.splitlines():
             if not line.startswith("{"):
                 continue
