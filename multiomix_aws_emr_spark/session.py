@@ -107,6 +107,7 @@ def build_session(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    shuffle_bytes: int | None = None,
 ) -> SparkSession:
     """Build a local session sized for the harness environment.
 
@@ -115,9 +116,20 @@ def build_session(
     scheduler with empty tasks. At cluster scale this is superseded by AQE
     coalescing (`spark.sql.adaptive.coalescePartitions.enabled`, on by
     default when AQE is on).
+
+    For wide-state workloads at real volume, pass ``shuffle_bytes`` (the
+    byte estimate of the widest exchange — usually
+    ``parquet_bytes(fact_table_path)``) and the count is sized by
+    :func:`sized_shuffle_partitions` (BASELINE rule 2) instead of the
+    core-count default. Sub-GB estimates floor at the core count, so the
+    hook is safe to use unconditionally.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
+    if shuffle_partitions is None and shuffle_bytes is not None:
+        shuffle_partitions = sized_shuffle_partitions(
+            shuffle_bytes, cores=int(cpus) if cpus.isdigit() else None
+        )
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
 
@@ -125,6 +137,93 @@ def build_session(
     for key, value in assemble_conf(shuffle_partitions, extra_conf).items():
         builder = builder.config(key, value)
     return configure(builder.getOrCreate())
+
+
+def parquet_bytes(*paths: str) -> int:
+    """Total on-disk bytes of the given parquet files/directories.
+
+    The cheap, always-available volume signal for
+    :func:`sized_shuffle_partitions`: pass the paths of the tables whose
+    rows actually flow through the widest exchange (the fact table of a
+    join/agg, the corpus of a dedup), not every input."""
+    total = 0
+    for path in paths:
+        if os.path.isfile(path):
+            total += os.path.getsize(path)
+            continue
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _heap_bytes_from_env() -> int:
+    """Parse SPARK_GRAFT_DRIVER_MEM ('8g', '48g', '24576m') to bytes."""
+    raw = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g").strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if raw and raw[-1] in mult:
+        return int(float(raw[:-1]) * mult[raw[-1]])
+    return int(raw)
+
+
+def sized_shuffle_partitions(
+    shuffle_bytes: int,
+    *,
+    cores: int | None = None,
+    heap_bytes: int | None = None,
+    per_task_share_bytes: int | None = None,
+    decompression_ratio: float = 3.0,
+    state_fill_fraction: float = 0.3,
+    max_partitions: int = 100_000,
+) -> int:
+    """Volume-aware shuffle partition count (BASELINE.md sizing rule 2).
+
+    Rule 2, validated by the spill probe and the 1000x reruns: set
+    ``spark.sql.shuffle.partitions`` so per-partition DECOMPRESSED
+    operator state fits ~0.3x the per-task execution share::
+
+        partitions ~= shuffle_bytes * decompression_ratio
+                      / (state_fill_fraction * per_task_share)
+
+    floored at the core count (keep every core busy) and rounded UP to a
+    whole multiple of cores (full task waves — a 1.1-wave count leaves
+    most cores idle for the straggler wave).
+
+    ``shuffle_bytes`` is the caller's estimate of the bytes entering the
+    widest exchange — on-disk parquet size of the shuffled fact table is
+    the usual proxy (see :func:`parquet_bytes`); multiply by the fan-out
+    first for exploding plans (shingles, array explode).
+
+    ``per_task_share_bytes`` defaults to the Spark unified region per
+    concurrent task, ``heap * 0.6 / cores`` (spark.memory.fraction=0.6),
+    with the heap taken from SPARK_GRAFT_DRIVER_MEM (the single-JVM
+    harness convention; pass ``heap_bytes`` explicitly for executor
+    sizing on a real cluster).
+
+    Reproduces the recorded winners without hand-tuning: the spill
+    probe's ~900 MB shuffled state at 150 MB/task -> 60 (recorded
+    optimum 64, spill eliminated), and Q18 at 1000x (14 GB fact, 48g
+    heap, 32 cores) -> 160, within noise of the hand-tuned 256 record
+    (78.0 s) and 1.5x faster than the default 32. Small inputs floor at
+    ``cores``, so sub-GB fixtures keep the existing plans unchanged.
+
+    Raising the count globally is NOT the rule: small-state shapes pay
+    pure task overhead with no state to split (text_unigram_rarity at
+    1000x was 1.7x SLOWER at 256). Size per wide shape.
+    """
+    if cores is None:
+        raw = os.environ.get("SPARK_GRAFT_CPUS", "")
+        cores = int(raw) if raw.isdigit() else (os.cpu_count() or 8)
+    if per_task_share_bytes is None:
+        if heap_bytes is None:
+            heap_bytes = _heap_bytes_from_env()
+        per_task_share_bytes = int(heap_bytes * 0.6 / cores)
+    state_budget = state_fill_fraction * per_task_share_bytes
+    n_mem = (shuffle_bytes * decompression_ratio) / max(state_budget, 1)
+    n = max(cores, int(n_mem + 0.999999))
+    n = ((n + cores - 1) // cores) * cores  # whole waves
+    return min(n, max_partitions)
 
 
 def assemble_conf(
