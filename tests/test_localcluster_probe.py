@@ -57,3 +57,26 @@ def test_worker_flag_is_parsed_but_hidden():
     assert args.skip_synth
     # default invocation is the parent orchestrator
     assert _parse_args([]).worker is None
+
+
+def test_kill_mode_flags_and_worker_choice():
+    args = _parse_args(
+        ["--kill-executor", "--kill-at", "0.25", "--executors", "4",
+         "--exec-cores", "8", "--exec-mem-mb", "12288"]
+    )
+    assert args.kill_executor
+    assert args.kill_at == 0.25
+    # the kill child is addressable as a worker kind of its own
+    child = _parse_args(["--worker", "kill", "--skip-synth"])
+    assert child.worker == "kill"
+    # default stays the A/B orchestrator
+    assert not _parse_args([]).kill_executor
+
+
+def test_executor_pid_scan_excludes_self():
+    # no executor JVMs in a pure-test process: the scan must come back
+    # empty rather than matching the test runner or any stray java
+    from tools.localcluster_probe import _executor_pids
+
+    pids = _executor_pids()
+    assert os.getpid() not in pids

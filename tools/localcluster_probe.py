@@ -46,6 +46,11 @@ Usage:
       [--streaming]    # the two streaming state shapes instead
       [--drop-caches]  # root: equalize the page cache per master so
                        # COLD walls compare disk-read vs disk-read
+      [--kill-executor] [--kill-at 0.4]
+                       # resilience probe instead of the A/B: SIGKILL one
+                       # executor JVM mid-query (q18 1000x, or the
+                       # stateful stream with --streaming) and assert the
+                       # answer checksum matches the uninterrupted run
 
 One JSON line per (master, shape) with min-of-2 warm walls, plus a
 summary line with the local-cluster/local ratios. Clean up the synth dirs
@@ -208,6 +213,147 @@ def _worker(args) -> int:
     return 0
 
 
+def _executor_pids() -> list[int]:
+    """PIDs of live CoarseGrainedExecutorBackend JVMs (the executor
+    processes local-cluster workers launch). The driver JVM never
+    matches: its cmdline carries the master string, not the backend
+    class."""
+    pids = []
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/cmdline", "rb") as fh:
+                cmd = fh.read()
+        except OSError:
+            continue
+        if b"CoarseGrainedExecutorBackend" in cmd:
+            pids.append(int(d))
+    return sorted(pids)
+
+
+def _kill_worker(args) -> int:
+    """Executor-loss resilience probe (fresh process, local-cluster only).
+
+    Runs one heavy shape twice on the same app: once uninterrupted
+    (reference wall + answer checksum), once with a killer thread that
+    SIGKILLs one executor JVM mid-query. The standalone master relaunches
+    a replacement executor; lost shuffle blocks surface as FetchFailed
+    and the affected stages resubmit, so the probe raises
+    ``spark.task.maxFailures`` / ``spark.stage.maxConsecutiveAttempts``
+    above their defaults the way a real fleet would. PASS = the killed
+    run completes with a checksum identical to the uninterrupted run.
+
+    Streaming note: the durable foreachBatch sink appends again when a
+    killed micro-batch retries, which is exactly the duplicate class the
+    runner's max-per-user reduction already absorbs (n_events is
+    monotone per user) — executor loss exercises that idempotence for
+    real.
+    """
+    import hashlib
+    import signal
+    import threading
+
+    master = (
+        f"local-cluster[{args.executors},{args.exec_cores},{args.exec_mem_mb}]"
+    )
+    if args.streaming:
+        sink = tempfile.mkdtemp(prefix="lc_kill_sink_")
+        os.environ.setdefault("SPARK_GRAFT_STREAM_SINK_DIR", sink)
+        os.environ.setdefault("SPARK_GRAFT_STREAM_TIMEOUT", "3600")
+        name, qid, sf_dir = (
+            "stream_stateful_100x",
+            "stream_stateful_totals",
+            os.path.join(args.out_root, "events_100x"),
+        )
+    else:
+        sink = None
+        name, qid, sf_dir = (
+            "q18_1000x",
+            "sql_large_volume_customer",
+            os.path.join(args.out_root, "relational_1000x"),
+        )
+    if not os.path.exists(sf_dir):
+        print(f"missing synth dir: {sf_dir}", file=sys.stderr)
+        return 2
+
+    from multiomix_aws_emr_spark.session import build_session
+    from multiomix_aws_emr_spark.queries import QUERIES
+
+    spark = build_session(
+        app_name="lc_kill",
+        master=master,
+        extra_conf={
+            "spark.executor.memory": f"{args.exec_mem_mb}m",
+            "spark.task.maxFailures": "8",
+            "spark.stage.maxConsecutiveAttempts": "8",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run_once():
+        t0 = time.perf_counter()
+        rows = sorted(map(tuple, QUERIES[qid](spark, sf_dir).collect()))
+        wall = round(time.perf_counter() - t0, 2)
+        digest = hashlib.sha256(repr(rows).encode()).hexdigest()[:16]
+        return wall, digest, len(rows)
+
+    # warm-fair: discard a JVM-cold warmup (its checksum still counts as
+    # a parity point) so the overhead ratio compares warm vs warm — the
+    # first execution otherwise pays codegen/broadcast/page-cache costs
+    # the killed run would not, hiding (or inverting) the recovery cost
+    _, sum_warmup, _ = run_once()
+    wall0, sum0, n0 = run_once()
+
+    state: dict = {"killed_pid": None, "killed_at_sec": None}
+
+    def _killer(delay: float):
+        time.sleep(delay)
+        pids = _executor_pids()
+        if not pids:
+            return
+        victim = pids[0]
+        t = time.perf_counter()
+        try:
+            os.kill(victim, signal.SIGKILL)
+        except OSError:
+            return
+        state["killed_pid"] = victim
+        state["killed_at_sec"] = t  # normalized below
+
+    delay = max(1.0, wall0 * args.kill_at)
+    t_start = time.perf_counter()
+    th = threading.Thread(target=_killer, args=(delay,), daemon=True)
+    th.start()
+    wall1, sum1, n1 = run_once()
+    th.join(timeout=5)
+    if state["killed_at_sec"] is not None:
+        state["killed_at_sec"] = round(state["killed_at_sec"] - t_start, 2)
+
+    record = {
+        "shape": name,
+        "qid": qid,
+        "master": master,
+        "wall_uninterrupted_sec": wall0,
+        "wall_killed_sec": wall1,
+        "recovery_overhead_ratio": round(wall1 / wall0, 3) if wall0 else None,
+        "killed_pid": state["killed_pid"],
+        "killed_at_sec": state["killed_at_sec"],
+        "rows": n1,
+        "checksum_parity": sum0 == sum1 == sum_warmup and n0 == n1,
+        "checksum": sum1,
+    }
+    print(json.dumps(record), flush=True)
+    spark.stop()
+    if sink is not None:
+        shutil.rmtree(sink, ignore_errors=True)
+    if state["killed_pid"] is None:
+        print("kill never landed (query finished first?); not a resilience "
+              "result — rerun with a smaller --kill-at", file=sys.stderr)
+        return 3
+    return 0 if record["checksum_parity"] else 1
+
+
 def _parse_args(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
@@ -232,8 +378,22 @@ def _parse_args(argv=None):
         "page-cached parquet and cold ratios are incomparable",
     )
     ap.add_argument(
+        "--kill-executor",
+        action="store_true",
+        help="resilience probe instead of the A/B: run one heavy shape "
+        "(q18 1000x, or the stateful stream with --streaming) under "
+        "local-cluster, SIGKILL one executor JVM mid-query, and assert "
+        "the answer checksum matches the uninterrupted run",
+    )
+    ap.add_argument(
+        "--kill-at",
+        type=float,
+        default=0.4,
+        help="when to kill, as a fraction of the uninterrupted wall",
+    )
+    ap.add_argument(
         "--worker",
-        choices=["local", "local-cluster"],
+        choices=["local", "local-cluster", "kill"],
         help=argparse.SUPPRESS,  # internal: single-master measurement child
     )
     return ap.parse_args(argv)
@@ -256,8 +416,22 @@ def _drop_caches() -> bool:
 
 def main() -> int:
     args = _parse_args()
+    if args.worker == "kill":
+        return _kill_worker(args)
     if args.worker:
         return _worker(args)
+    if args.kill_executor:
+        # one fresh child (fresh JVM heap), local-cluster only — there is
+        # no "local" side to a process-death probe
+        cmd = [sys.executable, os.path.abspath(__file__), "--skip-synth"]
+        for flag in ("src", "out_root", "executors", "exec_cores",
+                     "exec_mem_mb", "kill_at"):
+            cmd += [f"--{flag.replace('_', '-')}", str(getattr(args, flag))]
+        if args.streaming:
+            cmd.append("--streaming")
+        cmd += ["--worker", "kill"]
+        proc = subprocess.run(cmd, text=True)
+        return proc.returncode
 
     shapes, need = _shapes(args)
     if need:
