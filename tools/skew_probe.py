@@ -185,11 +185,34 @@ def main() -> int:
         help="md5-prefix threshold: rows below it redirect to the hot key "
         "(4d ~= 30 pct)",
     )
+    ap.add_argument(
+        "--master",
+        default=None,
+        help="Spark master override, e.g. local-cluster[4,8,12288] for the "
+        "multi-JVM skew A/B (remote shuffle fetch is exactly where skew "
+        "should stop being transport-neutral). Run each master in its own "
+        "process: the first session fixes the JVM heap.",
+    )
+    ap.add_argument(
+        "--exec-mem-mb",
+        type=int,
+        default=None,
+        help="spark.executor.memory for local-cluster masters (the master "
+        "string's MEM field sizes only the worker budget; executors "
+        "otherwise launch at the 1g default and die mid-stage)",
+    )
     args = ap.parse_args()
 
     from multiomix_aws_emr_spark.session import build_session
 
-    spark = build_session(app_name="skew_probe")
+    extra = (
+        {"spark.executor.memory": f"{args.exec_mem_mb}m"}
+        if args.exec_mem_mb
+        else None
+    )
+    spark = build_session(
+        app_name="skew_probe", master=args.master, extra_conf=extra
+    )
     spark.sparkContext.setLogLevel("ERROR")
     # model a broadcast-INELIGIBLE build side: force the shuffled path
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
