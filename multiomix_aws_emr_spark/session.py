@@ -226,6 +226,37 @@ def sized_shuffle_partitions(
     return min(n, max_partitions)
 
 
+def adaptive_sizing_conf(
+    ceiling: int = 1024,
+    advisory_bytes: str = "16MB",
+) -> dict[str, str]:
+    """AQE conf pair that makes shuffle partition count VOLUME-ADAPTIVE
+    at runtime — the dynamic complement to :func:`sized_shuffle_partitions`
+    for pipelines whose exchange bytes aren't known up front.
+
+    Two knobs must move together (measured, Q18 1000x, same window):
+    raising only the ceiling (``initialPartitionNum=256``, stock 64MB
+    advisory) gained NOTHING (156.8 s vs 153.8 s at static 32) because
+    AQE coalesces on COMPRESSED bytes and rebuilt the coarse layout —
+    BASELINE rule 3's exact failure. Ceiling + 16MB advisory hit
+    136.1 s, matching the hand-tuned static 256 (139.7 s same method)
+    with no byte estimate required.
+
+    Use for ad-hoc/unknown-volume sessions::
+
+        build_session(extra_conf=adaptive_sizing_conf())
+
+    Known-volume pipelines should prefer the explicit
+    ``shuffle_bytes=`` hook: static sizing also covers the no-AQE paths
+    (streaming stateful shuffles) and avoids the per-mapper cost of
+    ``ceiling`` shuffle buckets on every exchange.
+    """
+    return {
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(ceiling),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": advisory_bytes,
+    }
+
+
 def assemble_conf(
     shuffle_partitions: int, extra_conf: dict[str, str] | None = None
 ) -> dict[str, str]:

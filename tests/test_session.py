@@ -122,3 +122,29 @@ def test_parquet_bytes_sums_files_and_dirs(tmp_path):
     single.write_bytes(b"z" * 250)
     assert parquet_bytes(str(d)) == 1500
     assert parquet_bytes(str(d), str(single)) == 1750
+
+
+def test_adaptive_sizing_conf_pairs_ceiling_with_advisory():
+    from multiomix_aws_emr_spark.session import adaptive_sizing_conf
+
+    conf = adaptive_sizing_conf()
+    # the two knobs MUST travel together: a raised ceiling with the
+    # stock 64MB advisory coalesces right back to the coarse layout
+    # (measured: no gain at Q18 1000x) — see the docstring record
+    assert (
+        conf["spark.sql.adaptive.coalescePartitions.initialPartitionNum"]
+        == "1024"
+    )
+    assert conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"] == "16MB"
+    custom = adaptive_sizing_conf(ceiling=256, advisory_bytes="8MB")
+    assert (
+        custom["spark.sql.adaptive.coalescePartitions.initialPartitionNum"]
+        == "256"
+    )
+    assert custom["spark.sql.adaptive.advisoryPartitionSizeInBytes"] == "8MB"
+    # composes with the session conf layering (caller overrides last)
+    conf2 = assemble_conf(32, adaptive_sizing_conf())
+    assert (
+        conf2["spark.sql.adaptive.coalescePartitions.initialPartitionNum"]
+        == "1024"
+    )
