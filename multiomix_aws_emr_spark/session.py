@@ -250,6 +250,15 @@ def adaptive_sizing_conf(
     ``shuffle_bytes=`` hook: static sizing also covers the no-AQE paths
     (streaming stateful shuffles) and avoids the per-mapper cost of
     ``ceiling`` shuffle buckets on every exchange.
+
+    NOT a free lunch — rule 2's "size per wide shape, not globally"
+    applies to the dynamic variant too: the same conf pair that gains
+    1.13x on Q18's wide-state exchange COSTS 1.20-1.25x on
+    dedup_near_minhash at 1000x docs (64.6 s -> 77.5-80.4 s, measured
+    twice), whose post-r6 sketch-cached exchange carries small
+    per-partition state and pays the 16MB advisory purely in task
+    overhead. Apply to sessions whose dominant exchanges are known to
+    be wide-state; keep the engine default for mixed suites.
     """
     return {
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(ceiling),
