@@ -12,8 +12,13 @@ MapReduce and Beyond"):
   ids only (never materializing paths);
 - rounds needed = graph diameter (near-dup graphs are shallow: most
   components are stars around a representative, so 2-4 rounds);
-- ``localCheckpoint`` truncates lineage each round — without it the plan
-  doubles per iteration and planning time explodes by round ~10;
+- lineage is truncated each round (without it the plan doubles per
+  iteration and planning time explodes by round ~10) via
+  ``operators.checkpointing.truncate_lineage``: localCheckpoint by
+  default, durable ``checkpoint()`` when ``reliable`` is requested —
+  the executor-kill probe measured localCheckpoint's truncated lineage
+  as UNRECOVERABLE under executor loss, which is the failure mode a
+  long fixpoint on preemptible fleet nodes must plan for;
 - the convergence probe is a bounded count per round (a scalar to the
   driver, not data).
 """
@@ -23,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from multiomix_aws_emr_spark.operators.checkpointing import truncate_lineage
+
 
 def connected_components(
     edges: DataFrame,
@@ -30,31 +37,38 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 20,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """(node, component) with component = min node id reachable.
 
     ``edges`` is an undirected edge list (self-loops and duplicates are
     fine and cheap — they dissolve in the min-aggregate).
+
+    ``reliable`` selects the per-round lineage cut: default
+    localCheckpoint (fastest), True for durable checkpoints that
+    survive executor loss, None to follow
+    ``SPARK_GRAFT_RELIABLE_CHECKPOINT=1``.
     """
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # Materialize the (possibly expensive) edge-producing plan ONCE — every
     # round joins against sym, and without this the upstream pipeline
     # (e.g. the whole MinHash sketch) would re-execute per round.
-    sym = fwd.union(
-        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    sym = truncate_lineage(
+        fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))),
+        reliable,
+    )
 
     # Initial labels fold the first propagation round into one aggregate:
     # node -> min(node, direct neighbors). Star-shaped graphs (the near-dup
     # common case) converge here, leaving a single confirmation round.
-    labels = (
+    labels = truncate_lineage(
         sym.groupBy("a")
         .agg(F.min("b").alias("_mb"))
         .select(
             F.col("a").alias("node"),
             F.least("a", "_mb").alias("component"),
-        )
-        .localCheckpoint()
+        ),
+        reliable,
     )
     prev_sum = labels.agg(F.sum("component")).first()[0]
     for _ in range(max_rounds):
@@ -62,12 +76,12 @@ def connected_components(
             sym.join(labels, sym.a == labels.node)
             .select(F.col("b").alias("node"), "component")
         )
-        labels = (
+        labels = truncate_lineage(
             labels.select("node", "component")
             .union(neighbor_min)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()
+            .agg(F.min("component").alias("component")),
+            reliable,
         )
         # Min-label propagation only ever lowers labels, so the global sum
         # strictly decreases until the fixpoint: one scalar aggregate per

@@ -218,9 +218,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = trade.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("tot")).alias("p")
     )
-    # 25 nodes, <=625 edges: localCheckpoint truncates the growing lineage
-    # exactly like the components loop (cheap here, load-bearing at scale)
-    norm = norm.localCheckpoint(eager=True)
+    # 25 nodes, <=625 edges: truncate the growing lineage exactly like
+    # the components loop (cheap here, load-bearing at scale); honors
+    # SPARK_GRAFT_RELIABLE_CHECKPOINT for preemptible fleets
+    from multiomix_aws_emr_spark.operators.checkpointing import truncate_lineage
+
+    norm = truncate_lineage(norm)
 
     n_nations = nation.count()  # bounded: one scalar
     pr = nation.select(

@@ -493,6 +493,7 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster. The portable signature hash lets the DuckDB oracle recompute
     the identical edges and close them with a recursive transitive-closure
     CTE — the iterative fixpoint is hash-checked end to end."""
+    from multiomix_aws_emr_spark.operators.checkpointing import truncate_lineage
     from multiomix_aws_emr_spark.operators.components import connected_components
     from multiomix_aws_emr_spark.operators.dedup import lsh_cluster_assign
     from multiomix_aws_emr_spark.plans.sketchcache import banded_documents
@@ -501,9 +502,14 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the final stitch join, and is (doc, rep) pairs — small relative to
     # the corpus text it derives from. The banded sketch itself comes
     # from the session-scoped shared cache (plans/sketchcache.py).
-    one_step = lsh_cluster_assign(
-        banded_documents(spark, sf_dir, portable=True), id_col="doc_id"
-    ).localCheckpoint()
+    # truncate_lineage follows SPARK_GRAFT_RELIABLE_CHECKPOINT: on
+    # preemptible fleet nodes the default localCheckpoint is
+    # unrecoverable under executor loss (measured — BASELINE.md r9).
+    one_step = truncate_lineage(
+        lsh_cluster_assign(
+            banded_documents(spark, sf_dir, portable=True), id_col="doc_id"
+        )
+    )
     # The fixpoint only concerns docs in non-trivial clusters; most of a
     # real corpus is singletons (doc_id == rep_id), which would bloat every
     # propagation round. Run CC on the dup subgraph only, then stitch
