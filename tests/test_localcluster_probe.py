@@ -80,3 +80,11 @@ def test_executor_pid_scan_excludes_self():
 
     pids = _executor_pids()
     assert os.getpid() not in pids
+
+
+def test_kill_shape_flag():
+    args = _parse_args(["--kill-executor", "--kill-shape", "components"])
+    assert args.kill_shape == "components"
+    # default derives from --streaming at runtime, so the flag stays None
+    assert _parse_args(["--kill-executor"]).kill_shape is None
+    assert _parse_args(["--kill-executor", "--streaming"]).kill_shape is None

@@ -257,7 +257,9 @@ def _kill_worker(args) -> int:
     master = (
         f"local-cluster[{args.executors},{args.exec_cores},{args.exec_mem_mb}]"
     )
-    if args.streaming:
+    sink = None
+    shape = args.kill_shape or ("stream" if args.streaming else "q18")
+    if shape == "stream":
         sink = tempfile.mkdtemp(prefix="lc_kill_sink_")
         os.environ.setdefault("SPARK_GRAFT_STREAM_SINK_DIR", sink)
         os.environ.setdefault("SPARK_GRAFT_STREAM_TIMEOUT", "3600")
@@ -266,8 +268,18 @@ def _kill_worker(args) -> int:
             "stream_stateful_totals",
             os.path.join(args.out_root, "events_100x"),
         )
+    elif shape == "components":
+        # the iterative-fixpoint shape: with the default localCheckpoint
+        # lineage cut this is EXPECTED to fail on executor loss (blocks
+        # are executor-local and the lineage is gone); run with
+        # SPARK_GRAFT_RELIABLE_CHECKPOINT=1 to demonstrate recovery —
+        # both outcomes are the BASELINE.md r9 record
+        name, qid, sf_dir = (
+            "minhash_components_1000x",
+            "dedup_minhash_components",
+            os.path.join(args.out_root, "documents_1000x"),
+        )
     else:
-        sink = None
         name, qid, sf_dir = (
             "q18_1000x",
             "sql_large_volume_customer",
@@ -325,26 +337,41 @@ def _kill_worker(args) -> int:
     t_start = time.perf_counter()
     th = threading.Thread(target=_killer, args=(delay,), daemon=True)
     th.start()
-    wall1, sum1, n1 = run_once()
-    th.join(timeout=5)
-    if state["killed_at_sec"] is not None:
-        state["killed_at_sec"] = round(state["killed_at_sec"] - t_start, 2)
-
     record = {
         "shape": name,
         "qid": qid,
         "master": master,
         "wall_uninterrupted_sec": wall0,
-        "wall_killed_sec": wall1,
-        "recovery_overhead_ratio": round(wall1 / wall0, 3) if wall0 else None,
-        "killed_pid": state["killed_pid"],
-        "killed_at_sec": state["killed_at_sec"],
-        "rows": n1,
-        "checksum_parity": sum0 == sum1 == sum_warmup and n0 == n1,
-        "checksum": sum1,
     }
+    try:
+        wall1, sum1, n1 = run_once()
+        record.update(
+            completed=True,
+            wall_killed_sec=wall1,
+            recovery_overhead_ratio=(
+                round(wall1 / wall0, 3) if wall0 else None
+            ),
+            rows=n1,
+            checksum_parity=sum0 == sum1 == sum_warmup and n0 == n1,
+            checksum=sum1,
+        )
+    except Exception as exc:  # expected for components + localCheckpoint
+        record.update(
+            completed=False,
+            checksum_parity=False,
+            error_class=type(exc).__name__,
+            error_head=(str(exc).splitlines() or [""])[0][:300],
+        )
+    th.join(timeout=5)
+    if state["killed_at_sec"] is not None:
+        state["killed_at_sec"] = round(state["killed_at_sec"] - t_start, 2)
+    record["killed_pid"] = state["killed_pid"]
+    record["killed_at_sec"] = state["killed_at_sec"]
     print(json.dumps(record), flush=True)
-    spark.stop()
+    try:
+        spark.stop()
+    except Exception:
+        pass  # a failed killed-run can leave the context already torn down
     if sink is not None:
         shutil.rmtree(sink, ignore_errors=True)
     if state["killed_pid"] is None:
@@ -392,6 +419,14 @@ def _parse_args(argv=None):
         help="when to kill, as a fraction of the uninterrupted wall",
     )
     ap.add_argument(
+        "--kill-shape",
+        choices=["q18", "stream", "components"],
+        help="which shape the kill probe runs (default: q18, or stream "
+        "when --streaming is set). 'components' is the iterative-fixpoint "
+        "shape: expected to FAIL with the default localCheckpoint lineage "
+        "cut and to recover with SPARK_GRAFT_RELIABLE_CHECKPOINT=1",
+    )
+    ap.add_argument(
         "--worker",
         choices=["local", "local-cluster", "kill"],
         help=argparse.SUPPRESS,  # internal: single-master measurement child
@@ -429,6 +464,8 @@ def main() -> int:
             cmd += [f"--{flag.replace('_', '-')}", str(getattr(args, flag))]
         if args.streaming:
             cmd.append("--streaming")
+        if args.kill_shape:
+            cmd += ["--kill-shape", args.kill_shape]
         cmd += ["--worker", "kill"]
         proc = subprocess.run(cmd, text=True)
         return proc.returncode
