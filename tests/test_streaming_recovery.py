@@ -89,9 +89,17 @@ def test_restart_from_checkpoint_converges(spark, tmp_path):
         out2 = str(tmp_path / "rec_out")
         ckpt = str(tmp_path / "ck_rec")
         q = _start_rollup(spark, src, out2, ckpt, False)
-        deadline = time.time() + 60
+        # progress-based deadline (same shape as rate_source_smoke): keep
+        # waiting while NEW progress events arrive, fail only after 60s
+        # with no new micro-batch at all — load-proof, wedge-detecting
         committed = 0
-        while time.time() < deadline:
+        seen_batches: set = set()
+        last_progress = time.time()
+        while time.time() - last_progress < 60:
+            for p in q.recentProgress:
+                if p["batchId"] not in seen_batches:
+                    seen_batches.add(p["batchId"])
+                    last_progress = time.time()
             committed = sum(
                 1 for p in q.recentProgress if p["numInputRows"] > 0
             )
