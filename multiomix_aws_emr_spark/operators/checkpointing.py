@@ -22,7 +22,11 @@ dies:
 deployment can flip every fixpoint in the engine without code changes.
 In reliable mode a checkpoint dir is provisioned automatically when the
 context has none (a local temp dir — real deployments should call
-``sc.setCheckpointDir`` with a durable URI instead).
+``sc.setCheckpointDir`` with a durable URI instead). Durable checkpoint
+files outlive the DataFrames that wrote them unless
+``spark.cleaner.referenceTracking.cleanCheckpoints=true`` is set at
+session build; long-lived sessions running many fixpoints should set it
+(or sweep the checkpoint dir) so per-round files don't accumulate.
 """
 
 from __future__ import annotations
