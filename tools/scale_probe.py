@@ -358,8 +358,22 @@ def time_queries(spark, tier: str, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def probe_tier(spark, tier: str, src_dir: str, out_root: str, replicas: int) -> list[str]:
-    """Run one tier at 1x and REPLICAS x; returns the superlinear qids."""
+def probe_tier(
+    spark,
+    tier: str,
+    src_dir: str,
+    out_root: str,
+    replicas: int,
+    sized: bool = False,
+) -> list[str]:
+    """Run one tier at 1x and REPLICAS x; returns the superlinear qids.
+
+    ``sized=True`` exercises the rule-2 product hook on the BIG scale:
+    ``spark.sql.shuffle.partitions`` is set per tier from
+    ``session.sized_shuffle_partitions(parquet_bytes(anchor))`` before
+    the big-dir runs (runtime-settable conf; restored after). Small-dir
+    runs keep the session default — the helper floors at the core count
+    there anyway."""
     big_dir = synthesize(
         spark, tier, src_dir, os.path.join(out_root, f"{tier}_{replicas}x"), replicas
     )
@@ -370,8 +384,23 @@ def probe_tier(spark, tier: str, src_dir: str, out_root: str, replicas: int) -> 
     # warm codegen/scan paths once per scale so ratios compare steady-state
     time_queries(spark, tier, src_dir)
     small = time_queries(spark, tier, src_dir)
-    time_queries(spark, tier, big_dir)
-    big = time_queries(spark, tier, big_dir)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if sized:
+        from multiomix_aws_emr_spark.session import (
+            parquet_bytes,
+            sized_shuffle_partitions,
+        )
+
+        n_parts = sized_shuffle_partitions(
+            parquet_bytes(os.path.join(big_dir, f"{anchor}.parquet"))
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        print(json.dumps({"tier": tier, "sized_shuffle_partitions": n_parts}))
+    try:
+        time_queries(spark, tier, big_dir)
+        big = time_queries(spark, tier, big_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
     ratios = {
         q: round(big[q] / max(small[q], 0.01), 2) for q in TIER_QUERIES[tier]
@@ -402,6 +431,14 @@ def main() -> int:
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out-root", default="/tmp/scale_probe")
+    ap.add_argument(
+        "--sized-partitions",
+        action="store_true",
+        help="size spark.sql.shuffle.partitions for the big scale from "
+        "the anchor table's on-disk bytes via "
+        "session.sized_shuffle_partitions (rule 2) instead of keeping "
+        "the session default",
+    )
     args = ap.parse_args()
 
     from multiomix_aws_emr_spark.session import build_session
@@ -413,7 +450,8 @@ def main() -> int:
     superlinear: list[str] = []
     for tier in tiers:
         superlinear += probe_tier(
-            spark, tier, args.src, args.out_root, args.replicas
+            spark, tier, args.src, args.out_root, args.replicas,
+            sized=args.sized_partitions,
         )
     spark.stop()
     return 1 if superlinear else 0
