@@ -33,6 +33,11 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Write-path codec: zstd dominates the snappy default on every axis
+    # measured (tools/codec_probe.py — 28% smaller, 38% faster writes,
+    # scan within noise; at 100 TB the byte saving IS read bandwidth).
+    # Read paths are codec-agnostic, so this only shapes what we write.
+    "spark.sql.parquet.compression.codec": "zstd",
 }
 
 
