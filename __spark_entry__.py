@@ -67,69 +67,48 @@ def _last_verified_round() -> dict[str, int]:
 # Queries whose newest driver evidence predates their current code or
 # oracle must land inside the driver's ~50-query budget regardless of
 # what the LRU sort alone would pick (the r5 convention: code-newer-
-# than-evidence is the worst staleness). Round 8 pins exactly the
-# code-newer-than-evidence cohort (VERDICT r7 task 2 + this round's own
-# edits):
+# than-evidence is the worst staleness). The r8 cohort all earned clean
+# r08 records, so round 9 pins exactly this round's own edits:
 #
-# 1. python_udfs.py was edited by r7's hardening commit (NaN guard in
-#    _bucket_group_stats executes on every driver fixture) — all five
-#    qids that file backs;
-# 2. streaming/util.py was edited in r7 (zero-commit sink fallback) AND
-#    again in r8 (the fallback now probes via read + PATH_NOT_FOUND
-#    catch instead of os.path.exists) — every bounded-streaming qid plus
-#    the pydatasource trio that replays through the same runner;
-# 3. plans/sketchcache.py was edited in r7 (stopped-session eviction) —
-#    the sketch-cache dedup/curation family;
-# 4. fs/fitness.py + fs/bbha.py + experiment.py were edited in r8
-#    (NEG_INF sentinel for log_likelihood scoring, Efron tie handling in
-#    the LL scorer, worst_fitness threading) — both BBHA qids. The
-#    declared queries pin the logrank path whose values are untouched,
-#    but the convention is file-level.
+# 1. operators/components.py + the new operators/checkpointing.py +
+#    the one edited statement in queries/llmdata.py (the fixpoint's
+#    lineage cuts now route through truncate_lineage; default behavior
+#    localCheckpoint unchanged) — dedup_minhash_components. The llmdata
+#    edit is confined to that function's body (nothing else reads
+#    one_step), so the pin is function-scoped rather than dragging the
+#    ~25 other llmdata-backed qids into one 50-qid budget (the r8
+#    session.py precedent for scoping with an argument).
+# 2. queries/graphs.py — the pagerank lineage cut routes through
+#    truncate_lineage — graph_pagerank.
+# 3. streaming/watermark.py — rate_source_smoke's progress-based
+#    deadline (test-harness path, but the convention is file-level) —
+#    stream_watermark_latedrop, the file's one declared consumer.
+# 4. session.py's RUNTIME_CONF now sets the parquet WRITE codec to zstd
+#    (tools/codec_probe.py record). Read paths are codec-agnostic, so
+#    per-qid staleness applies only to the declared queries that WRITE
+#    parquet: the maintenance trio and the python-sink roundtrip.
 #
-# NOT pinned: session.py's r8 edit (the localcluster probe's extra_conf
-# override hook, default None) backs every qid, so file-level pinning
-# would demand all 177 in one 50-qid budget. The honest reading: the
-# driver path passes no extra_conf (byte-identical RUNTIME_CONF), and a
-# session-level breakage is not a per-qid staleness risk — it fails
-# every query in the round at once, which the driver run itself
-# detects. tests/test_session.py covers the hook both ways.
+# sized_shuffle_partitions / adaptive_sizing_conf / parquet_bytes are
+# additive session APIs off every declared path (tests +
+# tests/test_session.py cover them); a conf-assembly breakage fails all
+# 177 at once, which the driver run itself detects.
 #
-# That is 27 qids; the LRU sort below fills the remaining ~23 of the
-# driver's budget with the r4-stale cohort (36 unpinned qids, oldest
-# evidence first, declaration order within a round), so after r08 the
-# residual r4-stale tail is ~13 and leads the r9 rotation automatically.
+# That is 7 qids; the LRU sort below fills the remaining ~43 of the
+# driver's budget with the r4-stale windows/analytics cohort (13 qids,
+# VERDICT r8 task 1 — all pre-validated at sf0.01 this round) and then
+# the oldest r5 evidence, leaving max staleness r5 after r09.
 _STALE_PRIORITY = [
-    # (1) python_udfs.py — r7 edit, r6 evidence
-    "udaf_group_stats",
-    "udf_binarize_tanh",
-    "udf_arrow_vector_norm",
-    "udf_cogroup_asof",
-    "udtf_python_tokenize",
-    # (2) streaming/util.py — r7 + r8 edits
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_interval_join",
-    "stream_watermark_latedrop",
-    "stream_stateful_totals",
-    "stream_session_window",
-    "stream_dedup_watermark",
-    "stream_rollup_upsert",
-    "stream_static_join",
-    "stream_interval_join_outer",
-    "source_python_stream",
-    "source_python_datasource",
-    "sink_python_datasource",
-    # (3) plans/sketchcache.py — r7 edit
-    "dedup_near_minhash",
+    # (1) components/checkpointing/llmdata — r9 fixpoint lineage-cut route
     "dedup_minhash_components",
-    "pipeline_curation",
-    "pipeline_curation_v2",
-    "pipeline_curation_v3",
-    "text_decontaminate",
-    # (4) fs/* + experiment.py — r8 edits
-    "fs_bbha_embeddings",
-    "fs_bbha_improved",
+    # (2) graphs.py — r9 lineage-cut route
+    "graph_pagerank",
+    # (3) streaming/watermark.py — r9 progress-deadline edit
+    "stream_watermark_latedrop",
+    # (4) session.py zstd write codec — the declared parquet writers
+    "maintenance_compact_files",
+    "maintenance_merge_upsert",
+    "maintenance_recompress_zstd",
+    "sink_python_datasource",
 ]
 
 
