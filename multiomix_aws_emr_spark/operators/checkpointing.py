@@ -20,21 +20,38 @@ dies:
 ``truncate_lineage`` selects per call; ``reliable=None`` defers to the
 ``SPARK_GRAFT_RELIABLE_CHECKPOINT=1`` environment switch so a fleet
 deployment can flip every fixpoint in the engine without code changes.
-In reliable mode a checkpoint dir is provisioned automatically when the
-context has none (a local temp dir — real deployments should call
-``sc.setCheckpointDir`` with a durable URI instead). Durable checkpoint
-files outlive the DataFrames that wrote them unless
-``spark.cleaner.referenceTracking.cleanCheckpoints=true`` is set at
-session build; long-lived sessions running many fixpoints should set it
-(or sweep the checkpoint dir) so per-round files don't accumulate.
+
+Checkpoint-dir provisioning is master-aware: a driver-local temp dir is
+only a valid reliable store when every executor shares the driver's
+filesystem — i.e. ``local[*]`` / ``local-cluster`` masters. On any other
+master (yarn/k8s/standalone — the preemptible fleets this mode exists
+for) a node-local path CANNOT serve recovery reads from surviving
+executors, so ``_ensure_checkpoint_dir`` raises instead of silently
+degrading; call ``sc.setCheckpointDir`` with a durable shared URI
+(HDFS/S3) first.
+
+File lifecycle: durable checkpoint files outlive the DataFrames that
+wrote them unless ``spark.cleaner.referenceTracking.cleanCheckpoints``
+is true, in which case the ContextCleaner deletes a round's files once
+its checkpointed RDD is garbage-collected — exactly the bounded-dir
+behavior a many-round fixpoint needs. The conf is STATIC (read when the
+ContextCleaner is built with the SparkContext), so ``session.
+assemble_conf`` sets it at build time; sessions built elsewhere get a
+loud warning from ``_ensure_checkpoint_dir``. Boundedness is asserted by
+``tests/test_checkpointing.py::test_reliable_dir_bounded_across_rounds``.
 """
 
 from __future__ import annotations
 
 import os
 import tempfile
+import warnings
 
 from pyspark.sql import DataFrame
+
+#: Static conf that makes the ContextCleaner delete checkpoint files when
+#: their RDD is GC'd (see module docstring); session.assemble_conf sets it.
+CLEAN_CHECKPOINTS_CONF = "spark.cleaner.referenceTracking.cleanCheckpoints"
 
 
 def reliable_default() -> bool:
@@ -45,7 +62,27 @@ def reliable_default() -> bool:
 def _ensure_checkpoint_dir(df: DataFrame) -> None:
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
+        # A driver-local temp dir is shared-by-construction only under
+        # local/local-cluster masters (single host). Anywhere else it
+        # would silently break the exact recovery this mode promises.
+        if not sc.master.startswith(("local", "local-cluster")):
+            raise RuntimeError(
+                "reliable checkpointing on a non-local master requires a "
+                "durable shared checkpoint dir: call "
+                "sc.setCheckpointDir('hdfs://...' or 's3a://...') before "
+                "truncate_lineage(reliable=True) "
+                f"(master={sc.master!r})"
+            )
         sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark_ckpt_"))
+    if sc.getConf().get(CLEAN_CHECKPOINTS_CONF, "false") != "true":
+        warnings.warn(
+            f"{CLEAN_CHECKPOINTS_CONF} is not enabled on this session: "
+            "durable checkpoint files will accumulate one per fixpoint "
+            "round. Build sessions via session.build_session (which sets "
+            "it) or add it to the SparkContext conf.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
 
 def truncate_lineage(df: DataFrame, reliable: bool | None = None) -> DataFrame:

@@ -156,7 +156,11 @@ def parquet_bytes(*paths: str) -> int:
         if os.path.isfile(path):
             total += os.path.getsize(path)
             continue
-        for root, _dirs, files in os.walk(path):
+        for root, dirs, files in os.walk(path):
+            # Prune metadata/hidden DIRECTORIES too (_temporary/, _delta_log/,
+            # .staging/): their payloads are not data bytes and would inflate
+            # the sized_shuffle_partitions estimate for in-progress layouts.
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             for f in files:
                 if not f.startswith(("_", ".")):
                     total += os.path.getsize(os.path.join(root, f))
@@ -285,6 +289,11 @@ def assemble_conf(
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # Static (ContextCleaner reads it at SparkContext build): delete a
+        # fixpoint round's durable checkpoint files once its RDD is GC'd,
+        # so reliable-mode fixpoints keep a bounded checkpoint dir
+        # (operators/checkpointing.py; asserted in tests/test_checkpointing).
+        "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
     }
     conf.update(RUNTIME_CONF)
     conf.update(extra_conf or {})

@@ -114,7 +114,11 @@ def rate_source_smoke(
 
     Returns {"input_rows": total rows ingested, "batches": progress count,
     "watermark_set": whether the event-time watermark advanced past the
-    epoch, "stalled": whether we gave up on a wedged stream}. Append-mode
+    epoch, "stalled": whether we gave up before min_batches, "reason":
+    None on success, else "stalled" (no NEW progress event for the stall
+    window — the stream is wedged) or "hard_cap" (alive — progress events
+    kept arriving — but rowless until the safety cap; a source problem,
+    not an engine problem)}. Append-mode
     1-hour windows never finalize within a smoke run (correct semantics);
     what this verifies is that the identical logical plan binds to an
     unbounded source, micro-batches flow, and the watermark tracks event
@@ -151,7 +155,7 @@ def rate_source_smoke(
         # progress — the engine is alive, just hasn't ingested yet
         last_progress_at = start
         seen_batch_ids: set = set()
-        stalled = False
+        reason = None
         try:
             while True:
                 for p in q.recentProgress:
@@ -168,10 +172,10 @@ def rate_source_smoke(
                     break
                 now = _time.monotonic()
                 if now - last_progress_at > stall_timeout_sec:
-                    stalled = True  # no new micro-batch for the window
+                    reason = "stalled"  # no new micro-batch for the window
                     break
                 if now > hard_deadline:
-                    stalled = True  # safety cap: progress without rows
+                    reason = "hard_cap"  # alive but rowless until the cap
                     break
                 _time.sleep(0.5)
             progress = list(q.recentProgress)
@@ -187,5 +191,6 @@ def rate_source_smoke(
         "input_rows": input_rows,
         "batches": len(progress),
         "watermark_set": wm_set,
-        "stalled": stalled,
+        "stalled": reason is not None,
+        "reason": reason,
     }

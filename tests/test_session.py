@@ -99,7 +99,11 @@ def test_per_task_share_override_beats_heap_derivation():
         10 * GB, cores=8, heap_bytes=8 * GB * 8 // 6 * 10
     )
     assert by_share == 104  # 30 GB decompressed / 0.3 GB -> 100 -> wave 104
-    assert by_heap != by_share or by_heap == by_share  # both valid paths run
+    # heap path derives share = 0.6*heap/cores = 8 GB -> budget 2.4 GB ->
+    # ceil(30/2.4)=13 -> wave 16; the explicit per-task share must BEAT
+    # (replace) that derivation, not merge with it
+    assert by_heap == 16
+    assert by_share != by_heap
 
 
 def test_build_session_shuffle_bytes_hook_passes_through(monkeypatch):

@@ -106,10 +106,20 @@ def test_rate_source_smoke_runs_same_plan_unbounded(spark):
     # no NEW micro-batch progress for stall_timeout_sec — a slow host
     # under full-suite load keeps emitting (slow) progress events and we
     # keep waiting, while a genuinely wedged stream trips the stall clock.
+    # hard_cap_sec bounds the alive-but-rowless case well under the 600s
+    # default so a source problem fails in minutes, not ten.
     stats = rate_source_smoke(
-        spark, rows_per_second=200, min_batches=2, stall_timeout_sec=90.0
+        spark,
+        rows_per_second=200,
+        min_batches=2,
+        stall_timeout_sec=90.0,
+        hard_cap_sec=240.0,
     )
-    assert not stats["stalled"], f"stream made no progress: {stats}"
+    assert stats["reason"] is None, (
+        "stream wedged (no new micro-batch progress)"
+        if stats["reason"] == "stalled"
+        else "stream alive but ingested no rows before the hard cap"
+    ) + f": {stats}"
     assert stats["input_rows"] > 0
     assert stats["batches"] >= 2
     assert stats["watermark_set"]
