@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from multiomix_aws_emr_spark.queries.registry import query
+from multiomix_aws_emr_spark.queries.registry import fact_bytes, query
 from multiomix_aws_emr_spark.sources.tables import load, scan_parallel
 
 _NGRAM_JACCARD_ORACLE = """
@@ -1052,7 +1052,14 @@ FROM pos GROUP BY shard ORDER BY shard
 """
 
 
-@query("pipeline_curation_v3", oracle=_curation_v3_oracle())
+@query(
+    "pipeline_curation_v3",
+    oracle=_curation_v3_oracle(),
+    # Rule-2 sizing hint: the mixture/sampling exchanges shuffle the full
+    # documents corpus (bodies included, for the shard write). Floors to
+    # the baseline at fixture scale; sizes hands-free at probe volume.
+    sizing_hint=fact_bytes("documents"),
+)
 def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-4 curation flagship: intra-doc quality rule -> computed
     domain mixture -> deterministic sampling -> training-shard layout, ONE

@@ -25,7 +25,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from multiomix_aws_emr_spark.functions.projection import project_by_mask
-from multiomix_aws_emr_spark.queries.registry import query
+from multiomix_aws_emr_spark.queries.registry import fact_bytes, query
 from multiomix_aws_emr_spark.sources.tables import events_v, load, with_events_v
 
 # --------------------------------------------------------------------------
@@ -554,6 +554,9 @@ def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY r.r_name, n.n_name "
         "ORDER BY revenue DESC, r_name, n_name LIMIT 10"
     ),
+    # Rule-2 sizing hint: the orders-customer join is the widest exchange
+    # (the dims broadcast). Floors to the baseline at fixture scale.
+    sizing_hint=fact_bytes("orders"),
 )
 def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by region/nation: scan -> 3 joins (dims broadcast) -> hash
@@ -1089,7 +1092,16 @@ _Q18_SQL = (
 )
 
 
-@query("sql_large_volume_customer", oracle=_Q18_SQL)
+@query(
+    "sql_large_volume_customer",
+    oracle=_Q18_SQL,
+    # Rule-2 sizing hint: the widest exchanges (the HAVING subquery's
+    # groupBy l_orderkey and the 3-way join) shuffle the lineitem fact.
+    # At sf0.1 this floors to the session baseline (plan unchanged); at
+    # the 1000x probe (14 GB fact) it picks ~160 hands-free — within 4%
+    # of the hand-tuned 256 record and 1.2x over the core-count default.
+    sizing_hint=fact_bytes("lineitem"),
+)
 def sql_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-volume customers) through the raw-SQL path: the
     grouped-HAVING IN-subquery is the interesting plan — Catalyst

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multiomix_aws_emr_spark.functions.vector import cosine, l2_norm, to_double_array
-from multiomix_aws_emr_spark.queries.registry import query
+from multiomix_aws_emr_spark.queries.registry import fact_bytes, query
 from multiomix_aws_emr_spark.sources.tables import load, scan_parallel
 
 _PAIRWISE_ORACLE = """
@@ -121,7 +121,19 @@ def _minhash_oracle() -> str:
     return minhash_onestep_sql()
 
 
-@query("dedup_near_minhash", oracle=_minhash_oracle())
+@query(
+    "dedup_near_minhash",
+    oracle=_minhash_oracle(),
+    # Rule-2 sizing hint: the widest exchange is the shingle->signature
+    # aggregation, whose rows replicate each token into ~shingle_words
+    # shingles (fanout 3). At every measured volume (incl. the 1000x docs
+    # synth, 444 MB) the estimate floors to the session baseline — which
+    # is also the MEASURED optimum (r8: raising this shape's count cost
+    # 1.2x; its post-sketch-cache exchanges carry small per-partition
+    # state). The hint only engages at true corpus volume (TB-scale
+    # text), where the shingle exchange must be split to fit task memory.
+    sizing_hint=fact_bytes("documents", fanout=3.0),
+)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup clustering over documents (north star).
 

@@ -1,0 +1,97 @@
+"""Per-query rule-2 sizing hints (queries/registry._apply_sizing):
+wide-state declared shapes size their shuffle partition count from the
+widest-exchange byte estimate hands-free; fixture-scale estimates floor
+to the session baseline so plans are unchanged; hints never leak into
+the next (unhinted) query of a shared session."""
+
+import os
+
+from multiomix_aws_emr_spark.queries import QUERIES
+from multiomix_aws_emr_spark.queries.registry import (
+    SIZING_HINTS,
+    _apply_sizing,
+    fact_bytes,
+)
+
+CONF = "spark.sql.shuffle.partitions"
+
+
+def _baseline(spark):
+    return getattr(spark.sparkContext, "_maes_shuffle_baseline", None) or (
+        spark.conf.get(CONF)
+    )
+
+
+def test_wide_shapes_carry_hints():
+    for qid in (
+        "sql_large_volume_customer",
+        "flagship_revenue_by_region",
+        "dedup_near_minhash",
+        "pipeline_curation_v3",
+    ):
+        assert qid in SIZING_HINTS, f"{qid} lost its sizing hint"
+        assert qid in QUERIES
+
+
+def test_fixture_scale_floors_to_baseline(spark, sf_dir):
+    """Sub-GB estimates must leave the session count untouched — the
+    r8 lesson that raising the count on small state is a pure loss."""
+    before = spark.conf.get(CONF)
+    df = QUERIES["sql_large_volume_customer"](spark, sf_dir)
+    assert spark.conf.get(CONF) == before
+    assert df.count() >= 0  # plan executes at the unchanged count
+
+
+def test_large_estimate_sizes_and_next_query_restores(spark, sf_dir):
+    base = _baseline(spark)
+    # 14 GB fact on the default heap -> well above the 8-core baseline
+    _apply_sizing(spark, lambda _sf: 14 << 30, sf_dir)
+    sized = int(spark.conf.get(CONF))
+    assert sized > int(base)
+    assert sized % 8 == 0  # whole waves of the local[8] test session
+    # an unhinted query must restore the baseline (no leak)
+    _apply_sizing(spark, None, sf_dir)
+    assert spark.conf.get(CONF) == base
+
+
+def test_env_switch_disables_hints(spark, sf_dir, monkeypatch):
+    base = _baseline(spark)
+    monkeypatch.setenv("SPARK_GRAFT_SIZING_HINTS", "0")
+    _apply_sizing(spark, lambda _sf: 14 << 30, sf_dir)
+    assert spark.conf.get(CONF) == base
+
+
+def test_unreadable_hint_path_falls_back(spark):
+    base = _baseline(spark)
+    _apply_sizing(
+        spark, fact_bytes("lineitem"), "/nonexistent/sf_dir"
+    )
+    assert spark.conf.get(CONF) == base
+
+
+def test_fact_bytes_applies_fanout(tmp_path):
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"x" * 1000)
+    assert fact_bytes("documents")(str(tmp_path)) == 1000
+    assert fact_bytes("documents", fanout=3.0)(str(tmp_path)) == 3000
+
+
+def test_hint_engages_at_volume_math():
+    """The Q18 hint must reproduce the recorded hands-free winner: a
+    14 GB lineitem at 32 cores / 48g heap sizes to 160 (within 4% of the
+    hand-tuned 256 record, 1.2x over the core-count default)."""
+    from multiomix_aws_emr_spark.session import sized_shuffle_partitions
+
+    assert (
+        sized_shuffle_partitions(
+            14_142_382_155, cores=32, heap_bytes=48 << 30
+        )
+        == 160
+    )
+
+
+def test_registry_rejects_nothing_extra():
+    # hints are a strict subset of declared queries
+    assert set(SIZING_HINTS) <= set(QUERIES)
+    assert os.environ.get("SPARK_GRAFT_SIZING_HINTS") != "0"
