@@ -67,48 +67,40 @@ def _last_verified_round() -> dict[str, int]:
 # Queries whose newest driver evidence predates their current code or
 # oracle must land inside the driver's ~50-query budget regardless of
 # what the LRU sort alone would pick (the r5 convention: code-newer-
-# than-evidence is the worst staleness). The r8 cohort all earned clean
-# r08 records, so round 9 pins exactly this round's own edits:
+# than-evidence is the worst staleness). Round 10 pins exactly this
+# round's own edits:
 #
-# 1. operators/components.py + the new operators/checkpointing.py +
-#    the one edited statement in queries/llmdata.py (the fixpoint's
-#    lineage cuts now route through truncate_lineage; default behavior
-#    localCheckpoint unchanged) — dedup_minhash_components. The llmdata
-#    edit is confined to that function's body (nothing else reads
-#    one_step), so the pin is function-scoped rather than dragging the
-#    ~25 other llmdata-backed qids into one 50-qid budget (the r8
-#    session.py precedent for scoping with an argument).
-# 2. queries/graphs.py — the pagerank lineage cut routes through
-#    truncate_lineage — graph_pagerank.
-# 3. streaming/watermark.py — rate_source_smoke's progress-based
-#    deadline (test-harness path, but the convention is file-level) —
-#    stream_watermark_latedrop, the file's one declared consumer.
-# 4. session.py's RUNTIME_CONF now sets the parquet WRITE codec to zstd
-#    (tools/codec_probe.py record). Read paths are codec-agnostic, so
-#    per-qid staleness applies only to the declared queries that WRITE
-#    parquet: the maintenance trio and the python-sink roundtrip.
-#
-# sized_shuffle_partitions / adaptive_sizing_conf / parquet_bytes are
-# additive session APIs off every declared path (tests +
-# tests/test_session.py cover them); a conf-assembly breakage fails all
-# 177 at once, which the driver run itself detects.
+# 1. queries/registry.py grew the per-query rule-2 sizing-hint path.
+#    The wrapper change itself is on every declared path (a breakage
+#    fails all 177 at once, which the driver run detects — the r9
+#    conf-assembly precedent), but the four qids that now CARRY a hint
+#    execute a changed per-qid path (the hint computes, floors, and
+#    restores) and are pinned: sql_large_volume_customer,
+#    flagship_revenue_by_region, dedup_near_minhash,
+#    pipeline_curation_v3.
+# 2. operators/checkpointing.py (master-aware dir provisioning + the
+#    cleanup-conf warning) and session.py's new cleanCheckpoints static
+#    conf — the fixpoint consumers: dedup_minhash_components,
+#    graph_pagerank.
+# 3. streaming/watermark.py — rate_source_smoke's stalled-vs-hard_cap
+#    reason split (test-harness path, but the convention is file-level)
+#    — stream_watermark_latedrop, the file's one declared consumer.
 #
 # That is 7 qids; the LRU sort below fills the remaining ~43 of the
-# driver's budget with the r4-stale windows/analytics cohort (13 qids,
-# VERDICT r8 task 1 — all pre-validated at sf0.01 this round) and then
-# the oldest r5 evidence, leaving max staleness r5 after r09.
+# driver's budget with the 3 r5-stale qids (ml_kmeans_embeddings,
+# omics_logrank_test, sample_stratified — VERDICT r9 task 1) and the 27
+# r6-stale relational-core qids, leaving max staleness r7 after r10.
 _STALE_PRIORITY = [
-    # (1) components/checkpointing/llmdata — r9 fixpoint lineage-cut route
+    # (1) registry.py sizing hints — the four hinted shapes
+    "sql_large_volume_customer",
+    "flagship_revenue_by_region",
+    "dedup_near_minhash",
+    "pipeline_curation_v3",
+    # (2) checkpointing/session cleanCheckpoints — fixpoint consumers
     "dedup_minhash_components",
-    # (2) graphs.py — r9 lineage-cut route
     "graph_pagerank",
-    # (3) streaming/watermark.py — r9 progress-deadline edit
+    # (3) streaming/watermark.py — reason-field edit
     "stream_watermark_latedrop",
-    # (4) session.py zstd write codec — the declared parquet writers
-    "maintenance_compact_files",
-    "maintenance_merge_upsert",
-    "maintenance_recompress_zstd",
-    "sink_python_datasource",
 ]
 
 

@@ -88,3 +88,15 @@ def test_kill_shape_flag():
     # default derives from --streaming at runtime, so the flag stays None
     assert _parse_args(["--kill-executor"]).kill_shape is None
     assert _parse_args(["--kill-executor", "--streaming"]).kill_shape is None
+
+
+def test_decommission_flag_defaults_off_and_parses():
+    """--decommission flips the kill probe from SIGKILL to the graceful
+    SIGPWR + spark.decommission.* mitigation; default stays the hard
+    kill so the recorded failure-mode numbers remain reproducible."""
+    assert _parse_args([]).decommission is False
+    args = _parse_args(
+        ["--kill-executor", "--decommission", "--kill-at", "0.85"]
+    )
+    assert args.decommission is True
+    assert args.kill_at == 0.85

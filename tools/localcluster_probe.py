@@ -244,6 +244,19 @@ def _kill_worker(args) -> int:
     above their defaults the way a real fleet would. PASS = the killed
     run completes with a checksum identical to the uninterrupted run.
 
+    With ``--decommission`` the probe measures the MITIGATION instead of
+    the failure: the session enables the open-source graceful-
+    decommission machinery (``spark.decommission.enabled`` +
+    storage/shuffle-block migration) and the "kill" is SIGPWR — the
+    signal a preemptible fleet's node-termination handler delivers when
+    the cloud gives its 60-120 s notice. The executor then stops taking
+    tasks, MIGRATES its shuffle/RDD blocks to surviving peers, and exits;
+    downstream stages fetch the migrated blocks instead of recomputing
+    the dead executor's map share, which is exactly the late-kill
+    corollary's named cure (BASELINE.md sizing rule 12). Same warm-fair
+    three-run layout, same checksum-parity PASS bar, so the
+    decommission-vs-SIGKILL overhead ratios are directly comparable.
+
     Streaming note: the durable foreachBatch sink appends again when a
     killed micro-batch retries, which is exactly the duplicate class the
     runner's max-per-user reduction already absorbs (n_events is
@@ -266,6 +279,20 @@ def _kill_worker(args) -> int:
         name, qid, sf_dir = (
             "stream_stateful_100x",
             "stream_stateful_totals",
+            os.path.join(args.out_root, "events_100x"),
+        )
+    elif shape == "interval":
+        # the remaining stateful streaming layout: SYMMETRIC two-sided
+        # join state (one buffer per side, two watermark nodes) — a
+        # different state-store shape than applyInPandasWithState's
+        # single per-key map. Outer nulls finalize on the min watermark,
+        # so the emitted set is deterministic and checksum-comparable.
+        sink = tempfile.mkdtemp(prefix="lc_kill_sink_")
+        os.environ.setdefault("SPARK_GRAFT_STREAM_SINK_DIR", sink)
+        os.environ.setdefault("SPARK_GRAFT_STREAM_TIMEOUT", "3600")
+        name, qid, sf_dir = (
+            "stream_interval_100x",
+            "stream_interval_join_outer",
             os.path.join(args.out_root, "events_100x"),
         )
     elif shape == "components":
@@ -292,14 +319,27 @@ def _kill_worker(args) -> int:
     from multiomix_aws_emr_spark.session import build_session
     from multiomix_aws_emr_spark.queries import QUERIES
 
+    extra_conf = {
+        "spark.executor.memory": f"{args.exec_mem_mb}m",
+        "spark.task.maxFailures": "8",
+        "spark.stage.maxConsecutiveAttempts": "8",
+    }
+    if args.decommission:
+        extra_conf.update(
+            {
+                # SIGPWR -> executor decommission with block migration
+                # (CoarseGrainedExecutorBackend registers the PWR handler
+                # only when decommissioning is enabled)
+                "spark.decommission.enabled": "true",
+                "spark.storage.decommission.enabled": "true",
+                "spark.storage.decommission.shuffleBlocks.enabled": "true",
+                "spark.storage.decommission.rddBlocks.enabled": "true",
+            }
+        )
     spark = build_session(
         app_name="lc_kill",
         master=master,
-        extra_conf={
-            "spark.executor.memory": f"{args.exec_mem_mb}m",
-            "spark.task.maxFailures": "8",
-            "spark.stage.maxConsecutiveAttempts": "8",
-        },
+        extra_conf=extra_conf,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -319,6 +359,8 @@ def _kill_worker(args) -> int:
 
     state: dict = {"killed_pid": None, "killed_at_sec": None}
 
+    sig = signal.SIGPWR if args.decommission else signal.SIGKILL
+
     def _killer(delay: float):
         time.sleep(delay)
         pids = _executor_pids()
@@ -327,7 +369,7 @@ def _kill_worker(args) -> int:
         victim = pids[0]
         t = time.perf_counter()
         try:
-            os.kill(victim, signal.SIGKILL)
+            os.kill(victim, sig)
         except OSError:
             return
         state["killed_pid"] = victim
@@ -341,6 +383,8 @@ def _kill_worker(args) -> int:
         "shape": name,
         "qid": qid,
         "master": master,
+        "mechanism": "decommission" if args.decommission else "sigkill",
+        "kill_at": args.kill_at,
         "wall_uninterrupted_sec": wall0,
     }
     try:
@@ -419,10 +463,20 @@ def _parse_args(argv=None):
         help="when to kill, as a fraction of the uninterrupted wall",
     )
     ap.add_argument(
+        "--decommission",
+        action="store_true",
+        help="with --kill-executor: graceful decommission instead of "
+        "SIGKILL — enable spark.decommission.* block migration and send "
+        "SIGPWR (the preemption-notice signal), measuring the mitigation "
+        "sizing rule 12 names against the recorded SIGKILL overheads",
+    )
+    ap.add_argument(
         "--kill-shape",
-        choices=["q18", "stream", "components"],
+        choices=["q18", "stream", "interval", "components"],
         help="which shape the kill probe runs (default: q18, or stream "
-        "when --streaming is set). 'components' is the iterative-fixpoint "
+        "when --streaming is set). 'interval' is the two-sided "
+        "stream-stream join (symmetric join state, two watermarks). "
+        "'components' is the iterative-fixpoint "
         "shape: expected to FAIL with the default localCheckpoint lineage "
         "cut and to recover with SPARK_GRAFT_RELIABLE_CHECKPOINT=1",
     )
@@ -466,6 +520,8 @@ def main() -> int:
             cmd.append("--streaming")
         if args.kill_shape:
             cmd += ["--kill-shape", args.kill_shape]
+        if args.decommission:
+            cmd.append("--decommission")
         cmd += ["--worker", "kill"]
         proc = subprocess.run(cmd, text=True)
         return proc.returncode
