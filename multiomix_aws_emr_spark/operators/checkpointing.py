@@ -11,7 +11,13 @@ dies:
   lineage means Spark CANNOT recompute a block lost with its executor.
   Measured under the executor-kill probe: one SIGKILLed executor JVM
   mid-fixpoint fails the whole job with a lost-checkpoint-block error
-  (see BASELINE.md round-9 record).
+  (see BASELINE.md round-9 record). Nuance measured in round 10:
+  localCheckpoint blocks are cached RDD blocks, so GRACEFUL
+  decommission (``spark.storage.decommission.rddBlocks.enabled`` +
+  SIGPWR on the preemption notice) migrates them to surviving peers —
+  the same fixpoint completed checksum-identical at 1.11x overhead.
+  Fast mode + decommission covers noticed preemptions; reliable mode
+  remains the only cover for notice-less deaths.
 - ``checkpoint()``: blocks are written to the SparkContext checkpoint
   directory (HDFS/S3 on a real fleet), so executor loss recovers by
   re-reading — the posture for long fixpoints on preemptible nodes,
