@@ -34,7 +34,11 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from multiomix_aws_emr_spark.session import configure, sized_shuffle_partitions
+from multiomix_aws_emr_spark.session import (
+    configure,
+    executor_task_share_bytes,
+    sized_shuffle_partitions,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -62,7 +66,13 @@ def _apply_sizing(
             # Floor/wave on the SESSION's configured parallelism, not the
             # machine core count: "sf0.1 plans unchanged" means a sub-GB
             # estimate must yield exactly the baseline the session runs at.
-            n = sized_shuffle_partitions(hint(sf_dir), cores=int(baseline))
+            # Per-task share comes from the executor sizing confs when set
+            # (multi-JVM masters), else the env driver heap (single-JVM).
+            n = sized_shuffle_partitions(
+                hint(sf_dir),
+                cores=int(baseline),
+                per_task_share_bytes=executor_task_share_bytes(spark),
+            )
         except (OSError, ValueError):
             n = None  # unreadable path / non-numeric baseline: keep baseline
     if n is not None and n > int(baseline):

@@ -167,13 +167,40 @@ def parquet_bytes(*paths: str) -> int:
     return total
 
 
-def _heap_bytes_from_env() -> int:
-    """Parse SPARK_GRAFT_DRIVER_MEM ('8g', '48g', '24576m') to bytes."""
-    raw = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g").strip().lower()
+def _parse_mem(raw: str) -> int:
+    """Parse a JVM memory string ('8g', '24576m', '12288') to bytes."""
+    raw = raw.strip().lower()
     mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
     if raw and raw[-1] in mult:
         return int(float(raw[:-1]) * mult[raw[-1]])
     return int(raw)
+
+
+def _heap_bytes_from_env() -> int:
+    """Parse SPARK_GRAFT_DRIVER_MEM ('8g', '48g', '24576m') to bytes."""
+    return _parse_mem(os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+
+
+def executor_task_share_bytes(spark) -> int | None:
+    """Per-task unified-region share derived from the EXECUTOR sizing
+    confs: ``0.6 * spark.executor.memory / spark.executor.cores`` when
+    both are set — the cluster deployment convention (EMR / k8s /
+    standalone submissions always size executors explicitly). Returns
+    None when either conf is absent (the single-JVM harness, where the
+    driver heap over the session parallelism is the right proxy).
+
+    This matters under multi-JVM masters: the driver-heap proxy
+    misestimates the true per-task share by the executor count (measured
+    in the r10 kill probe: 8g driver default -> ~900 initial partitions
+    for Q18 1000x on a local-cluster[4,8,12288] whose true share implies
+    ~160; AQE coalescing rescued the layout to 150-180, but no-AQE
+    stages — streaming state — would have run 6x over-split)."""
+    try:
+        mem = spark.conf.get("spark.executor.memory")
+        cores = int(spark.conf.get("spark.executor.cores"))
+        return int(_parse_mem(mem) * 0.6 / cores)
+    except Exception:
+        return None
 
 
 def sized_shuffle_partitions(

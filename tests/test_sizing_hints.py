@@ -95,3 +95,55 @@ def test_registry_rejects_nothing_extra():
     # hints are a strict subset of declared queries
     assert set(SIZING_HINTS) <= set(QUERIES)
     assert os.environ.get("SPARK_GRAFT_SIZING_HINTS") != "0"
+
+
+def test_executor_task_share_from_confs(spark):
+    """Multi-JVM sizing: when executor memory+cores are set (the cluster
+    submission convention) the per-task share derives from them; absent
+    either conf, None (fall back to the driver-heap proxy)."""
+    from multiomix_aws_emr_spark.session import executor_task_share_bytes
+
+    class _Conf:
+        def __init__(self, vals):
+            self._v = vals
+
+        def get(self, key, default=None):
+            if key in self._v:
+                return self._v[key]
+            if default is not None:
+                return default
+            raise KeyError(key)
+
+    class _S:
+        def __init__(self, vals):
+            self.conf = _Conf(vals)
+
+    share = executor_task_share_bytes(
+        _S({"spark.executor.memory": "12288m", "spark.executor.cores": "8"})
+    )
+    assert share == int((12288 << 20) * 0.6 / 8)  # 921.6 MB
+    assert executor_task_share_bytes(_S({})) is None
+    assert (
+        executor_task_share_bytes(_S({"spark.executor.memory": "12g"}))
+        is None
+    )
+    # the local test session sets neither -> driver-heap proxy path
+    assert executor_task_share_bytes(spark) is None
+
+
+def test_executor_share_picks_cluster_true_count():
+    """Q18 1000x on local-cluster[4,8,12288]: executor-derived share
+    (921.6 MB/task) sizes to 160 — the same count the 48g single-JVM
+    derivation picks — where the 8g driver-heap proxy said 960."""
+    from multiomix_aws_emr_spark.session import sized_shuffle_partitions
+
+    by_exec = sized_shuffle_partitions(
+        14_142_382_155,
+        cores=32,
+        per_task_share_bytes=int((12288 << 20) * 0.6 / 8),
+    )
+    assert by_exec == 160
+    by_driver_proxy = sized_shuffle_partitions(
+        14_142_382_155, cores=32, heap_bytes=8 << 30
+    )
+    assert by_driver_proxy == 896  # ~6x over-split vs the true share

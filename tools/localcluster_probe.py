@@ -81,6 +81,7 @@ def _session(
     app: str,
     driver_mem_mb: int | None = None,
     exec_mem_mb: int | None = None,
+    exec_cores: int | None = None,
 ):
     """Equal-budget session. THREE memory knobs this probe found the hard
     way (each from a failed run):
@@ -108,8 +109,14 @@ def _session(
     if driver_mem_mb is not None:
         os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{driver_mem_mb}m"
     extra = (
-        {"spark.executor.memory": f"{exec_mem_mb}m"} if exec_mem_mb else None
+        {"spark.executor.memory": f"{exec_mem_mb}m"} if exec_mem_mb else {}
     )
+    if exec_mem_mb and exec_cores:
+        # Size executors explicitly like a real cluster submission — this
+        # also feeds session.executor_task_share_bytes so the per-query
+        # sizing hints compute the per-task share from EXECUTOR heap, not
+        # the driver-heap proxy (6x off under multi-JVM masters).
+        extra["spark.executor.cores"] = str(exec_cores)
     spark = build_session(app_name=app, master=master, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     return spark
@@ -190,6 +197,7 @@ def _worker(args) -> int:
         f"lc_probe_{args.worker}",
         driver_mem_mb=mem_mb,
         exec_mem_mb=exec_mem,
+        exec_cores=args.exec_cores if exec_mem else None,
     )
     for name, qid, sf_dir in shapes:
         cold, warm = _time_query(spark, qid, sf_dir, runs=args.runs)
@@ -321,6 +329,7 @@ def _kill_worker(args) -> int:
 
     extra_conf = {
         "spark.executor.memory": f"{args.exec_mem_mb}m",
+        "spark.executor.cores": str(args.exec_cores),
         "spark.task.maxFailures": "8",
         "spark.stage.maxConsecutiveAttempts": "8",
     }
