@@ -100,3 +100,19 @@ def test_decommission_flag_defaults_off_and_parses():
     )
     assert args.decommission is True
     assert args.kill_at == 0.85
+
+
+def test_hard_kill_after_requires_decommission_context():
+    """--hard-kill-after models the enforced spot reclaim: SIGPWR notice
+    then SIGKILL after the window; only meaningful with --decommission
+    (parsed independently, consumed only on that path)."""
+    args = _parse_args(
+        [
+            "--kill-executor",
+            "--decommission",
+            "--hard-kill-after",
+            "30",
+        ]
+    )
+    assert args.hard_kill_after == 30.0
+    assert _parse_args([]).hard_kill_after is None

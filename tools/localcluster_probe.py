@@ -366,7 +366,11 @@ def _kill_worker(args) -> int:
     _, sum_warmup, _ = run_once()
     wall0, sum0, n0 = run_once()
 
-    state: dict = {"killed_pid": None, "killed_at_sec": None}
+    state: dict = {
+        "killed_pid": None,
+        "killed_at_sec": None,
+        "hard_killed": None,
+    }
 
     sig = signal.SIGPWR if args.decommission else signal.SIGKILL
 
@@ -383,6 +387,17 @@ def _kill_worker(args) -> int:
             return
         state["killed_pid"] = victim
         state["killed_at_sec"] = t  # normalized below
+        if args.decommission and args.hard_kill_after is not None:
+            # The REAL spot lifecycle: the cloud enforces the reclaim
+            # regardless of drain state. SIGKILL the same executor after
+            # the notice window — blocks migrated so far are safe on
+            # peers; anything still local dies with the process.
+            time.sleep(args.hard_kill_after)
+            try:
+                os.kill(victim, signal.SIGKILL)
+                state["hard_killed"] = True
+            except OSError:
+                state["hard_killed"] = False  # already exited (drain done)
 
     delay = max(1.0, wall0 * args.kill_at)
     t_start = time.perf_counter()
@@ -420,6 +435,9 @@ def _kill_worker(args) -> int:
         state["killed_at_sec"] = round(state["killed_at_sec"] - t_start, 2)
     record["killed_pid"] = state["killed_pid"]
     record["killed_at_sec"] = state["killed_at_sec"]
+    if args.decommission and args.hard_kill_after is not None:
+        record["hard_kill_after_sec"] = args.hard_kill_after
+        record["hard_killed"] = state["hard_killed"]
     print(json.dumps(record), flush=True)
     try:
         spark.stop()
@@ -480,6 +498,16 @@ def _parse_args(argv=None):
         "sizing rule 12 names against the recorded SIGKILL overheads",
     )
     ap.add_argument(
+        "--hard-kill-after",
+        type=float,
+        default=None,
+        help="with --decommission: SIGKILL the same executor this many "
+        "seconds after the SIGPWR notice — the real spot lifecycle, where "
+        "the cloud enforces the reclaim whether or not the drain "
+        "finished. hard_killed=false in the record means the drain beat "
+        "the deadline",
+    )
+    ap.add_argument(
         "--kill-shape",
         choices=["q18", "stream", "interval", "components"],
         help="which shape the kill probe runs (default: q18, or stream "
@@ -531,6 +559,8 @@ def main() -> int:
             cmd += ["--kill-shape", args.kill_shape]
         if args.decommission:
             cmd.append("--decommission")
+        if args.hard_kill_after is not None:
+            cmd += ["--hard-kill-after", str(args.hard_kill_after)]
         cmd += ["--worker", "kill"]
         proc = subprocess.run(cmd, text=True)
         return proc.returncode
