@@ -85,11 +85,17 @@ def _last_verified_round() -> dict[str, int]:
 # 3. streaming/watermark.py — rate_source_smoke's stalled-vs-hard_cap
 #    reason split (test-harness path, but the convention is file-level)
 #    — stream_watermark_latedrop, the file's one declared consumer.
+# 4. streaming/join.py grew the full_outer branch of interval_join_plan
+#    (inner/left_outer plans stay byte-identical — the coalesce node is
+#    gated on how — but the file-level convention pins the two existing
+#    consumers). The NEW qid stream_interval_join_full is never-verified
+#    and leads the LRU segment automatically.
 #
-# That is 7 qids; the LRU sort below fills the remaining ~43 of the
-# driver's budget with the 3 r5-stale qids (ml_kmeans_embeddings,
-# omics_logrank_test, sample_stratified — VERDICT r9 task 1) and the 27
-# r6-stale relational-core qids, leaving max staleness r7 after r10.
+# That is 9 pinned + 1 new qids; the LRU sort below fills the remaining
+# ~40 of the driver's budget with the 3 r5-stale qids
+# (ml_kmeans_embeddings, omics_logrank_test, sample_stratified — VERDICT
+# r9 task 1) and the 27 r6-stale relational-core qids, leaving max
+# staleness r7 after r10.
 _STALE_PRIORITY = [
     # (1) registry.py sizing hints — the four hinted shapes
     "sql_large_volume_customer",
@@ -101,6 +107,9 @@ _STALE_PRIORITY = [
     "graph_pagerank",
     # (3) streaming/watermark.py — reason-field edit
     "stream_watermark_latedrop",
+    # (4) streaming/join.py full_outer branch — existing consumers
+    "stream_interval_join",
+    "stream_interval_join_outer",
 ]
 
 

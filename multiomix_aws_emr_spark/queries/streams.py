@@ -335,6 +335,54 @@ _OUTER_JOIN_ORACLE = with_events_v(
 )
 
 
+_FULL_JOIN_ORACLE = with_events_v(
+    "SELECT user_id, p_id, v_id FROM ("
+    "  WITH p AS (SELECT user_id, event_id AS p_id, ts_ms AS p_ts "
+    "             FROM events_v WHERE event_type = 'purchase'), "
+    "       v AS (SELECT user_id, event_id AS v_id, ts_ms AS v_ts "
+    "             FROM events_v WHERE event_type = 'view'), "
+    "       wm AS (SELECT LEAST((SELECT MAX(p_ts) FROM p), "
+    "                           (SELECT MAX(v_ts) FROM v)) - 3600000 AS w) "
+    "  SELECT p.user_id, p.p_id, v.v_id FROM p JOIN v "
+    "    ON p.user_id = v.user_id "
+    "   AND v.v_ts BETWEEN p.p_ts - 1800000 AND p.p_ts "
+    "  UNION ALL "
+    "  SELECT p.user_id, p.p_id, CAST(NULL AS BIGINT) FROM p "
+    "  WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = p.user_id "
+    "        AND v.v_ts BETWEEN p.p_ts - 1800000 AND p.p_ts) "
+    "    AND p.p_ts < (SELECT w FROM wm) "
+    "  UNION ALL "
+    "  SELECT v.user_id, CAST(NULL AS BIGINT), v.v_id FROM v "
+    "  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = v.user_id "
+    "        AND v.v_ts BETWEEN p.p_ts - 1800000 AND p.p_ts) "
+    "    AND v.v_ts + 1800000 < (SELECT w FROM wm)"
+    ")"
+)
+
+
+@query("stream_interval_join_full", oracle=_FULL_JOIN_ORACLE)
+def stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming FULL-outer interval join (both sides readStream,
+    availableNow) — completes the join-mode family (inner / left_outer /
+    full_outer) over the same watermarked plan. Matches emit eagerly;
+    each side's unmatched row emits its NULL partner only once the state
+    can prove no qualifying match can still arrive, and the two sides
+    finalize at DIFFERENT horizons, which is the interesting semantics:
+    a purchase matches views in ``[p_ts - 30min, p_ts]``, so it
+    finalizes when the global watermark (min of both sides' max event
+    time minus the 1h delay) passes ``p_ts``; a view matches purchases
+    in ``[v_ts, v_ts + 30min]``, so it finalizes only when the
+    watermark passes ``v_ts + 30min``. The ORACLE is the batch full
+    join with exactly those two cutoffs applied to the respective
+    unmatched sides (matched pairs unconditional; NULL-view rows for
+    ``p_ts < w``; NULL-purchase rows for ``v_ts + 30min < w``) —
+    verified against the engine's emitted set, not assumed. State stays
+    bounded by watermark horizon x key cardinality on both buffers."""
+    from multiomix_aws_emr_spark.streaming.join import run_stream_interval_join
+
+    return run_stream_interval_join(spark, sf_dir, how="full_outer")
+
+
 @query("stream_interval_join_outer", oracle=_OUTER_JOIN_ORACLE)
 def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE streaming left-outer interval join (both sides readStream,

@@ -74,7 +74,16 @@ def interval_join_plan(events: DataFrame, *, how: str = "inner") -> DataFrame:
         & (v.v_ts >= p.p_ts - F.expr("INTERVAL 30 MINUTES"))
         & (v.v_ts <= p.p_ts)
     )
-    return p.join(v, cond, how).select("user_id", "p_id", "v_id")
+    # full_outer additionally keeps views with no qualifying purchase
+    # (p side all-NULL), so the output key must fall back to the view's
+    # user. For inner/left_outer the left key is always present and the
+    # plan is left byte-identical (no coalesce node).
+    out_user = (
+        F.coalesce(F.col("user_id"), F.col("v_user")).alias("user_id")
+        if how == "full_outer"
+        else F.col("user_id")
+    )
+    return p.join(v, cond, how).select(out_user, "p_id", "v_id")
 
 
 def run_stream_interval_join(
