@@ -89,10 +89,13 @@ def _last_verified_round() -> dict[str, int]:
 #    (inner/left_outer plans stay byte-identical — the coalesce node is
 #    gated on how — but the file-level convention pins the two existing
 #    consumers). The NEW qid stream_interval_join_full is never-verified
-#    and leads the LRU segment automatically.
+#    and leads the LRU segment automatically, as does the other r10
+#    addition sql_pipe_groupflow (an append-only function at the end of
+#    relational.py — no existing function body changed, so the pin is
+#    function-scoped per the r9 llmdata precedent).
 #
-# That is 9 pinned + 1 new qids; the LRU sort below fills the remaining
-# ~40 of the driver's budget with the 3 r5-stale qids
+# That is 9 pinned + 2 new qids; the LRU sort below fills the remaining
+# ~39 of the driver's budget with the 3 r5-stale qids
 # (ml_kmeans_embeddings, omics_logrank_test, sample_stratified — VERDICT
 # r9 task 1) and the 27 r6-stale relational-core qids, leaving max
 # staleness r7 after r10.

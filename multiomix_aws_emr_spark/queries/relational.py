@@ -1145,3 +1145,34 @@ def sql_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("supplier", "lineitem", "orders", "customer", "nation"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q7_SQL)
+
+
+_PIPE_SQL = """
+FROM orders
+|> WHERE o_orderstatus = 'F'
+|> AGGREGATE COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+   GROUP BY o_orderpriority
+|> ORDER BY o_orderpriority
+"""
+
+_PIPE_ORACLE = (
+    "SELECT o_orderpriority, COUNT(*) AS n_orders, "
+    "ROUND(SUM(o_totalprice), 2) AS total "
+    "FROM orders WHERE o_orderstatus = 'F' "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+
+@query("sql_pipe_groupflow", oracle=_PIPE_ORACLE)
+def sql_pipe_groupflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (`FROM t |> WHERE ... |> AGGREGATE ...
+    GROUP BY ... |> ORDER BY`) — a user-visible query surface a
+    migrating user may write, pinned here so a regression in the pipe
+    parser (or a plan divergence between the pipe and ANSI forms) fails
+    the gate. The pipe chain lowers to the IDENTICAL logical plan as
+    the ANSI GROUP BY (filter -> partial+final hash agg -> sort), so
+    the ORACLE is that ANSI form; AGGREGATE emits grouping columns
+    first, matching the oracle's column order. DuckDB does not parse
+    pipe syntax, which is exactly why the oracle is the ANSI twin."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_PIPE_SQL)
