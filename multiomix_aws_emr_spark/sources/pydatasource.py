@@ -175,13 +175,16 @@ def run_event_feed_rollup(
     covers ALL n_total rows — which is what lets a closed-form SQL oracle
     hash-check a custom STREAMING connector end to end."""
     import re as _re
-    import tempfile
     import time as _time
     import uuid as _uuid
 
     from pyspark.sql import functions as F
 
-    from multiomix_aws_emr_spark.streaming.util import bounded_state_partitions
+    from multiomix_aws_emr_spark.streaming.util import (
+        bounded_state_partitions,
+        cleanup_stream_checkpoint,
+        stream_checkpoint_dir,
+    )
 
     register_stream(spark)
     feed = (
@@ -197,7 +200,7 @@ def run_event_feed_rollup(
     name = f"feed_{_uuid.uuid4().hex[:8]}"
     # one-shot replay: checkpoint removed on success, kept on failure
     # (same policy as streaming/util.bounded_result)
-    ckpt = tempfile.mkdtemp(prefix="ck_feed_")
+    ckpt = stream_checkpoint_dir(spark, "ck_feed")
     with bounded_state_partitions(spark):
         q = (
             agg.writeStream.format("memory")
@@ -256,9 +259,7 @@ def run_event_feed_rollup(
             f"event_feed rollup did not reach offset {n_total} "
             f"within {timeout_sec}s (last offset seen: {off})"
         )
-    import shutil as _shutil
-
-    _shutil.rmtree(ckpt, ignore_errors=True)
+    cleanup_stream_checkpoint(ckpt)
     return spark.table(name)
 
 

@@ -19,7 +19,6 @@ explicit ``GroupState``:
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 from collections.abc import Iterator
 
@@ -31,7 +30,9 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from multiomix_aws_emr_spark.session import configure
 from multiomix_aws_emr_spark.streaming.util import (
     bounded_state_partitions,
+    cleanup_stream_checkpoint,
     static_and_stream,
+    stream_checkpoint_dir,
 )
 
 _OUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
@@ -97,22 +98,26 @@ def run_running_totals(
     table = f"st_{uuid.uuid4().hex[:8]}"
     from multiomix_aws_emr_spark.streaming.util import await_bounded
 
-    with tempfile.TemporaryDirectory() as ckpt, bounded_state_partitions(spark, n_state):
-        w = (
-            out.writeStream.outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-        )
-        if sink_dir is None:
-            q = w.format("memory").queryName(table).start()
-        else:
-            out_path = os.path.join(sink_dir, table)
+    ckpt = stream_checkpoint_dir(spark, "ck_st")
+    try:
+        with bounded_state_partitions(spark, n_state):
+            w = (
+                out.writeStream.outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+            )
+            if sink_dir is None:
+                q = w.format("memory").queryName(table).start()
+            else:
+                out_path = os.path.join(sink_dir, table)
 
-            def _append(batch_df: DataFrame, batch_id: int) -> None:
-                batch_df.write.mode("append").parquet(out_path)
+                def _append(batch_df: DataFrame, batch_id: int) -> None:
+                    batch_df.write.mode("append").parquet(out_path)
 
-            q = w.foreachBatch(_append).start()
-        await_bounded(q, table)
+                q = w.foreachBatch(_append).start()
+            await_bounded(q, table)
+    finally:
+        cleanup_stream_checkpoint(ckpt)
     from pyspark.sql import functions as F
 
     if sink_dir is None:

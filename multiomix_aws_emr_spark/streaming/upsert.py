@@ -18,10 +18,6 @@ pass; this module keeps the hourly tier continuously maintained.
 
 from __future__ import annotations
 
-import shutil
-import tempfile
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,7 +26,9 @@ from multiomix_aws_emr_spark.sources.tables import ts_ms_expr
 from multiomix_aws_emr_spark.streaming.util import (
     await_bounded,
     bounded_state_partitions,
+    cleanup_stream_checkpoint,
     static_and_stream,
+    stream_checkpoint_dir,
 )
 
 
@@ -88,7 +86,7 @@ def run_rollup_upsert(
     # diagnosis; restart recovery uses a caller-owned checkpoint
     # (tests/test_streaming_recovery.py drives this runner's plan with
     # its own persistent checkpointLocation).
-    ckpt = tempfile.mkdtemp(prefix="ck_upsert_")
+    ckpt = stream_checkpoint_dir(spark, "ck_upsert")
     with bounded_state_partitions(spark, n_state):
         q = (
             out.writeStream.foreachBatch(upsert)
@@ -98,7 +96,7 @@ def run_rollup_upsert(
             .start()
         )
         await_bounded(q, "rollup upsert run")
-    shutil.rmtree(ckpt, ignore_errors=True)
+    cleanup_stream_checkpoint(ckpt)
     return spark.read.parquet(out_dir).select(
         "window_start_ms", "event_type", "n", "sum_value"
     )

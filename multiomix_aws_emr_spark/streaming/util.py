@@ -17,10 +17,51 @@ so batch queries keep their own sizing.
 from __future__ import annotations
 
 import os
+import tempfile
+import uuid
 from contextlib import contextmanager
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import SparkSession
+
+
+def stream_checkpoint_dir(spark: SparkSession, prefix: str) -> str:
+    """A ``checkpointLocation`` every node of the session's topology can
+    reach.
+
+    Structured Streaming's offset/commit logs are driver-written, but
+    the STATE STORE files under ``<ckpt>/state`` are written and
+    re-read by EXECUTORS — a driver-local temp path silently mislocates
+    state on a multi-node master (the same degradation class
+    ``operators/checkpointing._ensure_checkpoint_dir`` guards the
+    fixpoint cut against). Resolution order:
+    ``SPARK_GRAFT_STREAM_CKPT_DIR`` (a durable shared root — HDFS/S3 on
+    a fleet; a unique per-run subdir under it is returned), else a
+    driver-local temp dir when the master is local/local-cluster
+    (same host — shared by construction), else raise with the recipe.
+    """
+    root = os.environ.get("SPARK_GRAFT_STREAM_CKPT_DIR")
+    if root:
+        return f"{root.rstrip('/')}/{prefix}_{uuid.uuid4().hex[:12]}"
+    master = spark.sparkContext.master
+    if master.startswith(("local", "local-cluster")):
+        return tempfile.mkdtemp(prefix=f"{prefix}_")
+    raise RuntimeError(
+        "streaming checkpointLocation on a non-local master requires a "
+        "durable shared root: set SPARK_GRAFT_STREAM_CKPT_DIR to an "
+        f"HDFS/S3 URI reachable by every executor (master={master!r})"
+    )
+
+
+def cleanup_stream_checkpoint(path: str) -> None:
+    """Best-effort removal of a per-run checkpoint dir. Only local paths
+    are swept; a ``://`` URI lives under a caller-owned durable root
+    whose lifecycle (TTL policies, janitors) belongs to that owner."""
+    import shutil
+
+    if "://" in path:
+        return
+    shutil.rmtree(path, ignore_errors=True)
 
 #: bytes of source data per micro-batch for bounded directory replays.
 #: In-flight stateful-operator state is proportional to the rows of the
@@ -51,9 +92,6 @@ def prewarm_streaming_runtime(spark: SparkSession, sf_dir: str) -> None:
     so the warm deliberately writes nothing). Failures are swallowed:
     a pre-warm must never break the caller.
     """
-    import tempfile
-    import uuid
-
     from pyspark.sql import functions as F
 
     try:
@@ -66,25 +104,27 @@ def prewarm_streaming_runtime(spark: SparkSession, sf_dir: str) -> None:
             .groupBy(F.window("tts", "1 second"))
             .count()
         )
-        with tempfile.TemporaryDirectory() as ckpt, bounded_state_partitions(
-            spark, 2
-        ):
-            q = (
-                out.writeStream.format("memory")
-                .queryName(f"prewarm_{uuid.uuid4().hex[:8]}")
-                .outputMode("append")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            # Bounded wait: the docstring promise is that a pre-warm can
-            # never break the caller, and an unbounded awaitTermination()
-            # would turn a wedged streaming engine into a hang (exceptions
-            # are swallowed below; hangs would not be). The 5-row replay
-            # finishes in single-digit seconds; on timeout stop and move
-            # on — the warm is best-effort.
-            if not q.awaitTermination(60):
-                q.stop()
+        ckpt = stream_checkpoint_dir(spark, "prewarm_ck")
+        try:
+            with bounded_state_partitions(spark, 2):
+                q = (
+                    out.writeStream.format("memory")
+                    .queryName(f"prewarm_{uuid.uuid4().hex[:8]}")
+                    .outputMode("append")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                # Bounded wait: the docstring promise is that a pre-warm
+                # can never break the caller, and an unbounded
+                # awaitTermination() would turn a wedged streaming engine
+                # into a hang (exceptions are swallowed below; hangs would
+                # not be). The 5-row replay finishes in single-digit
+                # seconds; on timeout stop and move on — best-effort.
+                if not q.awaitTermination(60):
+                    q.stop()
+        finally:
+            cleanup_stream_checkpoint(ckpt)
     except Exception:
         pass
 
@@ -166,10 +206,6 @@ def bounded_result(
     durable-sink shape a production stream uses — and the returned
     DataFrame reads it back lazily.
     """
-    import shutil
-    import tempfile
-    import uuid
-
     sink_dir = sink_dir or os.environ.get("SPARK_GRAFT_STREAM_SINK_DIR") or None
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     # A one-shot bounded replay's checkpoint has no recovery value once
@@ -178,7 +214,7 @@ def bounded_result(
     # is deleted on SUCCESS and kept on failure for diagnosis. Restart
     # recovery is a different surface with a caller-owned checkpoint
     # (tests/test_streaming_recovery.py).
-    ckpt = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    ckpt = stream_checkpoint_dir(spark, f"ck_{name}")
     with bounded_state_partitions(spark, n_state):
         w = (
             plan.writeStream.outputMode("append")
@@ -211,7 +247,7 @@ def bounded_result(
                 if (exc.getCondition() or "") != "PATH_NOT_FOUND":
                     raise
                 result = spark.createDataFrame([], plan.schema)
-    shutil.rmtree(ckpt, ignore_errors=True)
+    cleanup_stream_checkpoint(ckpt)
     return result
 
 

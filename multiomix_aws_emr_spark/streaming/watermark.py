@@ -18,7 +18,6 @@ Execution model notes:
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,7 +27,9 @@ from multiomix_aws_emr_spark.session import configure
 from multiomix_aws_emr_spark.sources.tables import ts_ms_expr
 from multiomix_aws_emr_spark.streaming.util import (
     bounded_state_partitions,
+    cleanup_stream_checkpoint,
     static_and_stream,
+    stream_checkpoint_dir,
 )
 
 
@@ -73,23 +74,27 @@ def run_watermarked_tumbling_with_drop_count(
     _, stream, n_state = static_and_stream(spark, sf_dir, glob)
     out = watermarked_tumbling_plan(stream)
     table = f"wm_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory() as ckpt, bounded_state_partitions(spark, n_state):
-        q = (
-            out.writeStream.format("memory")
-            .queryName(table)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        dropped = 0
-        for progress in q.recentProgress:
-            for op in progress.get("stateOperators", []):
-                dropped += int(op.get("numRowsDroppedByWatermark", 0))
-    # Materialize before the temp checkpoint dir disappears.
-    result = spark.table(table)
-    result.count()
+    ckpt = stream_checkpoint_dir(spark, "ck_wm")
+    try:
+        with bounded_state_partitions(spark, n_state):
+            q = (
+                out.writeStream.format("memory")
+                .queryName(table)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            dropped = 0
+            for progress in q.recentProgress:
+                for op in progress.get("stateOperators", []):
+                    dropped += int(op.get("numRowsDroppedByWatermark", 0))
+        # Materialize before the checkpoint dir disappears.
+        result = spark.table(table)
+        result.count()
+    finally:
+        cleanup_stream_checkpoint(ckpt)
     return result, dropped
 
 
@@ -141,7 +146,8 @@ def rate_source_smoke(
         F.col("value").cast("double").alias("value"),
     )
     out = watermarked_tumbling_plan(ev)
-    with tempfile.TemporaryDirectory() as ckpt:
+    ckpt = stream_checkpoint_dir(spark, "ck_rate")
+    try:
         q = (
             out.writeStream.format("noop")
             .outputMode("append")
@@ -181,6 +187,8 @@ def rate_source_smoke(
             progress = list(q.recentProgress)
         finally:
             q.stop()
+    finally:
+        cleanup_stream_checkpoint(ckpt)
     input_rows = sum(int(p.get("numInputRows", 0)) for p in progress)
     wm_set = any(
         p.get("eventTime", {}).get("watermark", "1970-01-01T00:00:00.000Z")

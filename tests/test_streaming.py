@@ -482,3 +482,45 @@ def test_running_totals_foreachbatch_sink_matches_memory(spark, sf_dir, tmp_path
     )
     assert mem == fb
     assert len(mem) > 0
+
+
+def test_stream_checkpoint_dir_master_aware(spark, monkeypatch):
+    """checkpointLocation provisioning mirrors the fixpoint-checkpoint
+    posture: env root wins (unique subdir under it, URI-safe), local
+    masters get a temp dir, non-local masters without a root refuse
+    loudly (state-store files are executor-written; a driver-local path
+    silently mislocates them on a fleet)."""
+    import os
+
+    from multiomix_aws_emr_spark.streaming.util import (
+        cleanup_stream_checkpoint,
+        stream_checkpoint_dir,
+    )
+
+    # env root wins regardless of master, unique per call
+    monkeypatch.setenv(
+        "SPARK_GRAFT_STREAM_CKPT_DIR", "s3a://bucket/ckpts/"
+    )
+    a = stream_checkpoint_dir(spark, "ck_x")
+    b = stream_checkpoint_dir(spark, "ck_x")
+    assert a.startswith("s3a://bucket/ckpts/ck_x_") and a != b
+    cleanup_stream_checkpoint(a)  # URI: owner-managed, must be a no-op
+
+    # local master: temp dir, swept by cleanup
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_CKPT_DIR")
+    d = stream_checkpoint_dir(spark, "ck_y")
+    assert os.path.isdir(d)
+    cleanup_stream_checkpoint(d)
+    assert not os.path.exists(d)
+
+    # non-local master without a root: refuse with the recipe
+    class _SC:
+        master = "k8s://https://fleet:6443"
+
+    class _S:
+        sparkContext = _SC()
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="SPARK_GRAFT_STREAM_CKPT_DIR"):
+        stream_checkpoint_dir(_S(), "ck_z")
