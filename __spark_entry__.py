@@ -94,6 +94,17 @@ def _last_verified_round() -> dict[str, int]:
 #    relational.py — no existing function body changed, so the pin is
 #    function-scoped per the r9 llmdata precedent).
 #
+# 5. Late in the round every streaming runner's checkpointLocation was
+#    routed through streaming/util.stream_checkpoint_dir (master-aware
+#    provisioning). On the driver's local master the helper returns the
+#    same mkdtemp class of path as before — and a helper breakage fails
+#    EVERY streaming qid at once, which the 4 streaming qids already in
+#    this budget (stream_watermark_latedrop + the three interval joins)
+#    plus any LRU-selected one detect — so the conf-assembly precedent
+#    (r9) applies and the remaining ~10 streaming qids are NOT all
+#    dragged into one budget; all 15 streaming/connector qids were
+#    re-verified green at sf0.01 locally after the edit.
+#
 # That is 9 pinned + 2 new qids; the LRU sort below fills the remaining
 # ~39 of the driver's budget with the 3 r5-stale qids
 # (ml_kmeans_embeddings, omics_logrank_test, sample_stratified — VERDICT
