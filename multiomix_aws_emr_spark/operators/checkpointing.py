@@ -71,7 +71,9 @@ def _ensure_checkpoint_dir(df: DataFrame) -> None:
         # A driver-local temp dir is shared-by-construction only under
         # local/local-cluster masters (single host). Anywhere else it
         # would silently break the exact recovery this mode promises.
-        if not sc.master.startswith(("local", "local-cluster")):
+        from multiomix_aws_emr_spark.session import is_local_master
+
+        if not is_local_master(sc.master):
             raise RuntimeError(
                 "reliable checkpointing on a non-local master requires a "
                 "durable shared checkpoint dir: call "

@@ -18,11 +18,21 @@ queries restore the session's baseline count, so a hint never leaks into
 the next query of a shared-session suite. Sub-GB estimates floor at the
 baseline, so fixture-scale plans are byte-identical with or without the
 hint — the hint only acts at real volume (the 1000x probes), where it
-reproduces the hand-tuned winners hands-free. Scoping caveat: the conf
-is read at EXECUTION time, so the build-then-execute-one-query-at-a-time
-pattern (the driver, bench.py, the probes) is the supported shape;
-interleaving the *execution* of several declared queries built from the
-same session runs all of them at the last-built query's count.
+reproduces the hand-tuned winners hands-free.
+
+Execution scoping: Spark reads ``spark.sql.shuffle.partitions`` when a
+job RUNS, not when the DataFrame is built, so a build-time conf.set alone
+would bind every interleaved execution to the LAST-built query's count
+(the r10 verdict's scope trap). The wrapper therefore also binds the
+resolved count to the returned DataFrame's own actions
+(:func:`_bind_execution_conf`): each action re-applies this query's
+count first, so building several declared queries from one session and
+executing them in any order runs each at its own sizing. The binding
+shadows the instance's action entry points (collect/count/toPandas/...);
+``df.write`` is a class property and cannot be shadowed — callers that
+sink a declared frame through ``.write`` in an interleaved suite should
+call ``df.count()`` first or re-build the query (documented limitation;
+the driver/bench/probes all consume via actions).
 ``SPARK_GRAFT_SIZING_HINTS=0`` disables hints (the A/B lever).
 """
 
@@ -51,11 +61,18 @@ _SHUFFLE_CONF = "spark.sql.shuffle.partitions"
 
 def _apply_sizing(
     spark: SparkSession, hint: Optional[Callable[[str], int]], sf_dir: str
-) -> None:
+) -> str:
     """Set the execution-time shuffle partition count for one declared
     query: rule-2-sized when a hint estimate clears the session baseline,
-    the baseline otherwise (which also un-does a previous query's hint)."""
+    the baseline otherwise (which also un-does a previous query's hint).
+    Returns the resolved count (a string, conf-value form) so the wrapper
+    can re-bind it to the query's own actions."""
     sc = spark.sparkContext
+    # The baseline is captured eagerly at session build/configure time
+    # (session.build_session / session.configure — ADVICE r10: a lazy
+    # first-execution capture could freeze in a caller's temporary conf
+    # override). The fallback below only serves direct _apply_sizing
+    # calls on sessions that never passed through either.
     baseline = getattr(sc, "_maes_shuffle_baseline", None)
     if baseline is None:
         baseline = spark.conf.get(_SHUFFLE_CONF)
@@ -75,10 +92,62 @@ def _apply_sizing(
             )
         except (OSError, ValueError):
             n = None  # unreadable path / non-numeric baseline: keep baseline
-    if n is not None and n > int(baseline):
-        spark.conf.set(_SHUFFLE_CONF, str(n))
-    elif spark.conf.get(_SHUFFLE_CONF) != baseline:
-        spark.conf.set(_SHUFFLE_CONF, baseline)
+    target = str(n) if n is not None and n > int(baseline) else str(baseline)
+    if spark.conf.get(_SHUFFLE_CONF) != target:
+        spark.conf.set(_SHUFFLE_CONF, target)
+    return target
+
+
+#: DataFrame action entry points re-bound by :func:`_bind_execution_conf`.
+#: Plain methods only (instance attributes shadow non-data descriptors);
+#: the ``write``/``writeTo`` properties cannot be shadowed — see the
+#: module docstring for the documented limitation.
+_ACTION_METHODS = (
+    "collect",
+    "count",
+    "toPandas",
+    "toLocalIterator",
+    "show",
+    "head",
+    "first",
+    "take",
+    "tail",
+    "foreach",
+    "foreachPartition",
+    "isEmpty",
+)
+
+
+def _bind_execution_conf(df: DataFrame, spark: SparkSession, target: str) -> DataFrame:
+    """Bind this query's resolved shuffle-partition count to the returned
+    DataFrame's OWN execution: shadow each action method on the instance
+    with a closure that re-applies the count just before running. Spark
+    reads the conf at job submission, so the set-at-action-time value is
+    the one the exchange planner sees — interleaved executions of several
+    declared queries each run at their own sizing (VERDICT r10 task 2).
+    The instance stays a plain DataFrame (isinstance, schema, explain,
+    transformations all untouched); frames DERIVED from it are ordinary
+    DataFrames executing at whatever the conf then holds, which is this
+    query's count if its action ran last — same session-conf semantics as
+    before, now query-scoped at the declared surface."""
+
+    def _rebound(method):
+        def run(*args, **kwargs):
+            if spark.conf.get(_SHUFFLE_CONF) != target:
+                spark.conf.set(_SHUFFLE_CONF, target)
+            return method(*args, **kwargs)
+
+        run.__name__ = getattr(method, "__name__", "action")
+        return run
+
+    for name in _ACTION_METHODS:
+        method = getattr(df, name, None)
+        if callable(method):
+            try:
+                setattr(df, name, _rebound(method))
+            except AttributeError:
+                pass  # slotted/frozen DataFrame variants: keep the method
+    return df
 
 
 def fact_bytes(table: str, fanout: float = 1.0) -> Callable[[str], int]:
@@ -107,8 +176,8 @@ def query(
     def deco(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             configure(spark)
-            _apply_sizing(spark, sizing_hint, sf_dir)
-            return fn(spark, sf_dir)
+            target = _apply_sizing(spark, sizing_hint, sf_dir)
+            return _bind_execution_conf(fn(spark, sf_dir), spark, target)
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__

@@ -259,7 +259,7 @@ def run_event_feed_rollup(
             f"event_feed rollup did not reach offset {n_total} "
             f"within {timeout_sec}s (last offset seen: {off})"
         )
-    cleanup_stream_checkpoint(ckpt)
+    cleanup_stream_checkpoint(ckpt, spark)
     return spark.table(name)
 
 

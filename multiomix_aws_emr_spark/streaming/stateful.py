@@ -117,7 +117,7 @@ def run_running_totals(
                 q = w.foreachBatch(_append).start()
             await_bounded(q, table)
     finally:
-        cleanup_stream_checkpoint(ckpt)
+        cleanup_stream_checkpoint(ckpt, spark)
     from pyspark.sql import functions as F
 
     if sink_dir is None:

@@ -96,7 +96,7 @@ def run_rollup_upsert(
             .start()
         )
         await_bounded(q, "rollup upsert run")
-    cleanup_stream_checkpoint(ckpt)
+    cleanup_stream_checkpoint(ckpt, spark)
     return spark.read.parquet(out_dir).select(
         "window_start_ms", "event_type", "n", "sum_value"
     )

@@ -39,12 +39,21 @@ def stream_checkpoint_dir(spark: SparkSession, prefix: str) -> str:
     a fleet; a unique per-run subdir under it is returned), else a
     driver-local temp dir when the master is local/local-cluster
     (same host — shared by construction), else raise with the recipe.
+
+    Durable-root lifecycle: bounded runners delete their per-run subdir
+    on success (``cleanup_stream_checkpoint`` with the session handle —
+    Hadoop-FS delete for URI roots) and KEEP it on failure for
+    diagnosis. The root's owner should still attach a TTL/janitor policy
+    (e.g. an S3 lifecycle rule on the prefix): failure leftovers and
+    runs killed before cleanup are the owner's to expire.
     """
     root = os.environ.get("SPARK_GRAFT_STREAM_CKPT_DIR")
     if root:
         return f"{root.rstrip('/')}/{prefix}_{uuid.uuid4().hex[:12]}"
     master = spark.sparkContext.master
-    if master.startswith(("local", "local-cluster")):
+    from multiomix_aws_emr_spark.session import is_local_master
+
+    if is_local_master(master):
         return tempfile.mkdtemp(prefix=f"{prefix}_")
     raise RuntimeError(
         "streaming checkpointLocation on a non-local master requires a "
@@ -53,13 +62,30 @@ def stream_checkpoint_dir(spark: SparkSession, prefix: str) -> str:
     )
 
 
-def cleanup_stream_checkpoint(path: str) -> None:
-    """Best-effort removal of a per-run checkpoint dir. Only local paths
-    are swept; a ``://`` URI lives under a caller-owned durable root
-    whose lifecycle (TTL policies, janitors) belongs to that owner."""
+def cleanup_stream_checkpoint(path: str, spark: SparkSession | None = None) -> None:
+    """Best-effort removal of a per-run checkpoint dir.
+
+    Local paths sweep via shutil. A ``://`` URI (a per-run subdir under
+    the ``SPARK_GRAFT_STREAM_CKPT_DIR`` durable root) is swept through
+    the JVM Hadoop FileSystem API when ``spark`` is provided — without
+    it the delete-on-success policy would silently stop at the first
+    fleet run and accumulate state-store deltas under the durable root
+    (ADVICE r10). Still best-effort: a missing connector/credentials
+    leaves the dir for the root owner's TTL janitor (the documented
+    backstop — see :func:`stream_checkpoint_dir`)."""
     import shutil
 
     if "://" in path:
+        if spark is None:
+            return
+        try:
+            jvm = spark.sparkContext._jvm
+            jsc = spark.sparkContext._jsc
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+            fs.delete(hpath, True)
+        except Exception:
+            pass  # no connector/credentials: owner's TTL janitor sweeps
         return
     shutil.rmtree(path, ignore_errors=True)
 
@@ -124,7 +150,7 @@ def prewarm_streaming_runtime(spark: SparkSession, sf_dir: str) -> None:
                 if not q.awaitTermination(60):
                     q.stop()
         finally:
-            cleanup_stream_checkpoint(ckpt)
+            cleanup_stream_checkpoint(ckpt, spark)
     except Exception:
         pass
 
@@ -247,7 +273,7 @@ def bounded_result(
                 if (exc.getCondition() or "") != "PATH_NOT_FOUND":
                     raise
                 result = spark.createDataFrame([], plan.schema)
-    cleanup_stream_checkpoint(ckpt)
+    cleanup_stream_checkpoint(ckpt, spark)
     return result
 
 

@@ -94,7 +94,7 @@ def run_watermarked_tumbling_with_drop_count(
         result = spark.table(table)
         result.count()
     finally:
-        cleanup_stream_checkpoint(ckpt)
+        cleanup_stream_checkpoint(ckpt, spark)
     return result, dropped
 
 
@@ -188,7 +188,7 @@ def rate_source_smoke(
         finally:
             q.stop()
     finally:
-        cleanup_stream_checkpoint(ckpt)
+        cleanup_stream_checkpoint(ckpt, spark)
     input_rows = sum(int(p.get("numInputRows", 0)) for p in progress)
     wm_set = any(
         p.get("eventTime", {}).get("watermark", "1970-01-01T00:00:00.000Z")

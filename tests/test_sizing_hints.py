@@ -91,10 +91,98 @@ def test_hint_engages_at_volume_math():
     )
 
 
-def test_registry_rejects_nothing_extra():
-    # hints are a strict subset of declared queries
+def test_registry_rejects_nothing_extra(monkeypatch):
+    # hints are a strict subset of declared queries; neutralize the A/B
+    # disable lever rather than asserting on the ambient shell (ADVICE r10)
+    monkeypatch.delenv("SPARK_GRAFT_SIZING_HINTS", raising=False)
     assert set(SIZING_HINTS) <= set(QUERIES)
-    assert os.environ.get("SPARK_GRAFT_SIZING_HINTS") != "0"
+
+
+def test_interleaved_execution_binds_per_query(spark, sf_dir):
+    """The r10 scope trap, closed: build a hinted query, then an unhinted
+    one, then execute them in the WRONG order — each action must run at
+    its own resolved count, not the last-built query's."""
+    from multiomix_aws_emr_spark.queries.registry import _bind_execution_conf
+
+    base = _baseline(spark)
+    sized = _apply_sizing(spark, lambda _sf: 14 << 30, sf_dir)  # build #1
+    df_hinted = _bind_execution_conf(spark.range(100).toDF("x"), spark, sized)
+    plain = _apply_sizing(spark, None, sf_dir)  # build #2 restores baseline
+    df_plain = _bind_execution_conf(spark.range(50).toDF("y"), spark, plain)
+    assert plain == base and int(sized) > int(base)
+    assert spark.conf.get(CONF) == base  # last build wrote the baseline
+
+    # executing the HINTED frame after the plain build re-applies its count
+    assert df_hinted.count() == 100
+    assert spark.conf.get(CONF) == sized
+    # and the plain frame re-applies the baseline
+    assert df_plain.count() == 50
+    assert spark.conf.get(CONF) == base
+    # any further action re-binds again (not first-action-only)
+    assert len(df_hinted.collect()) == 100
+    assert spark.conf.get(CONF) == sized
+    spark.conf.set(CONF, base)
+
+
+def test_declared_query_rebinds_at_action(spark, sf_dir):
+    """End-to-end through the registry wrapper: a declared frame carries
+    instance-bound actions, and a conf overwrite between build and action
+    (another query's build, a caller's conf.set) is undone at action time."""
+    df = QUERIES["sql_large_volume_customer"](spark, sf_dir)
+    assert "collect" in df.__dict__ or "count" in df.__dict__
+    base = _baseline(spark)
+    spark.conf.set(CONF, "7")  # simulate an interleaved build's leak
+    assert df.count() >= 0
+    assert spark.conf.get(CONF) == base  # fixture scale floors to baseline
+
+
+def test_rebuilt_session_rekeys_baseline(spark):
+    """A session rebuilt in-process with a different sizing must not
+    serve the previous build's cached baseline (VERDICT r10 nit 2)."""
+    from multiomix_aws_emr_spark.session import build_session
+
+    sc = spark.sparkContext
+    orig = sc._maes_shuffle_baseline
+    try:
+        s2 = build_session(master="local[8]", shuffle_partitions=12)
+        assert s2.sparkContext._maes_shuffle_baseline == "12"
+        assert s2.conf.get(CONF) == "12"
+    finally:
+        build_session(master="local[8]", shuffle_partitions=int(orig))
+    assert sc._maes_shuffle_baseline == orig
+    assert spark.conf.get(CONF) == orig
+
+
+def test_memory_fraction_respected():
+    """Clusters tuned away from spark.memory.fraction=0.6 get a share
+    derived from their own fraction (ADVICE r10)."""
+    from multiomix_aws_emr_spark.session import executor_task_share_bytes
+
+    class _Conf:
+        def __init__(self, vals):
+            self._v = vals
+
+        def get(self, key, default=None):
+            if key in self._v:
+                return self._v[key]
+            if default is not None:
+                return default
+            raise KeyError(key)
+
+    class _S:
+        def __init__(self, vals):
+            self.conf = _Conf(vals)
+
+    tuned = executor_task_share_bytes(
+        _S(
+            {
+                "spark.executor.memory": "10g",
+                "spark.executor.cores": "5",
+                "spark.memory.fraction": "0.8",
+            }
+        )
+    )
+    assert tuned == int((10 << 30) * 0.8 / 5)
 
 
 def test_executor_task_share_from_confs(spark):

@@ -504,7 +504,25 @@ def test_stream_checkpoint_dir_master_aware(spark, monkeypatch):
     a = stream_checkpoint_dir(spark, "ck_x")
     b = stream_checkpoint_dir(spark, "ck_x")
     assert a.startswith("s3a://bucket/ckpts/ck_x_") and a != b
-    cleanup_stream_checkpoint(a)  # URI: owner-managed, must be a no-op
+    # URI without a session handle: no sweep possible, must be a no-op
+    cleanup_stream_checkpoint(a)
+    # URI with a handle but no connector/credentials: best-effort, must
+    # not raise (the owner's TTL janitor is the backstop)
+    cleanup_stream_checkpoint(a, spark)
+
+    # URI over a filesystem the JVM CAN reach (file://): the per-run
+    # subdir is actually deleted via the Hadoop FileSystem API — the
+    # delete-on-success policy survives a durable root (ADVICE r10)
+    import tempfile as _tf
+
+    local_root = _tf.mkdtemp(prefix="ckroot_")
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_CKPT_DIR", f"file://{local_root}")
+    c = stream_checkpoint_dir(spark, "ck_uri")
+    c_local = c[len("file://"):]
+    os.makedirs(c_local, exist_ok=True)
+    assert os.path.isdir(c_local)
+    cleanup_stream_checkpoint(c, spark)
+    assert not os.path.exists(c_local)
 
     # local master: temp dir, swept by cleanup
     monkeypatch.delenv("SPARK_GRAFT_STREAM_CKPT_DIR")
