@@ -184,6 +184,73 @@ def lsh_cluster_assign(banded: DataFrame, *, id_col: str) -> DataFrame:
     )
 
 
+def band_index(banded: DataFrame, *, id_col: str) -> DataFrame:
+    """Reduce a banded sketch to its persistable index form:
+    ``(band, bucket, rep)`` with ``rep`` = the smallest id ever seen in
+    that bucket. One row per occupied bucket — orders of magnitude
+    smaller than the corpus (and than the full banded sketch), which is
+    what makes it the CROSS-RUN dedup artifact: a rolling 100 TB corpus
+    persists this table once and each new ingest batch joins against it
+    instead of re-shingling history (:func:`incremental_assign`)."""
+    return banded.groupBy("band", "bucket").agg(F.min(id_col).alias("rep"))
+
+
+def incremental_assign(
+    new_banded: DataFrame, index: DataFrame, *, id_col: str
+) -> DataFrame:
+    """(id, rep_id) one-step assignment of a NEW batch against a persisted
+    band index — exactly what :func:`lsh_cluster_assign` over old∪new
+    would emit for the new ids, computed WITHOUT touching the old corpus:
+
+    - ``new_banded``: the new batch's banded sketch (re-shingling only
+      the batch — per-doc sketches are subset-invariant);
+    - ``index``: the persisted ``(band, bucket, rep)`` table
+      (:func:`band_index` over everything ingested so far).
+
+    rep_id(new doc) = min(own id, min historical rep over its buckets,
+    min NEW id over its buckets). ONE pass over the batch sketch: the
+    per-bucket new minimum is a window min on (band, bucket) — not a
+    groupBy + join-back, which would re-derive (re-shingle) the batch
+    sketch a second and third time — then one LEFT equi-join pulls the
+    historical rep for buckets the index knows (the join moves O(batch)
+    rows of the index side however large history is; at warehouse scale
+    the index table is bucketed/sorted on (band, bucket) so the probe is
+    a storage-pruned scan), and a final min-agg per id folds the bucket
+    candidates. Buckets absent from the index contribute only the new
+    minimum (coalesce).
+
+    After ingest, merge the batch into the index with
+    :func:`upsert_band_index` (the maintenance_merge_upsert pattern).
+    """
+    w = Window.partitionBy("band", "bucket")
+    with_new_min = new_banded.withColumn(
+        "_min_new", F.min(id_col).over(w)
+    )
+    joined = with_new_min.join(index, ["band", "bucket"], "left")
+    bucket_rep = F.least(
+        F.col("_min_new"), F.coalesce(F.col("rep"), F.col("_min_new"))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(F.min(bucket_rep).alias("rep_id"))
+    )
+
+
+def upsert_band_index(index: DataFrame, new_banded: DataFrame, *, id_col: str) -> DataFrame:
+    """The index maintenance step: merge a new batch's buckets into the
+    persisted ``(band, bucket, rep)`` table — existing buckets keep the
+    smaller rep, new buckets insert. Pure min-merge, so it is idempotent
+    and retry-safe (re-ingesting the same batch is a no-op); the result
+    equals :func:`band_index` over everything ingested so far. At
+    warehouse scale this is the MERGE/upsert write the
+    maintenance_merge_upsert plan (queries/formats.py) models."""
+    return (
+        index.unionByName(band_index(new_banded, id_col=id_col))
+        .groupBy("band", "bucket")
+        .agg(F.min("rep").alias("rep"))
+    )
+
+
 def minhash_lsh_clusters(
     df: DataFrame,
     *,

@@ -35,7 +35,8 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 
 _lock = threading.Lock()
-_cache: dict[tuple, DataFrame] = {}
+# values: a DataFrame, or (DataFrame, str path) for persisted artifacts
+_cache: dict[tuple, object] = {}
 
 
 def _put(key: tuple, df: DataFrame) -> None:
@@ -86,6 +87,57 @@ def banded_documents(
         ).persist()
         _put(key, banded)
         return banded
+
+
+def minhash_band_index(
+    spark: SparkSession, sf_dir: str, *, split_mod: int = 4
+) -> tuple[DataFrame, str]:
+    """The PERSISTED MinHash band index of the historical corpus slice —
+    ``(band, bucket, rep)`` parquet, written once per session + corpus and
+    read back for every consumer. Returns ``(df, path)``.
+
+    The historical slice is ``doc_id % split_mod != 0`` (the fixture
+    stand-in for "everything ingested before this batch"; the complement
+    is the new batch). Building the index reads and shingles the OLD
+    slice exactly once — afterwards ``dedup_incremental_minhash`` plans
+    touch only this parquet plus the new batch, never the old text again
+    (asserted by tests/test_incremental_dedup.py). On a real rolling
+    corpus this table lives in the warehouse, bucketed on (band, bucket),
+    and each ingest run upserts into it via
+    ``operators.dedup.upsert_band_index`` (the maintenance_merge_upsert
+    write pattern).
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from multiomix_aws_emr_spark.operators.dedup import band_index, banded_buckets
+    from multiomix_aws_emr_spark.sources.tables import load
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        "bandindex",
+        split_mod,
+    )
+    with _lock:
+        cached = _cache.get(key)
+        if cached is not None:
+            return cached
+        old = load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % split_mod != 0
+        )
+        idx = band_index(
+            banded_buckets(
+                old, text_col="text", id_col="doc_id", portable=True
+            ),
+            id_col="doc_id",
+        )
+        path = tempfile.mkdtemp(prefix="minhash_band_index_")
+        idx.write.mode("overwrite").parquet(path)
+        entry = (spark.read.parquet(path), path)
+        _put(key, entry)
+        return entry
 
 
 def fivegram_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:

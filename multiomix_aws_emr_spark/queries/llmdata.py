@@ -30,7 +30,16 @@ SELECT id_a, id_b, jaccard FROM (
 """
 
 
-@query("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_NGRAM_JACCARD_ORACLE,
+    # Rule-2 hint, MEASURED fan-out (tools/fanout_probe.py at sf0.1): the
+    # widest exchange is the doc_id repartition carrying the full text
+    # ahead of the bigram explode — 1.43x the documents parquet bytes
+    # (shuffle-lz4 vs parquet-zstd units, same proxy contract as
+    # fact_bytes). 1.5 rounds up. Fixture SFs floor to baseline.
+    sizing_hint=fact_bytes("documents", fanout=1.5),
+)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-shingle Jaccard near-dup pairs (query side doc_id < 20,
     threshold 0.5).
@@ -120,7 +129,16 @@ FROM fp, unnest([0, 1, 2, 3]) AS u(band)
 """
 
 
-@query("dedup_simhash", oracle=_simhash60_oracle())
+@query(
+    "dedup_simhash",
+    oracle=_simhash60_oracle(),
+    # Rule-2 hint, MEASURED fan-out (tools/fanout_probe.py at sf0.1): the
+    # widest exchange is the per-token-hash -> 60-vote-sums partial
+    # aggregate clustered on doc_id — 1.43x the documents parquet bytes
+    # (the vote partials are wider than the text they summarize). 1.5
+    # rounds up; fixture SFs floor to baseline.
+    sizing_hint=fact_bytes("documents", fanout=1.5),
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable 60-bit SimHash fingerprint per document + its 4 LSH band
     buckets — all JVM-side (see operators/simhash.py). Total over the

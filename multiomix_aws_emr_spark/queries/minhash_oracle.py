@@ -67,6 +67,17 @@ def minhash_onestep_sql() -> str:
     return f"WITH {minhash_onestep_ctes()} SELECT doc_id, rep_id FROM onestep"
 
 
+def minhash_incremental_sql(split_mod: int = 4) -> str:
+    """Full oracle for `dedup_incremental_minhash`: the NEW batch's rows
+    (doc_id % split_mod = 0) of the one-step assignment recomputed over
+    old∪new from scratch — the ground truth the incremental index path
+    must reproduce without re-reading the old corpus."""
+    return (
+        f"WITH {minhash_onestep_ctes()} "
+        f"SELECT doc_id, rep_id FROM onestep WHERE doc_id % {split_mod} = 0"
+    )
+
+
 def minhash_components_sql() -> str:
     """Full oracle for `dedup_minhash_components`: (doc_id, component).
 

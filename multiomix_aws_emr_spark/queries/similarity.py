@@ -156,6 +156,50 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cluster_assign(banded, id_col="doc_id")
 
 
+def _minhash_incremental_oracle() -> str:
+    from multiomix_aws_emr_spark.queries.minhash_oracle import (
+        minhash_incremental_sql,
+    )
+
+    return minhash_incremental_sql(split_mod=4)
+
+
+@query("dedup_incremental_minhash", oracle=_minhash_incremental_oracle())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run near-dedup: assign a NEW ingest batch against the
+    PERSISTED MinHash band index, never re-shingling the historical
+    corpus — the operator a rolling 100 TB corpus runs on every ingest.
+
+    Fixture framing: "history" is ``doc_id % 4 != 0`` and the new batch
+    is the complement. The history slice exists only as its parquet band
+    index (plans/sketchcache.minhash_band_index — (band, bucket, rep),
+    one ~25-byte row per occupied bucket, built once per session); the
+    incremental plan reads THAT plus the new batch: batch shingle ->
+    signature -> bands, index semi-restricted to the batch's buckets,
+    bucket-reps merged, one equi-join back
+    (operators/dedup.incremental_assign). Output (doc_id, rep_id) is
+    bit-identical to recomputing the one-step assignment over old∪new —
+    the DuckDB oracle does exactly that recomputation from raw text, so
+    the parity check proves the index path loses nothing. After assign,
+    ``operators.dedup.upsert_band_index`` merges the batch into the
+    index (min-merge: idempotent, retry-safe) — the
+    maintenance_merge_upsert write pattern; equivalence to a from-scratch
+    rebuild is asserted in tests/test_incremental_dedup.py.
+    """
+    from multiomix_aws_emr_spark.operators.dedup import (
+        banded_buckets,
+        incremental_assign,
+    )
+    from multiomix_aws_emr_spark.plans.sketchcache import minhash_band_index
+
+    index, _path = minhash_band_index(spark, sf_dir, split_mod=4)
+    new = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    new_banded = banded_buckets(
+        new, text_col="text", id_col="doc_id", portable=True
+    )
+    return incremental_assign(new_banded, index, id_col="doc_id")
+
+
 _ANN_ORACLE_TMPL = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from multiomix_aws_emr_spark.queries.registry import query
+from multiomix_aws_emr_spark.queries.registry import fact_bytes, query
 from multiomix_aws_emr_spark.sources.tables import load
 
 
@@ -549,7 +549,22 @@ GROUP BY doc_id
 """
 
 
-@query("text_unigram_rarity", oracle=_RARITY_ORACLE)
+@query(
+    "text_unigram_rarity",
+    oracle=_RARITY_ORACLE,
+    # Rule-2 hint, MEASURED fan-out (tools/fanout_probe.py at sf0.1):
+    # 0.18x the documents parquet bytes — the token-frequency side
+    # broadcasts and the per-doc re-aggregate map-side-combines, so the
+    # widest exchange is SMALLER than the corpus. The sub-1 fan-out is
+    # the point: it encodes the r8 measurement that raising this shape's
+    # count at 1000x was a 1.7x LOSS (no state to split) — the hint keeps
+    # it floored at baseline until the token partials genuinely outgrow
+    # task memory. Caveat noted for true TB corpora: if the frequency
+    # table ever exceeds the broadcast threshold the join becomes a full
+    # token-stream shuffle (fan-out ~1.4) — re-measure before relying on
+    # this hint past the broadcastable-vocabulary regime.
+    sizing_hint=fact_bytes("documents", fanout=0.2),
+)
 def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency rarity score per document: the mean inverse
     unigram probability of its tokens (avg over tokens of

@@ -1,0 +1,93 @@
+"""Incremental cross-run MinHash dedup (VERDICT r10 task 4): a new ingest
+batch is assigned against the PERSISTED band index — the old corpus is
+never re-read — and the index upsert equals a from-scratch rebuild."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from multiomix_aws_emr_spark.operators.dedup import (
+    band_index,
+    banded_buckets,
+    incremental_assign,
+    lsh_cluster_assign,
+    upsert_band_index,
+)
+from multiomix_aws_emr_spark.plans.sketchcache import minhash_band_index
+from multiomix_aws_emr_spark.queries import QUERIES
+from multiomix_aws_emr_spark.sources.tables import load
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def _full_banded(docs):
+    return banded_buckets(
+        docs, text_col="text", id_col="doc_id", portable=True
+    )
+
+
+def test_incremental_matches_full_recompute(spark, docs):
+    """The index path must emit, for the new batch, exactly what a
+    from-scratch one-step assignment over old∪new emits."""
+    full = lsh_cluster_assign(_full_banded(docs), id_col="doc_id")
+    expected = {
+        (r.doc_id, r.rep_id)
+        for r in full.filter(F.col("doc_id") % 4 == 0).collect()
+    }
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    idx = band_index(_full_banded(old), id_col="doc_id")
+    got = incremental_assign(
+        _full_banded(new), idx, id_col="doc_id"
+    ).collect()
+    assert {(r.doc_id, r.rep_id) for r in got} == expected
+    assert len(got) == len(expected)  # total over the batch, one row each
+
+
+def test_old_corpus_read_only_via_index(spark, sf_dir):
+    """The declared query's physical plan scans the documents table ONCE
+    (the new batch) and reads history as the band-index parquet — the
+    whole point of the incremental operator."""
+    _idx, idx_path = minhash_band_index(spark, sf_dir, split_mod=4)
+    df = QUERIES["dedup_incremental_minhash"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") == 1, plan
+    assert idx_path.strip("/").split("/")[-1] in plan, plan
+    assert df.count() > 0
+
+
+def test_index_build_cached_per_session(spark, sf_dir):
+    a = minhash_band_index(spark, sf_dir, split_mod=4)
+    b = minhash_band_index(spark, sf_dir, split_mod=4)
+    assert a[1] == b[1]  # same persisted path, no rebuild
+
+
+def test_upsert_equals_rebuild_and_is_idempotent(spark, docs):
+    """Min-merge maintenance: upserting the new batch into the old index
+    yields the full-corpus index; re-upserting the same batch is a
+    no-op (retry safety)."""
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    idx_old = band_index(_full_banded(old), id_col="doc_id")
+    new_banded = _full_banded(new)
+    merged = upsert_band_index(idx_old, new_banded, id_col="doc_id")
+    rebuilt = band_index(_full_banded(docs), id_col="doc_id")
+    as_set = lambda df: {  # noqa: E731
+        (r.band, r.bucket, r.rep) for r in df.collect()
+    }
+    merged_set = as_set(merged)
+    assert merged_set == as_set(rebuilt)
+    again = upsert_band_index(merged, new_banded, id_col="doc_id")
+    assert as_set(again) == merged_set
+
+
+def test_empty_batch_yields_empty_assignment(spark, docs):
+    old_idx = band_index(_full_banded(docs), id_col="doc_id")
+    empty = docs.filter(F.lit(False))
+    got = incremental_assign(
+        _full_banded(empty), old_idx, id_col="doc_id"
+    )
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["doc_id", "rep_id"]

@@ -28,6 +28,10 @@ def test_wide_shapes_carry_hints():
         "flagship_revenue_by_region",
         "dedup_near_minhash",
         "pipeline_curation_v3",
+        # r11: measured fan-outs (tools/fanout_probe.py)
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "text_unigram_rarity",
     ):
         assert qid in SIZING_HINTS, f"{qid} lost its sizing hint"
         assert qid in QUERIES
