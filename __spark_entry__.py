@@ -67,63 +67,52 @@ def _last_verified_round() -> dict[str, int]:
 # Queries whose newest driver evidence predates their current code or
 # oracle must land inside the driver's ~50-query budget regardless of
 # what the LRU sort alone would pick (the r5 convention: code-newer-
-# than-evidence is the worst staleness). Round 10 pins exactly this
+# than-evidence is the worst staleness). Round 11 pins exactly this
 # round's own edits:
 #
-# 1. queries/registry.py grew the per-query rule-2 sizing-hint path.
-#    The wrapper change itself is on every declared path (a breakage
-#    fails all 177 at once, which the driver run detects — the r9
-#    conf-assembly precedent), but the four qids that now CARRY a hint
-#    execute a changed per-qid path (the hint computes, floors, and
-#    restores) and are pinned: sql_large_volume_customer,
-#    flagship_revenue_by_region, dedup_near_minhash,
-#    pipeline_curation_v3.
-# 2. operators/checkpointing.py (master-aware dir provisioning + the
-#    cleanup-conf warning) and session.py's new cleanCheckpoints static
-#    conf — the fixpoint consumers: dedup_minhash_components,
-#    graph_pagerank.
-# 3. streaming/watermark.py — rate_source_smoke's stalled-vs-hard_cap
-#    reason split (test-harness path, but the convention is file-level)
-#    — stream_watermark_latedrop, the file's one declared consumer.
-# 4. streaming/join.py grew the full_outer branch of interval_join_plan
-#    (inner/left_outer plans stay byte-identical — the coalesce node is
-#    gated on how — but the file-level convention pins the two existing
-#    consumers). The NEW qid stream_interval_join_full is never-verified
-#    and leads the LRU segment automatically, as does the other r10
-#    addition sql_pipe_groupflow (an append-only function at the end of
-#    relational.py — no existing function body changed, so the pin is
-#    function-scoped per the r9 llmdata precedent).
+# 1. queries/registry.py changed the wrapper for EVERY declared query
+#    (execution-scoped sizing binding) and session.py changed
+#    configure/build_session (eager baseline capture). Both are on
+#    every declared path — a breakage fails all 180 at once, which the
+#    driver run detects (the r9 conf-assembly precedent) — so they pin
+#    nothing by themselves. The three qids that gained a MEASURED
+#    sizing hint execute a changed per-qid path and are pinned:
+#    dedup_ngram_jaccard, dedup_simhash, text_unigram_rarity.
+# 2. operators/dedup.py grew band_index/incremental_assign/
+#    upsert_band_index (new functions; existing bodies untouched) and
+#    plans/sketchcache.py grew minhash_band_index — function-scoped per
+#    the r9 llmdata precedent; the file-level convention still pins the
+#    sketch consumers dedup_near_minhash + dedup_minhash_components.
+#    The NEW qid dedup_incremental_minhash is never-verified and leads
+#    the LRU segment automatically.
+# 3. operators/checkpointing.py + streaming/util.py now route the
+#    local-master predicate through session.is_local_master, and every
+#    streaming runner passes the session handle to
+#    cleanup_stream_checkpoint (URI sweep). On the driver's local
+#    master both return exactly the prior behavior, and a breakage
+#    fails every streaming/fixpoint qid at once (conf-assembly
+#    precedent) — pinned representatives: graph_pagerank (fixpoint),
+#    stream_rollup_upsert + source_python_stream (streaming cleanup
+#    callers in two different modules); all 15 streaming/connector
+#    qids were re-verified green locally after the edit
+#    (tests/test_stream_ckpt_sweep.py runs the full surface).
 #
-# 5. Late in the round every streaming runner's checkpointLocation was
-#    routed through streaming/util.stream_checkpoint_dir (master-aware
-#    provisioning). On the driver's local master the helper returns the
-#    same mkdtemp class of path as before — and a helper breakage fails
-#    EVERY streaming qid at once, which the 4 streaming qids already in
-#    this budget (stream_watermark_latedrop + the three interval joins)
-#    plus any LRU-selected one detect — so the conf-assembly precedent
-#    (r9) applies and the remaining ~10 streaming qids are NOT all
-#    dragged into one budget; all 15 streaming/connector qids were
-#    re-verified green at sf0.01 locally after the edit.
-#
-# That is 9 pinned + 2 new qids; the LRU sort below fills the remaining
-# ~39 of the driver's budget with the 3 r5-stale qids
-# (ml_kmeans_embeddings, omics_logrank_test, sample_stratified — VERDICT
-# r9 task 1) and the 27 r6-stale relational-core qids, leaving max
-# staleness r7 after r10.
+# That is 7 pinned + 1 new qid; the LRU sort below fills the remaining
+# ~42 of the driver's budget with the 40 r7-stale qids (VERDICT r10
+# task 1 — the sort/set-op/scalar/text/sql-TPC-H cohort), leaving max
+# staleness r8 after r11.
 _STALE_PRIORITY = [
-    # (1) registry.py sizing hints — the four hinted shapes
-    "sql_large_volume_customer",
-    "flagship_revenue_by_region",
+    # (1) newly hinted shapes — measured fan-outs
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "text_unigram_rarity",
+    # (2) dedup/sketchcache file-level consumers
     "dedup_near_minhash",
-    "pipeline_curation_v3",
-    # (2) checkpointing/session cleanCheckpoints — fixpoint consumers
     "dedup_minhash_components",
+    # (3) is_local_master + cleanup-handle representatives
     "graph_pagerank",
-    # (3) streaming/watermark.py — reason-field edit
-    "stream_watermark_latedrop",
-    # (4) streaming/join.py full_outer branch — existing consumers
-    "stream_interval_join",
-    "stream_interval_join_outer",
+    "stream_rollup_upsert",
+    "source_python_stream",
 ]
 
 
