@@ -212,12 +212,20 @@ def incremental_assign(
     per-bucket new minimum is a window min on (band, bucket) — not a
     groupBy + join-back, which would re-derive (re-shingle) the batch
     sketch a second and third time — then one LEFT equi-join pulls the
-    historical rep for buckets the index knows (the join moves O(batch)
-    rows of the index side however large history is; at warehouse scale
-    the index table is bucketed/sorted on (band, bucket) so the probe is
-    a storage-pruned scan), and a final min-agg per id folds the bucket
-    candidates. Buckets absent from the index contribute only the new
-    minimum (coalesce).
+    historical rep for buckets the index knows, and a final min-agg per
+    id folds the bucket candidates. Buckets absent from the index
+    contribute only the new minimum (coalesce).
+
+    Index-side cost: the join scans the compact (band, bucket, rep)
+    table, never the historical TEXT — re-shingling history is what this
+    operator exists to avoid (measured at 5M docs,
+    tools/incremental_dedup_probe.py: 2.6x faster per ingest than a full
+    re-dedup at a 25% batch, 4.5x at 1%, checksum parity both). As
+    written the index side does shuffle on (band, bucket); at warehouse
+    scale store the index bucketed/sorted on exactly that key so the
+    probe joins co-located with zero index movement, and enable Spark's
+    runtime bloom-filter injection to trim the index scan to the batch's
+    buckets when the size thresholds are met.
 
     After ingest, merge the batch into the index with
     :func:`upsert_band_index` (the maintenance_merge_upsert pattern).

@@ -24,16 +24,16 @@ Execution scoping: Spark reads ``spark.sql.shuffle.partitions`` when a
 job RUNS, not when the DataFrame is built, so a build-time conf.set alone
 would bind every interleaved execution to the LAST-built query's count
 (the r10 verdict's scope trap). The wrapper therefore also binds the
-resolved count to the returned DataFrame's own actions
-(:func:`_bind_execution_conf`): each action re-applies this query's
-count first, so building several declared queries from one session and
-executing them in any order runs each at its own sizing. The binding
-shadows the instance's action entry points (collect/count/toPandas/...);
-``df.write`` is a class property and cannot be shadowed — callers that
-sink a declared frame through ``.write`` in an interleaved suite should
-call ``df.count()`` first or re-build the query (documented limitation;
-the driver/bench/probes all consume via actions).
-``SPARK_GRAFT_SIZING_HINTS=0`` disables hints (the A/B lever).
+resolved count to the returned DataFrame's own execution
+(:func:`_bind_execution_conf`): the frame is re-classed into a thin
+per-DataFrame-class subclass whose action entry points
+(collect/count/toPandas/... and the ``write``/``writeTo`` sinks)
+re-apply this query's count just before running, so building several
+declared queries from one session and executing them in any order runs
+each at its own sizing. Frames DERIVED from a bound frame are ordinary
+DataFrames executing at whatever the conf then holds — the same
+session-conf semantics as before, now query-scoped at the declared
+surface. ``SPARK_GRAFT_SIZING_HINTS=0`` disables hints (the A/B lever).
 """
 
 from __future__ import annotations
@@ -98,10 +98,8 @@ def _apply_sizing(
     return target
 
 
-#: DataFrame action entry points re-bound by :func:`_bind_execution_conf`.
-#: Plain methods only (instance attributes shadow non-data descriptors);
-#: the ``write``/``writeTo`` properties cannot be shadowed — see the
-#: module docstring for the documented limitation.
+#: DataFrame action entry points re-bound by :func:`_bind_execution_conf`;
+#: ``write``/``writeTo`` (the sink properties) are re-bound separately.
 _ACTION_METHODS = (
     "collect",
     "count",
@@ -117,36 +115,77 @@ _ACTION_METHODS = (
     "isEmpty",
 )
 
+_SINK_PROPERTIES = ("write", "writeTo")
 
-def _bind_execution_conf(df: DataFrame, spark: SparkSession, target: str) -> DataFrame:
-    """Bind this query's resolved shuffle-partition count to the returned
-    DataFrame's OWN execution: shadow each action method on the instance
-    with a closure that re-applies the count just before running. Spark
-    reads the conf at job submission, so the set-at-action-time value is
-    the one the exchange planner sees — interleaved executions of several
-    declared queries each run at their own sizing (VERDICT r10 task 2).
-    The instance stays a plain DataFrame (isinstance, schema, explain,
-    transformations all untouched); frames DERIVED from it are ordinary
-    DataFrames executing at whatever the conf then holds, which is this
-    query's count if its action ran last — same session-conf semantics as
-    before, now query-scoped at the declared surface."""
+#: one bound subclass per concrete DataFrame class, built lazily
+_BOUND_CLASSES: dict[type, type] = {}
 
-    def _rebound(method):
-        def run(*args, **kwargs):
-            if spark.conf.get(_SHUFFLE_CONF) != target:
-                spark.conf.set(_SHUFFLE_CONF, target)
-            return method(*args, **kwargs)
 
-        run.__name__ = getattr(method, "__name__", "action")
+def _bound_class(base: type) -> type:
+    """A subclass of ``base`` whose action methods and sink properties
+    re-apply the owning query's shuffle-partition count (read from the
+    instance's ``_maes_exec_conf``) just before delegating. Built once
+    per concrete DataFrame class (classic vs connect vs test doubles)."""
+
+    def _reapply(self) -> None:
+        spark, target = self._maes_exec_conf
+        if spark.conf.get(_SHUFFLE_CONF) != target:
+            spark.conf.set(_SHUFFLE_CONF, target)
+
+    ns: dict = {"_maes_reapply": _reapply}
+
+    def _make_action(name: str, method):
+        def run(self, *args, **kwargs):
+            self._maes_reapply()
+            return method(self, *args, **kwargs)
+
+        run.__name__ = name
+        run.__doc__ = getattr(method, "__doc__", None)
         return run
 
     for name in _ACTION_METHODS:
-        method = getattr(df, name, None)
+        method = getattr(base, name, None)
         if callable(method):
-            try:
-                setattr(df, name, _rebound(method))
-            except AttributeError:
-                pass  # slotted/frozen DataFrame variants: keep the method
+            ns[name] = _make_action(name, method)
+
+    def _make_sink(name: str, prop):
+        def fget(self):
+            self._maes_reapply()
+            return prop.__get__(self, type(self))
+
+        return property(fget, doc=getattr(prop, "__doc__", None))
+
+    for name in _SINK_PROPERTIES:
+        prop = getattr(base, name, None)
+        if isinstance(prop, property):
+            ns[name] = _make_sink(name, prop)
+
+    sub = type(base.__name__, (base,), ns)
+    sub.__module__ = base.__module__
+    return sub
+
+
+def _bind_execution_conf(df: DataFrame, spark: SparkSession, target: str) -> DataFrame:
+    """Bind this query's resolved shuffle-partition count to the returned
+    DataFrame's OWN execution: re-class the instance into a thin subclass
+    whose actions (and ``write``/``writeTo`` sinks) re-apply the count
+    just before running. Spark reads the conf at job submission, so the
+    set-at-action-time value is the one the exchange planner sees —
+    interleaved executions of several declared queries each run at their
+    own sizing (VERDICT r10 task 2). The instance stays a DataFrame for
+    isinstance/schema/explain/transformations; frames DERIVED from it are
+    ordinary DataFrames executing at whatever the conf then holds, which
+    is this query's count if its action ran last — same session-conf
+    semantics as before, now query-scoped at the declared surface."""
+    base = type(df)
+    sub = _BOUND_CLASSES.get(base)
+    if sub is None:
+        sub = _BOUND_CLASSES[base] = _bound_class(base)
+    try:
+        df.__class__ = sub
+        df._maes_exec_conf = (spark, target)
+    except (AttributeError, TypeError):
+        pass  # slotted/frozen DataFrame variants: leave unbound
     return df
 
 

@@ -129,15 +129,23 @@ def test_interleaved_execution_binds_per_query(spark, sf_dir):
 
 
 def test_declared_query_rebinds_at_action(spark, sf_dir):
-    """End-to-end through the registry wrapper: a declared frame carries
-    instance-bound actions, and a conf overwrite between build and action
-    (another query's build, a caller's conf.set) is undone at action time."""
+    """End-to-end through the registry wrapper: a declared frame is bound
+    (re-classed), stays a DataFrame, and a conf overwrite between build
+    and action (another query's build, a caller's conf.set) is undone at
+    action time — including through the .write sink property."""
+    from pyspark.sql import DataFrame
+
     df = QUERIES["sql_large_volume_customer"](spark, sf_dir)
-    assert "collect" in df.__dict__ or "count" in df.__dict__
+    assert isinstance(df, DataFrame)
+    assert hasattr(df, "_maes_exec_conf")
     base = _baseline(spark)
     spark.conf.set(CONF, "7")  # simulate an interleaved build's leak
     assert df.count() >= 0
     assert spark.conf.get(CONF) == base  # fixture scale floors to baseline
+    # the .write sink re-binds too (the scale_probe consumption shape)
+    spark.conf.set(CONF, "7")
+    df.write.mode("overwrite").format("noop").save()
+    assert spark.conf.get(CONF) == base
 
 
 def test_rebuilt_session_rekeys_baseline(spark):
