@@ -177,6 +177,11 @@ def _bind_execution_conf(df: DataFrame, spark: SparkSession, target: str) -> Dat
     ordinary DataFrames executing at whatever the conf then holds, which
     is this query's count if its action ran last — same session-conf
     semantics as before, now query-scoped at the declared surface."""
+    if hasattr(df, "_maes_exec_conf"):
+        # already bound (a declared query composed from another's frame):
+        # retarget in place rather than stacking subclasses
+        df._maes_exec_conf = (spark, target)
+        return df
     base = type(df)
     sub = _BOUND_CLASSES.get(base)
     if sub is None:

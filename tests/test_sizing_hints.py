@@ -148,6 +148,20 @@ def test_declared_query_rebinds_at_action(spark, sf_dir):
     assert spark.conf.get(CONF) == base
 
 
+def test_rebinding_retargets_in_place(spark, sf_dir):
+    """Binding an already-bound frame retargets it without stacking
+    subclasses (the composed-query path)."""
+    from multiomix_aws_emr_spark.queries.registry import _bind_execution_conf
+
+    df = _bind_execution_conf(spark.range(10).toDF("x"), spark, "9")
+    cls1 = type(df)
+    df = _bind_execution_conf(df, spark, "11")
+    assert type(df) is cls1
+    assert df.count() == 10
+    assert spark.conf.get(CONF) == "11"
+    spark.conf.set(CONF, _baseline(spark))
+
+
 def test_rebuilt_session_rekeys_baseline(spark):
     """A session rebuilt in-process with a different sizing must not
     serve the previous build's cached baseline (VERDICT r10 nit 2)."""
