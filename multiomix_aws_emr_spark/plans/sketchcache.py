@@ -111,8 +111,7 @@ def minhash_band_index(
 
     from pyspark.sql import functions as F
 
-    from multiomix_aws_emr_spark.operators.dedup import band_index, banded_buckets
-    from multiomix_aws_emr_spark.sources.tables import load
+    from multiomix_aws_emr_spark.operators.dedup import band_index
 
     key = (
         spark.sparkContext.applicationId,
@@ -124,15 +123,21 @@ def minhash_band_index(
         cached = _cache.get(key)
         if cached is not None:
             return cached
-        old = load(spark, sf_dir, "documents").filter(
-            F.col("doc_id") % split_mod != 0
-        )
-        idx = band_index(
-            banded_buckets(
-                old, text_col="text", id_col="doc_id", portable=True
-            ),
-            id_col="doc_id",
-        )
+    # Derive the historical slice's banded rows from the SESSION-SHARED
+    # full-corpus sketch (above) rather than re-shingling the slice: a
+    # banded row is a function of its document's own text only, so the
+    # slice's sketch is exactly a filter of the corpus sketch. Five
+    # declared queries now share one shingle->signature->band pass.
+    # (banded_documents takes _lock itself, so it is called outside the
+    # cache check above.)
+    banded = banded_documents(spark, sf_dir, portable=True)
+    idx = band_index(
+        banded.filter(F.col("doc_id") % split_mod != 0), id_col="doc_id"
+    )
+    with _lock:
+        cached = _cache.get(key)  # racer may have built it meanwhile
+        if cached is not None:
+            return cached
         path = tempfile.mkdtemp(prefix="minhash_band_index_")
         idx.write.mode("overwrite").parquet(path)
         entry = (spark.read.parquet(path), path)
