@@ -45,6 +45,20 @@ def test_prefix_convention():
         assert _CKPT_RE.match(p), f"unaudited checkpoint prefix: {p}"
 
 
+def test_durable_root_swept_after_run(spark, sf_dir, monkeypatch, tmp_path):
+    """End-to-end through a real bounded runner: with a durable
+    checkpoint root (URI form), the per-run subdir is deleted on success
+    via the Hadoop FileSystem sweep — the fleet-run analog of the local
+    temp-dir cleanup (ADVICE r10)."""
+    root = tmp_path / "ckroot"
+    root.mkdir()
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_CKPT_DIR", f"file://{root}")
+    df = QUERIES["stream_tumbling"](spark, sf_dir)
+    assert df.count() > 0
+    leftovers = [p.name for p in root.iterdir()]
+    assert not leftovers, f"durable-root checkpoint not swept: {leftovers}"
+
+
 def test_no_checkpoint_dirs_accumulate(spark, sf_dir):
     """Run the full streaming surface and assert the temp path holds no
     new ck_* leftovers afterwards (no accumulation on the local path)."""
