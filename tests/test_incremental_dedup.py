@@ -83,6 +83,42 @@ def test_upsert_equals_rebuild_and_is_idempotent(spark, docs):
     assert as_set(again) == merged_set
 
 
+def test_bucketed_index_joins_colocated(spark, docs):
+    """The warehouse-scale claim in incremental_assign's docstring, made
+    real: with the index stored as a table bucketed+sorted on
+    (band, bucket), the ingest join reads it in place — the index-side
+    subtree of the SortMergeJoin has NO Exchange (and no Sort: sortBy
+    pre-sorted the buckets); only the small batch side realigns to the
+    bucket count. Broadcast is disabled to force the SMJ the real
+    (non-broadcastable) corpus-scale index would take."""
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    idx = band_index(_full_banded(old), id_col="doc_id")
+    spark.sql("DROP TABLE IF EXISTS idx_bkt_test")
+    idx.write.bucketBy(8, "band", "bucket").sortBy("band", "bucket").mode(
+        "overwrite"
+    ).saveAsTable("idx_bkt_test")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assign = incremental_assign(
+            _full_banded(new), spark.table("idx_bkt_test"), id_col="doc_id"
+        )
+        plan = assign._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        # the index scan is the join's RIGHT subtree, printed after every
+        # batch-side (left, ':'-prefixed) line — so every Exchange in the
+        # tree must precede it: nothing shuffles the index
+        tail_after_last_exchange = plan[plan.rindex("Exchange"):]
+        assert "Bucketed: true" in tail_after_last_exchange
+        got = {(r.doc_id, r.rep_id) for r in assign.collect()}
+        plain = incremental_assign(_full_banded(new), idx, id_col="doc_id")
+        assert got == {(r.doc_id, r.rep_id) for r in plain.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS idx_bkt_test")
+
+
 def test_empty_batch_yields_empty_assignment(spark, docs):
     old_idx = band_index(_full_banded(docs), id_col="doc_id")
     empty = docs.filter(F.lit(False))
