@@ -223,9 +223,11 @@ def incremental_assign(
     re-dedup at a 25% batch, 4.5x at 1%, checksum parity both). As
     written the index side does shuffle on (band, bucket); at warehouse
     scale store the index bucketed/sorted on exactly that key so the
-    probe joins co-located with zero index movement, and enable Spark's
-    runtime bloom-filter injection to trim the index scan to the batch's
-    buckets when the size thresholds are met.
+    probe joins co-located with zero index movement (plan-asserted:
+    tests/test_incremental_dedup.py::test_bucketed_index_joins_colocated
+    — the bucketed scan is exchange-free AND sort-free), and Spark's
+    runtime bloom-filter injection (on by default) trims the index scan
+    to the batch's buckets when the size thresholds are met.
 
     After ingest, merge the batch into the index with
     :func:`upsert_band_index` (the maintenance_merge_upsert pattern).
