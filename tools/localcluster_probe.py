@@ -314,6 +314,19 @@ def _kill_worker(args) -> int:
             "dedup_minhash_components",
             os.path.join(args.out_root, "documents_1000x"),
         )
+    elif shape == "incremental":
+        # the cross-run ingest shape: batch assign against the persisted
+        # band index (pure batch plan — parquet index + docs scan). The
+        # session-scoped index cache means the index builds during the
+        # warmup run; the killed run exercises the per-ingest hot path
+        # (window min + index join + fold) under executor loss. Plain
+        # task retry should recover it — this probes that the NEW
+        # operator inherits the deterministic-retry class.
+        name, qid, sf_dir = (
+            "minhash_incremental_1000x",
+            "dedup_incremental_minhash",
+            os.path.join(args.out_root, "documents_1000x"),
+        )
     else:
         name, qid, sf_dir = (
             "q18_1000x",
@@ -509,13 +522,15 @@ def _parse_args(argv=None):
     )
     ap.add_argument(
         "--kill-shape",
-        choices=["q18", "stream", "interval", "components"],
+        choices=["q18", "stream", "interval", "components", "incremental"],
         help="which shape the kill probe runs (default: q18, or stream "
         "when --streaming is set). 'interval' is the two-sided "
         "stream-stream join (symmetric join state, two watermarks). "
         "'components' is the iterative-fixpoint "
         "shape: expected to FAIL with the default localCheckpoint lineage "
-        "cut and to recover with SPARK_GRAFT_RELIABLE_CHECKPOINT=1",
+        "cut and to recover with SPARK_GRAFT_RELIABLE_CHECKPOINT=1. "
+        "'incremental' is the cross-run ingest assign against the "
+        "persisted band index (pure batch retry class)",
     )
     ap.add_argument(
         "--worker",
