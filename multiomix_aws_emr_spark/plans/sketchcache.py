@@ -107,8 +107,6 @@ def minhash_band_index(
     ``operators.dedup.upsert_band_index`` (the maintenance_merge_upsert
     write pattern).
     """
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from multiomix_aws_emr_spark.operators.dedup import band_index
@@ -138,11 +136,39 @@ def minhash_band_index(
         cached = _cache.get(key)  # racer may have built it meanwhile
         if cached is not None:
             return cached
-        path = tempfile.mkdtemp(prefix="minhash_band_index_")
+        path = index_scratch_dir(spark, "minhash_band_index")
         idx.write.mode("overwrite").parquet(path)
         entry = (spark.read.parquet(path), path)
         _put(key, entry)
         return entry
+
+
+def index_scratch_dir(spark: SparkSession, prefix: str) -> str:
+    """A parquet-index location every node of the session's topology can
+    REACH AND WRITE: index part files are written by EXECUTORS and read
+    back by the driver's next plan, so a driver-local temp path silently
+    loses partitions on a multi-node master — the same mislocation class
+    ``streaming.util.stream_checkpoint_dir`` guards state stores against.
+    Resolution order: ``SPARK_GRAFT_INDEX_DIR`` (a durable shared root —
+    HDFS/S3 on a fleet; unique per-call subdir under it), else a
+    driver-local temp dir when the master is local/local-cluster (one
+    host — shared by construction), else raise with the recipe."""
+    import tempfile
+    import uuid
+
+    root = os.environ.get("SPARK_GRAFT_INDEX_DIR")
+    if root:
+        return f"{root.rstrip('/')}/{prefix}_{uuid.uuid4().hex[:12]}"
+    from multiomix_aws_emr_spark.session import is_local_master
+
+    master = spark.sparkContext.master
+    if is_local_master(master):
+        return tempfile.mkdtemp(prefix=f"{prefix}_")
+    raise RuntimeError(
+        "persisted-index parquet on a non-local master requires a durable "
+        "shared root: set SPARK_GRAFT_INDEX_DIR to an HDFS/S3 URI "
+        f"reachable by every executor (master={master!r})"
+    )
 
 
 def fivegram_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:

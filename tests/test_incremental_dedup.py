@@ -119,6 +119,63 @@ def test_bucketed_index_joins_colocated(spark, docs):
         spark.sql("DROP TABLE IF EXISTS idx_bkt_test")
 
 
+def test_rolling_ingest_four_batches(spark, docs):
+    """The rolling-corpus lifecycle end-to-end: start from an empty
+    index, ingest the corpus as four sequential batches (assign against
+    the index-so-far, then upsert the batch in), and assert the FINAL
+    index equals a from-scratch build over everything. Also pins the
+    order-sensitivity contract: a doc's assignment reflects only what
+    was ingested up to its own batch, so earlier batches may assign a
+    doc to itself even though a later dup arrives — the index upsert
+    (min-merge) is what carries the corpus-wide truth forward."""
+    schema = "band INT, bucket STRING, rep BIGINT"
+    index = spark.createDataFrame([], schema)
+    seen_assignments = {}
+    for b in range(4):
+        batch = docs.filter(F.col("doc_id") % 4 == b)
+        nb = _full_banded(batch)
+        for r in incremental_assign(nb, index, id_col="doc_id").collect():
+            seen_assignments[r.doc_id] = r.rep_id
+        index = upsert_band_index(index, nb, id_col="doc_id")
+    rebuilt = band_index(_full_banded(docs), id_col="doc_id")
+    final = {(r.band, r.bucket, r.rep) for r in index.collect()}
+    assert final == {(r.band, r.bucket, r.rep) for r in rebuilt.collect()}
+    # every doc got assigned exactly once, and each rep precedes-or-is
+    # its doc in ingest order (a rep is always already-ingested)
+    n_docs = docs.count()
+    assert len(seen_assignments) == n_docs
+    for doc_id, rep in seen_assignments.items():
+        assert rep == doc_id or (rep % 4) <= (doc_id % 4)
+
+
+def test_index_scratch_dir_master_aware(spark, monkeypatch):
+    """Index parquet provisioning mirrors the streaming-checkpoint
+    posture: env root wins (unique URI subdir), local masters get a temp
+    dir, non-local masters without a root refuse loudly (index part
+    files are executor-written)."""
+    import os
+
+    from multiomix_aws_emr_spark.plans.sketchcache import index_scratch_dir
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", "s3a://bucket/indexes/")
+    a = index_scratch_dir(spark, "ix")
+    b = index_scratch_dir(spark, "ix")
+    assert a.startswith("s3a://bucket/indexes/ix_") and a != b
+
+    monkeypatch.delenv("SPARK_GRAFT_INDEX_DIR")
+    d = index_scratch_dir(spark, "ix")
+    assert os.path.isdir(d)
+
+    class _SC:
+        master = "k8s://https://fleet:6443"
+
+    class _S:
+        sparkContext = _SC()
+
+    with pytest.raises(RuntimeError, match="SPARK_GRAFT_INDEX_DIR"):
+        index_scratch_dir(_S(), "ix")
+
+
 def test_empty_batch_yields_empty_assignment(spark, docs):
     old_idx = band_index(_full_banded(docs), id_col="doc_id")
     empty = docs.filter(F.lit(False))
