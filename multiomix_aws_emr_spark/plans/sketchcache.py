@@ -148,26 +148,16 @@ def index_scratch_dir(spark: SparkSession, prefix: str) -> str:
     REACH AND WRITE: index part files are written by EXECUTORS and read
     back by the driver's next plan, so a driver-local temp path silently
     loses partitions on a multi-node master — the same mislocation class
-    ``streaming.util.stream_checkpoint_dir`` guards state stores against.
-    Resolution order: ``SPARK_GRAFT_INDEX_DIR`` (a durable shared root —
-    HDFS/S3 on a fleet; unique per-call subdir under it), else a
-    driver-local temp dir when the master is local/local-cluster (one
-    host — shared by construction), else raise with the recipe."""
-    import tempfile
-    import uuid
+    ``streaming.util.stream_checkpoint_dir`` guards state stores against
+    (both delegate to ``session.shared_scratch_dir``). Durable root env:
+    ``SPARK_GRAFT_INDEX_DIR``."""
+    from multiomix_aws_emr_spark.session import shared_scratch_dir
 
-    root = os.environ.get("SPARK_GRAFT_INDEX_DIR")
-    if root:
-        return f"{root.rstrip('/')}/{prefix}_{uuid.uuid4().hex[:12]}"
-    from multiomix_aws_emr_spark.session import is_local_master
-
-    master = spark.sparkContext.master
-    if is_local_master(master):
-        return tempfile.mkdtemp(prefix=f"{prefix}_")
-    raise RuntimeError(
-        "persisted-index parquet on a non-local master requires a durable "
-        "shared root: set SPARK_GRAFT_INDEX_DIR to an HDFS/S3 URI "
-        f"reachable by every executor (master={master!r})"
+    return shared_scratch_dir(
+        spark,
+        prefix,
+        env_var="SPARK_GRAFT_INDEX_DIR",
+        what="persisted-index parquet",
     )
 
 

@@ -87,6 +87,33 @@ def is_local_master(master: str) -> bool:
     return master.startswith("local")
 
 
+def shared_scratch_dir(
+    spark: SparkSession, prefix: str, *, env_var: str, what: str
+) -> str:
+    """A per-run directory every node of the session's topology can reach
+    and write — the ONE provisioning policy behind every executor-written
+    artifact (streaming checkpoint state, persisted index parquet).
+    Resolution order: ``env_var`` names a durable shared root (HDFS/S3 on
+    a fleet; a unique per-run subdir under it is returned), else a
+    driver-local temp dir when the master is local/local-cluster (one
+    host — shared by construction), else raise with the recipe, because a
+    silently driver-local path loses executor-written files on a real
+    fleet."""
+    import uuid
+
+    root = os.environ.get(env_var)
+    if root:
+        return f"{root.rstrip('/')}/{prefix}_{uuid.uuid4().hex[:12]}"
+    master = spark.sparkContext.master
+    if is_local_master(master):
+        return tempfile.mkdtemp(prefix=f"{prefix}_")
+    raise RuntimeError(
+        f"{what} on a non-local master requires a durable shared root: "
+        f"set {env_var} to an HDFS/S3 URI reachable by every executor "
+        f"(master={master!r})"
+    )
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply the runtime conf baseline to an existing session (idempotent)."""
     for key, value in RUNTIME_CONF.items():

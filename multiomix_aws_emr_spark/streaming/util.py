@@ -17,7 +17,6 @@ so batch queries keep their own sizing.
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 from contextlib import contextmanager
 
@@ -47,18 +46,13 @@ def stream_checkpoint_dir(spark: SparkSession, prefix: str) -> str:
     (e.g. an S3 lifecycle rule on the prefix): failure leftovers and
     runs killed before cleanup are the owner's to expire.
     """
-    root = os.environ.get("SPARK_GRAFT_STREAM_CKPT_DIR")
-    if root:
-        return f"{root.rstrip('/')}/{prefix}_{uuid.uuid4().hex[:12]}"
-    master = spark.sparkContext.master
-    from multiomix_aws_emr_spark.session import is_local_master
+    from multiomix_aws_emr_spark.session import shared_scratch_dir
 
-    if is_local_master(master):
-        return tempfile.mkdtemp(prefix=f"{prefix}_")
-    raise RuntimeError(
-        "streaming checkpointLocation on a non-local master requires a "
-        "durable shared root: set SPARK_GRAFT_STREAM_CKPT_DIR to an "
-        f"HDFS/S3 URI reachable by every executor (master={master!r})"
+    return shared_scratch_dir(
+        spark,
+        prefix,
+        env_var="SPARK_GRAFT_STREAM_CKPT_DIR",
+        what="streaming checkpointLocation",
     )
 
 
