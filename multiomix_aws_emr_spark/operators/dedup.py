@@ -225,9 +225,12 @@ def incremental_assign(
     scale store the index bucketed/sorted on exactly that key so the
     probe joins co-located with zero index movement (plan-asserted:
     tests/test_incremental_dedup.py::test_bucketed_index_joins_colocated
-    — the bucketed scan is exchange-free AND sort-free), and Spark's
-    runtime bloom-filter injection (on by default) trims the index scan
-    to the batch's buckets when the size thresholds are met.
+    — the bucketed scan is exchange-free AND sort-free). Spark's runtime
+    bloom-filter injection does NOT fire on this shape as written
+    (checked at 1000x: Catalyst's InjectRuntimeFilter wants a selective
+    creation-side predicate it can recognize, and the batch side's
+    modulo filter is not one), so the bucketed layout is the remedy to
+    rely on, not runtime filters.
 
     After ingest, merge the batch into the index with
     :func:`upsert_band_index` (the maintenance_merge_upsert pattern).
