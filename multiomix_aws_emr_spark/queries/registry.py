@@ -30,10 +30,22 @@ per-DataFrame-class subclass whose action entry points
 (collect/count/toPandas/... and the ``write``/``writeTo`` sinks)
 re-apply this query's count just before running, so building several
 declared queries from one session and executing them in any order runs
-each at its own sizing. Frames DERIVED from a bound frame are ordinary
-DataFrames executing at whatever the conf then holds — the same
-session-conf semantics as before, now query-scoped at the declared
-surface. ``SPARK_GRAFT_SIZING_HINTS=0`` disables hints (the A/B lever).
+each at its own sizing. The binding PROPAGATES through composition
+(VERDICT r11 task 5): DataFrame-returning transformations on a bound
+frame return bound frames carrying the same count; ``groupBy``/
+``rollup``/``cube`` route through a thin builder proxy so their
+aggregates inherit too; the ``write``/``writeTo`` sinks return proxied
+writers that re-apply the count at every builder/terminal call (so a
+writer held across another query's build still submits at its owner's
+sizing — the r11 ``writeTo`` escape). Remaining escapes, documented:
+``spark.sql`` over a temp view of a bound frame and RDD round-trips
+produce unbound plans executing at whatever the conf then holds —
+sessions mixing those with hinted volume should add
+``session.adaptive_sizing_conf()`` (the runtime-adaptive complement;
+NOT applied per-hint here because its 16MB advisory is a measured
+1.2x loss on small-per-partition-state shapes like dedup_near_minhash
+at 1000x, BASELINE.md — static propagation is exact and side-effect
+free). ``SPARK_GRAFT_SIZING_HINTS=0`` disables hints (the A/B lever).
 """
 
 from __future__ import annotations
@@ -99,7 +111,7 @@ def _apply_sizing(
 
 
 #: DataFrame action entry points re-bound by :func:`_bind_execution_conf`;
-#: ``write``/``writeTo`` (the sink properties) are re-bound separately.
+#: the ``write``/``writeTo`` sinks are re-bound separately.
 _ACTION_METHODS = (
     "collect",
     "count",
@@ -115,17 +127,137 @@ _ACTION_METHODS = (
     "isEmpty",
 )
 
-_SINK_PROPERTIES = ("write", "writeTo")
+#: sink entry points: ``write`` is a property (returns DataFrameWriter);
+#: ``writeTo`` is a PLAIN METHOD in PySpark 4.x returning a
+#: DataFrameWriterV2 (the r11 ADVICE escape: an isinstance(…, property)
+#: check silently skipped it). Both are detected by their actual
+#: descriptor kind at class-build time, and both return a
+#: :class:`_BoundWriter` proxy so the TERMINAL call (save/append/…)
+#: re-applies the owner's count even when the writer is held across
+#: another query's build.
+_SINK_ENTRY_POINTS = ("write", "writeTo")
+
+#: DataFrame -> DataFrame transformations through which the binding
+#: propagates: composing on a declared query keeps its sizing.
+_TRANSFORM_METHODS = (
+    "select",
+    "selectExpr",
+    "filter",
+    "where",
+    "withColumn",
+    "withColumns",
+    "withColumnRenamed",
+    "withColumnsRenamed",
+    "drop",
+    "dropDuplicates",
+    "drop_duplicates",
+    "dropDuplicatesWithinWatermark",
+    "dropna",
+    "fillna",
+    "replace",
+    "distinct",
+    "limit",
+    "offset",
+    "orderBy",
+    "sort",
+    "sortWithinPartitions",
+    "repartition",
+    "repartitionByRange",
+    "coalesce",
+    "alias",
+    "join",
+    "crossJoin",
+    "union",
+    "unionAll",
+    "unionByName",
+    "intersect",
+    "intersectAll",
+    "exceptAll",
+    "subtract",
+    "sample",
+    "toDF",
+    "hint",
+    "checkpoint",
+    "localCheckpoint",
+    "withWatermark",
+    "transform",
+)
+
+#: grouping builders (return GroupedData, not DataFrame): routed through
+#: :class:`_BoundBuilder` so ``.agg``/``.pivot(...).agg`` inherit.
+_GROUPING_METHODS = ("groupBy", "groupby", "rollup", "cube")
+
+
+class _BoundBuilder:
+    """Thin proxy over an intermediate builder (GroupedData) produced by a
+    bound frame: DataFrames returned by its methods inherit the owning
+    query's execution binding; nested builders (``pivot``) re-wrap."""
+
+    __slots__ = ("_inner", "_conf")
+
+    def __init__(self, inner, conf):
+        object.__setattr__(self, "_inner", inner)
+        object.__setattr__(self, "_conf", conf)
+
+    def __getattr__(self, name):
+        val = getattr(self._inner, name)
+        if not callable(val):
+            return val
+        conf = self._conf
+
+        def call(*args, **kwargs):
+            out = val(*args, **kwargs)
+            if isinstance(out, DataFrame):
+                return _bind_execution_conf(out, *conf)
+            if type(out) is type(self._inner):
+                return _BoundBuilder(out, conf)
+            return out
+
+        return call
+
+
+class _BoundWriter:
+    """Thin proxy over a DataFrameWriter/DataFrameWriterV2 from a bound
+    frame: EVERY method call re-applies the owner's shuffle-partition
+    count first, so the terminal action (``save``/``parquet``/``append``/
+    ``create``/…) submits the job at the bound sizing no matter what was
+    built in between; builder-chaining calls (``mode``/``option``/
+    ``using``) re-wrap their returned writer."""
+
+    __slots__ = ("_inner", "_conf")
+
+    def __init__(self, inner, conf):
+        object.__setattr__(self, "_inner", inner)
+        object.__setattr__(self, "_conf", conf)
+
+    def __getattr__(self, name):
+        val = getattr(self._inner, name)
+        if not callable(val):
+            return val
+        conf = self._conf
+
+        def call(*args, **kwargs):
+            spark, target = conf
+            if spark.conf.get(_SHUFFLE_CONF) != target:
+                spark.conf.set(_SHUFFLE_CONF, target)
+            out = val(*args, **kwargs)
+            if out is self._inner or type(out) is type(self._inner):
+                return _BoundWriter(out, conf)
+            return out
+
+        return call
 
 #: one bound subclass per concrete DataFrame class, built lazily
 _BOUND_CLASSES: dict[type, type] = {}
 
 
 def _bound_class(base: type) -> type:
-    """A subclass of ``base`` whose action methods and sink properties
+    """A subclass of ``base`` whose action methods and sink entry points
     re-apply the owning query's shuffle-partition count (read from the
-    instance's ``_maes_exec_conf``) just before delegating. Built once
-    per concrete DataFrame class (classic vs connect vs test doubles)."""
+    instance's ``_maes_exec_conf``) just before delegating, and whose
+    transformations/grouping builders propagate the binding to derived
+    frames. Built once per concrete DataFrame class (classic vs connect
+    vs test doubles)."""
 
     def _reapply(self) -> None:
         spark, target = self._maes_exec_conf
@@ -148,17 +280,69 @@ def _bound_class(base: type) -> type:
         if callable(method):
             ns[name] = _make_action(name, method)
 
-    def _make_sink(name: str, prop):
+    def _make_transform(name: str, method, eager: bool = False):
+        def run(self, *args, **kwargs):
+            if eager:  # checkpoint/localCheckpoint submit a job NOW
+                self._maes_reapply()
+            out = method(self, *args, **kwargs)
+            if isinstance(out, DataFrame) and out is not self:
+                return _bind_execution_conf(out, *self._maes_exec_conf)
+            return out
+
+        run.__name__ = name
+        run.__doc__ = getattr(method, "__doc__", None)
+        return run
+
+    for name in _TRANSFORM_METHODS:
+        method = getattr(base, name, None)
+        if callable(method):
+            ns[name] = _make_transform(
+                name, method, eager=name in ("checkpoint", "localCheckpoint")
+            )
+
+    def _make_grouping(name: str, method):
+        def run(self, *args, **kwargs):
+            return _BoundBuilder(
+                method(self, *args, **kwargs), self._maes_exec_conf
+            )
+
+        run.__name__ = name
+        run.__doc__ = getattr(method, "__doc__", None)
+        return run
+
+    for name in _GROUPING_METHODS:
+        method = getattr(base, name, None)
+        if callable(method):
+            ns[name] = _make_grouping(name, method)
+
+    def _make_sink_property(name: str, prop):
         def fget(self):
             self._maes_reapply()
-            return prop.__get__(self, type(self))
+            return _BoundWriter(
+                prop.__get__(self, type(self)), self._maes_exec_conf
+            )
 
         return property(fget, doc=getattr(prop, "__doc__", None))
 
-    for name in _SINK_PROPERTIES:
+    def _make_sink_method(name: str, method):
+        def run(self, *args, **kwargs):
+            self._maes_reapply()
+            return _BoundWriter(
+                method(self, *args, **kwargs), self._maes_exec_conf
+            )
+
+        run.__name__ = name
+        run.__doc__ = getattr(method, "__doc__", None)
+        return run
+
+    for name in _SINK_ENTRY_POINTS:
         prop = getattr(base, name, None)
         if isinstance(prop, property):
-            ns[name] = _make_sink(name, prop)
+            ns[name] = _make_sink_property(name, prop)
+        elif callable(prop):
+            # PySpark 4.x writeTo: a plain method, not a property — the
+            # isinstance(…, property) check alone skipped it (ADVICE r11)
+            ns[name] = _make_sink_method(name, prop)
 
     sub = type(base.__name__, (base,), ns)
     sub.__module__ = base.__module__
@@ -173,10 +357,10 @@ def _bind_execution_conf(df: DataFrame, spark: SparkSession, target: str) -> Dat
     set-at-action-time value is the one the exchange planner sees —
     interleaved executions of several declared queries each run at their
     own sizing (VERDICT r10 task 2). The instance stays a DataFrame for
-    isinstance/schema/explain/transformations; frames DERIVED from it are
-    ordinary DataFrames executing at whatever the conf then holds, which
-    is this query's count if its action ran last — same session-conf
-    semantics as before, now query-scoped at the declared surface."""
+    isinstance/schema/explain/transformations; frames DERIVED from it
+    through the wrapped transformations/grouping builders inherit the
+    binding (VERDICT r11 task 5 — see the module docstring for the two
+    documented escapes: ``spark.sql`` over temp views, RDD round-trips)."""
     if hasattr(df, "_maes_exec_conf"):
         # already bound (a declared query composed from another's frame):
         # retarget in place rather than stacking subclasses

@@ -261,3 +261,85 @@ def test_executor_share_picks_cluster_true_count():
         14_142_382_155, cores=32, heap_bytes=8 << 30
     )
     assert by_driver_proxy == 896  # ~6x over-split vs the true share
+
+
+def test_derived_frames_inherit_binding(spark, sf_dir):
+    """VERDICT r11 task 5: frames DERIVED from a bound frame carry the
+    binding — composing on a hinted query keeps its sizing even when
+    another query's build rewrites the session conf in between."""
+    from multiomix_aws_emr_spark.queries.registry import _bind_execution_conf
+
+    base = _baseline(spark)
+    sized = _apply_sizing(spark, lambda _sf: 14 << 30, sf_dir)
+    assert int(sized) > int(base)
+    df = _bind_execution_conf(spark.range(100).toDF("x"), spark, sized)
+    derived = (
+        df.select("x")
+        .filter("x >= 0")
+        .withColumn("y", df.x * 2)
+        .join(df.select(df.x.alias("k")), df.x == 0, "left_semi")
+        .limit(100)
+    )
+    assert getattr(derived, "_maes_exec_conf", None) == (spark, sized)
+    # grouping builders propagate through the proxy too
+    agged = df.groupBy("x").count()
+    assert getattr(agged, "_maes_exec_conf", None) == (spark, sized)
+    # an unhinted build (the interleave) rewrites the conf...
+    _apply_sizing(spark, None, sf_dir)
+    assert spark.conf.get(CONF) == base
+    # ...but the derived frames still execute at their owner's count
+    assert derived.count() >= 0
+    assert spark.conf.get(CONF) == sized
+    assert agged.count() == 100
+    assert spark.conf.get(CONF) == sized
+    spark.conf.set(CONF, base)
+
+
+def test_derived_from_declared_query_at_fixture_scale(spark, sf_dir):
+    """sf-fixture guard: deriving from a declared hinted query floors to
+    the baseline (plans unchanged), and the derived frame is bound."""
+    base = _baseline(spark)
+    df = QUERIES["sql_large_volume_customer"](spark, sf_dir)
+    derived = df.selectExpr("*")
+    assert getattr(derived, "_maes_exec_conf", None) == (spark, base)
+    spark.conf.set(CONF, "7")
+    assert derived.count() >= 0
+    assert spark.conf.get(CONF) == base
+
+
+def test_writer_held_across_build_rebinds(spark, sf_dir):
+    """The writer proxy re-applies the owner's count at the TERMINAL
+    call, so a writer held across another query's build still submits
+    at its owner's sizing."""
+    from multiomix_aws_emr_spark.queries.registry import _bind_execution_conf
+
+    base = _baseline(spark)
+    sized = _apply_sizing(spark, lambda _sf: 14 << 30, sf_dir)
+    df = _bind_execution_conf(spark.range(10).toDF("x"), spark, sized)
+    w = df.write  # held...
+    _apply_sizing(spark, None, sf_dir)  # ...across an unhinted build
+    assert spark.conf.get(CONF) == base
+    w.mode("overwrite").format("noop").save()
+    assert spark.conf.get(CONF) == sized
+    spark.conf.set(CONF, base)
+
+
+def test_writeto_sink_rebinds(spark, sf_dir, tmp_path):
+    """ADVICE r11: PySpark 4.x ``writeTo`` is a plain method (not a
+    property) — it must still return a re-applying proxy."""
+    from multiomix_aws_emr_spark.queries.registry import _bind_execution_conf
+
+    base = _baseline(spark)
+    sized = _apply_sizing(spark, lambda _sf: 14 << 30, sf_dir)
+    df = _bind_execution_conf(spark.range(10).toDF("x"), spark, sized)
+    _apply_sizing(spark, None, sf_dir)
+    assert spark.conf.get(CONF) == base
+    tbl = "maes_writeto_rebind_test"
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        df.writeTo(tbl).using("parquet").create()
+        assert spark.conf.get(CONF) == sized
+        assert spark.table(tbl).count() == 10
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.conf.set(CONF, base)

@@ -61,16 +61,23 @@ def main() -> int:
         os.environ["SPARK_GRAFT_SIZING_HINTS"] = "0"
         manual: dict[int, float] = {}
         for n in SWEEP:
-            spark.conf.set(conf, str(n))
-            # the registry wrapper restores the baseline when hints are
-            # off, so re-pin the manual count via a post-build override:
-            # build first, then set, then execute
+            # With hints off the registry binds the frame to the BASELINE
+            # and the bound write sink re-applies that binding at save()
+            # time — a bare conf.set here is silently overridden and every
+            # "manual N" run would execute at the baseline (ADVICE r11,
+            # medium). RETARGET THE BINDING itself to the sweep point so
+            # the action-time re-apply pins exactly N.
             from multiomix_aws_emr_spark.queries import QUERIES
 
             df = QUERIES[qid](spark, args.big_dir)
-            spark.conf.set(conf, str(n))
+            df._maes_exec_conf = (spark, str(n))
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
+            executed_at = spark.conf.get(conf)
+            assert executed_at == str(n), (
+                f"manual sweep point did not bind: wanted {n}, "
+                f"executed at {executed_at}"
+            )
             manual[n] = round(time.perf_counter() - t0, 2)
         os.environ.pop("SPARK_GRAFT_SIZING_HINTS", None)
         spark.conf.set(conf, baseline)
