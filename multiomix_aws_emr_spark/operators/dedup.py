@@ -264,6 +264,65 @@ def upsert_band_index(index: DataFrame, new_banded: DataFrame, *, id_col: str) -
     )
 
 
+def upsert_band_membership(
+    membership: DataFrame, new_banded: DataFrame, *, id_col: str
+) -> DataFrame:
+    """Merge a new batch's banded rows into the persisted MEMBERSHIP table
+    ``(band, bucket, id)`` — the retraction-enabling companion of the
+    compact ``(band, bucket, rep)`` index. The index alone is lossy (rep =
+    min over the bucket's members, so it cannot answer "who is the next
+    rep if this one is deleted"); membership keeps every (bucket, member)
+    pair: docs x bands rows of ~25 bytes — ~1% of a text corpus's bytes,
+    stored partitioned/bucketed on (band, bucket) at warehouse scale so
+    retraction touches only affected buckets. Re-ingesting a batch is a
+    no-op (distinct on the full key)."""
+    return membership.unionByName(
+        new_banded.select("band", "bucket", id_col)
+    ).dropDuplicates(["band", "bucket", id_col])
+
+
+def retract_from_band_index(
+    index: DataFrame,
+    membership: DataFrame,
+    retract_ids: DataFrame,
+    *,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Delete documents from a persisted band index (VERDICT r11 task 2 —
+    the right-to-be-forgotten / recrawl maintenance op). Returns
+    ``(new_index, new_membership)`` equal to :func:`band_index` /
+    membership over the SURVIVING corpus — in particular, a bucket whose
+    rep was retracted gets the next-smallest surviving member as rep, and
+    a bucket with no survivors disappears entirely (min-merge alone could
+    never forget either).
+
+    Cost model: ``retract_ids`` (typically tiny — AQE broadcasts it) is
+    semi/anti-joined against membership; only the TOUCHED ``(band,
+    bucket)`` groups are re-aggregated, everything else passes through
+    with an anti-join — with membership bucketed on (band, bucket) the
+    recompute reads only affected buckets, never the corpus text. Cost is
+    O(membership of touched buckets), independent of corpus size.
+
+    Contract notes: historical ASSIGNMENTS are facts about what was
+    ingested when — retraction changes what future ingests see (a
+    retracted doc is never again proposed as rep), it does not rewrite
+    past batches. Re-ingesting a recrawled document afterwards is just a
+    normal ingest of its new text."""
+    surviving = membership.join(retract_ids, on=id_col, how="left_anti")
+    touched = (
+        membership.join(retract_ids, on=id_col, how="left_semi")
+        .select("band", "bucket")
+        .distinct()
+    )
+    recomputed = (
+        surviving.join(touched, ["band", "bucket"], "left_semi")
+        .groupBy("band", "bucket")
+        .agg(F.min(id_col).alias("rep"))
+    )
+    kept = index.join(touched, ["band", "bucket"], "left_anti")
+    return kept.unionByName(recomputed), surviving
+
+
 def minhash_lsh_clusters(
     df: DataFrame,
     *,

@@ -1,0 +1,344 @@
+"""Transactional rolling-corpus dedup store: atomic, replay-idempotent
+ingest of new batches against the persisted MinHash band index
+(VERDICT r11 tasks 3+4).
+
+The r11 incremental operators (operators/dedup.incremental_assign /
+upsert_band_index) left assign -> accepted-rows write -> index upsert as
+three separate artifacts: a crash between the batch write and the index
+upsert leaves them inconsistent, and two concurrent writers over a
+plain-parquet overwrite can silently lose buckets. This module composes
+them into ONE manifest-committed transaction, the same two-phase protocol
+as the Python-Data-Source sink (sources/pydatasource.py:268-330: stage
+everything, then publish a manifest; readers follow only the manifest).
+
+Store layout under a caller-owned root directory::
+
+    root/
+      manifest/v000001.json     <- the ONLY commit point (atomic link)
+      index_v1_<token>/         <- (band, bucket, rep) parquet, immutable
+      membership_v1_<token>/    <- (band, bucket, id) parquet, immutable
+      batches/<batch>_<token>/  <- banded/ + assignments/ parquet
+
+Protocol invariants:
+
+- **Versioned, writer-unique data dirs.** Every attempt writes fresh
+  dirs suffixed with a per-attempt token, so two concurrent writers can
+  never scribble on each other's files; a crashed attempt's dirs are
+  orphans no manifest references (sweep with :func:`sweep_orphans`).
+- **Atomic commit.** A manifest is fully written to a temp name, fsynced,
+  then published with ``os.link`` (atomic create-if-absent on POSIX and
+  HDFS): readers either see the complete previous version or the complete
+  new one, never a torn file.
+- **Replay idempotence.** Each ingest/retract carries an operation id
+  recorded in the manifest; re-running a committed operation returns the
+  stored result without writing anything, and re-running a CRASHED one
+  simply redoes the staging (orphaning the dead attempt) and commits.
+  The index math itself is min-merge (idempotent), so even a duplicate
+  commit of the same batch converges.
+- **Concurrent writers serialize or fail loudly.** The version chain is
+  optimistic concurrency: a commit claims ``v{N+1}`` by link-create; the
+  loser gets :class:`ConcurrentIngestError` (never a silent lost update)
+  and retries from the new manifest.
+
+Scope: the root must be a path every node can reach through a POSIX-like
+filesystem (local, NFS, HDFS via mount) — ``os.link`` semantics are the
+commit primitive. On an object store (S3) deploy the same layout over a
+conditional-put (If-None-Match) or a transactional table format instead;
+a ``://`` root is refused loudly rather than committed unsafely.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from multiomix_aws_emr_spark.operators.dedup import (
+    banded_buckets,
+    incremental_assign,
+    retract_from_band_index,
+    upsert_band_index,
+    upsert_band_membership,
+)
+
+
+class ConcurrentIngestError(RuntimeError):
+    """Another writer committed the version this transaction targeted.
+    Nothing was lost: re-read the store and retry the operation."""
+
+
+_DEFAULT_PARAMS = {
+    "num_hashes": 16,
+    "bands": 4,
+    "shingle_words": 3,
+    "portable": True,
+}
+
+
+def _check_root(root: str) -> str:
+    if "://" in root:
+        raise ValueError(
+            "the dedup store's commit primitive is POSIX link-create; "
+            "an object-store root needs conditional-put or a "
+            f"transactional table format (got {root!r})"
+        )
+    return root.rstrip("/")
+
+
+def _manifest_dir(root: str) -> str:
+    return os.path.join(_check_root(root), "manifest")
+
+
+def latest_manifest(root: str) -> tuple[int, dict]:
+    """``(version, manifest)`` of the newest committed manifest, or
+    ``(0, {"batches": {}})`` for an empty/new store. Published manifests
+    are complete by protocol (written + fsynced before link), so parse
+    errors are real corruption and raise."""
+    paths = glob.glob(os.path.join(_manifest_dir(root), "v*.json"))
+    if not paths:
+        return 0, {"batches": {}}
+    newest = max(paths, key=lambda p: int(os.path.basename(p)[1:-5]))
+    with open(newest) as fh:
+        return int(os.path.basename(newest)[1:-5]), json.load(fh)
+
+
+def _commit_manifest(root: str, version: int, manifest: dict) -> None:
+    """Atomically publish ``v{version}.json``: full temp write + fsync,
+    then ``os.link`` to the final name — create-if-absent is the
+    optimistic-concurrency claim on the version slot."""
+    mdir = _manifest_dir(root)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".tmp_{uuid.uuid4().hex[:12]}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    final = os.path.join(mdir, f"v{version:06d}.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise ConcurrentIngestError(
+            f"version {version} of {root} was committed by another writer "
+            "while this transaction staged; re-read the store and retry"
+        ) from None
+    finally:
+        os.unlink(tmp)
+
+
+def _crash_point(point: str) -> None:
+    """Fault-injection seam for the kill-probe tests: when
+    ``SPARK_GRAFT_INGEST_CRASH_POINT`` names this point, die here the way
+    a preempted driver would (hard exit for subprocess probes, exception
+    for in-process ones, per SPARK_GRAFT_INGEST_CRASH_MODE)."""
+    if os.environ.get("SPARK_GRAFT_INGEST_CRASH_POINT") != point:
+        return
+    if os.environ.get("SPARK_GRAFT_INGEST_CRASH_MODE") == "exit":
+        os._exit(137)
+    raise RuntimeError(f"injected crash at {point}")
+
+
+def _empty_like(df: DataFrame, cols: list[str]) -> DataFrame:
+    return df.select(*cols).limit(0)
+
+
+def _read_index(
+    spark: SparkSession, root: str, m: dict, nb: DataFrame, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(index, membership) of the committed store; empty frames with the
+    batch sketch's own schema for a brand-new store."""
+    if "index" in m:
+        return (
+            spark.read.parquet(os.path.join(root, m["index"])),
+            spark.read.parquet(os.path.join(root, m["membership"])),
+        )
+    from multiomix_aws_emr_spark.operators.dedup import band_index
+
+    return (
+        band_index(nb.limit(0), id_col=id_col),
+        _empty_like(nb, ["band", "bucket", id_col]),
+    )
+
+
+def ingest_batch(
+    spark: SparkSession,
+    root: str,
+    batch: DataFrame,
+    *,
+    batch_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **params,
+) -> DataFrame:
+    """One atomic ingest: shingle the batch (only the batch — history is
+    its compact index), assign reps, persist the accepted assignments,
+    upsert index + membership, commit. Returns the batch's
+    ``(id, rep_id)`` assignments as committed.
+
+    Re-running a committed ``batch_id`` returns the stored assignments
+    without writing (replay no-op); re-running a crashed attempt redoes
+    the staging and commits — convergence is asserted by the kill-probe
+    test matrix (tests/test_ingest_txn.py)."""
+    root = _check_root(root)
+    p = {**_DEFAULT_PARAMS, **params}
+    ver, m = latest_manifest(root)
+    committed = m["batches"].get(batch_id)
+    if committed is not None:
+        return spark.read.parquet(os.path.join(root, committed["assignments"]))
+    if ver and m.get("params") != p:
+        raise ValueError(
+            f"store {root} was built with params {m.get('params')}, "
+            f"got {p}: sketches would not be comparable"
+        )
+
+    token = uuid.uuid4().hex[:8]
+    bdir = f"batches/{batch_id}_{token}"
+    banded_rel = f"{bdir}/banded"
+    assigns_rel = f"{bdir}/assignments"
+    index_rel = f"index_v{ver + 1}_{token}"
+    member_rel = f"membership_v{ver + 1}_{token}"
+
+    # Stage 1: the batch sketch, materialized ONCE — both the assignment
+    # and the index upsert read it back, so the shingle->signature->band
+    # pipeline runs a single time per ingest.
+    banded_buckets(
+        batch, text_col=text_col, id_col=id_col, **p
+    ).write.parquet(os.path.join(root, banded_rel))
+    _crash_point("after_banded")
+    nb = spark.read.parquet(os.path.join(root, banded_rel))
+
+    index, membership = _read_index(spark, root, m, nb, id_col)
+
+    # Stage 2: accepted rows — the batch's rep assignments.
+    incremental_assign(nb, index, id_col=id_col).write.parquet(
+        os.path.join(root, assigns_rel)
+    )
+    _crash_point("after_assign")
+
+    # Stage 3: the next index + membership versions (writer-unique dirs).
+    upsert_band_index(index, nb, id_col=id_col).write.parquet(
+        os.path.join(root, index_rel)
+    )
+    upsert_band_membership(membership, nb, id_col=id_col).write.parquet(
+        os.path.join(root, member_rel)
+    )
+    _crash_point("after_index")
+
+    manifest = {
+        "version": ver + 1,
+        "parent": ver,
+        "params": p,
+        "index": index_rel,
+        "membership": member_rel,
+        "batches": {
+            **m["batches"],
+            batch_id: {"assignments": assigns_rel, "kind": "ingest"},
+        },
+    }
+    _crash_point("before_commit")
+    _commit_manifest(root, ver + 1, manifest)
+    return spark.read.parquet(os.path.join(root, assigns_rel))
+
+
+def retract_batch(
+    spark: SparkSession,
+    root: str,
+    retract_ids: DataFrame,
+    *,
+    op_id: str,
+    id_col: str = "doc_id",
+) -> None:
+    """One atomic retraction (right-to-be-forgotten / recrawl prep): the
+    surviving membership re-elects reps for every touched bucket and the
+    store commits a new index + membership version
+    (operators/dedup.retract_from_band_index). Replay-idempotent via
+    ``op_id``; concurrent writers get :class:`ConcurrentIngestError`."""
+    root = _check_root(root)
+    ver, m = latest_manifest(root)
+    if op_id in m["batches"]:
+        return
+    if not ver:
+        raise ValueError(f"store {root} is empty: nothing to retract")
+
+    token = uuid.uuid4().hex[:8]
+    index = spark.read.parquet(os.path.join(root, m["index"]))
+    membership = spark.read.parquet(os.path.join(root, m["membership"]))
+    new_index, new_membership = retract_from_band_index(
+        index, membership, retract_ids, id_col=id_col
+    )
+    index_rel = f"index_v{ver + 1}_{token}"
+    member_rel = f"membership_v{ver + 1}_{token}"
+    new_index.write.parquet(os.path.join(root, index_rel))
+    new_membership.write.parquet(os.path.join(root, member_rel))
+    _crash_point("after_index")
+
+    manifest = {
+        "version": ver + 1,
+        "parent": ver,
+        "params": m["params"],
+        "index": index_rel,
+        "membership": member_rel,
+        "batches": {**m["batches"], op_id: {"kind": "retract"}},
+    }
+    _crash_point("before_commit")
+    _commit_manifest(root, ver + 1, manifest)
+
+
+def read_index(spark: SparkSession, root: str) -> DataFrame:
+    """The committed ``(band, bucket, rep)`` index — readers follow the
+    manifest only, so staged/orphaned attempts are invisible."""
+    ver, m = latest_manifest(root)
+    if not ver:
+        raise ValueError(f"store {root} has no committed version")
+    return spark.read.parquet(os.path.join(root, m["index"]))
+
+
+def read_membership(spark: SparkSession, root: str) -> DataFrame:
+    ver, m = latest_manifest(root)
+    if not ver:
+        raise ValueError(f"store {root} has no committed version")
+    return spark.read.parquet(os.path.join(root, m["membership"]))
+
+
+def read_assignments(spark: SparkSession, root: str, batch_id: str) -> DataFrame:
+    """A committed batch's ``(id, rep_id)`` assignments."""
+    _, m = latest_manifest(root)
+    rec = m["batches"].get(batch_id)
+    if rec is None or "assignments" not in rec:
+        raise KeyError(f"no committed ingest {batch_id!r} in {root}")
+    return spark.read.parquet(os.path.join(root, rec["assignments"]))
+
+
+def sweep_orphans(root: str) -> list[str]:
+    """The store's janitor: delete data dirs the newest manifest does not
+    reference — crashed attempts' staging, race losers' versions, and
+    superseded index/membership history. Returns the swept relative
+    paths. Run it in a MAINTENANCE WINDOW (no writer in flight): an
+    in-flight writer's freshly staged dirs are indistinguishable from a
+    crashed attempt's until its manifest commits, so sweeping while a
+    writer stages could delete its work (it would fail loudly at read,
+    not corrupt the store — committed state is only ever what the newest
+    manifest names — but the ingest would have to be retried)."""
+    import shutil
+
+    root = _check_root(root)
+    ver, m = latest_manifest(root)
+    keep = {m.get("index"), m.get("membership")}
+    for rec in m["batches"].values():
+        if "assignments" in rec:
+            keep.add(os.path.dirname(rec["assignments"]))
+    swept = []
+    for entry in os.listdir(root) if os.path.isdir(root) else []:
+        if entry.startswith(("index_v", "membership_v")) and entry not in keep:
+            v = int(entry.split("_v")[1].split("_")[0])
+            if v <= ver:  # superseded or a race loser; > ver may be staging
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+                swept.append(entry)
+    bdir = os.path.join(root, "batches")
+    for entry in os.listdir(bdir) if os.path.isdir(bdir) else []:
+        if os.path.join("batches", entry) not in keep:
+            shutil.rmtree(os.path.join(bdir, entry), ignore_errors=True)
+            swept.append(os.path.join("batches", entry))
+    return swept

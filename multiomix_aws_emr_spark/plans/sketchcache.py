@@ -44,9 +44,13 @@ def _put(key: tuple, df: DataFrame) -> None:
     is always the owning applicationId, so anything keyed differently
     belongs to a stopped (or at least different) session whose plan
     handles this process can no longer use."""
+    import threading
+
     app_id = key[0]
     for k in [k for k in _cache if k[0] != app_id]:
-        del _cache[k]
+        evicted = _cache.pop(k)
+        if isinstance(evicted, threading.Event):
+            evicted.set()  # wake any waiter; it re-checks and rebuilds
     _cache[key] = df
 
 
@@ -111,36 +115,61 @@ def minhash_band_index(
 
     from multiomix_aws_emr_spark.operators.dedup import band_index
 
+    import threading
+
     key = (
         spark.sparkContext.applicationId,
         os.path.realpath(sf_dir),
         "bandindex",
         split_mod,
     )
+    # Double-checked publish with a per-key building sentinel (ADVICE
+    # r11): the index parquet WRITE is a full Spark job over the
+    # historical slice, so it must run OUTSIDE ``_lock`` — holding the
+    # module lock for its duration would block every other sketch-cache
+    # consumer (banded_documents, fivegram_hashes) behind one build.
     with _lock:
         cached = _cache.get(key)
-        if cached is not None:
+        if isinstance(cached, threading.Event):
+            ev, builder = cached, False
+        elif cached is not None:
             return cached
-    # Derive the historical slice's banded rows from the SESSION-SHARED
-    # full-corpus sketch (above) rather than re-shingling the slice: a
-    # banded row is a function of its document's own text only, so the
-    # slice's sketch is exactly a filter of the corpus sketch. Five
-    # declared queries now share one shingle->signature->band pass.
-    # (banded_documents takes _lock itself, so it is called outside the
-    # cache check above.)
-    banded = banded_documents(spark, sf_dir, portable=True)
-    idx = band_index(
-        banded.filter(F.col("doc_id") % split_mod != 0), id_col="doc_id"
-    )
-    with _lock:
-        cached = _cache.get(key)  # racer may have built it meanwhile
-        if cached is not None:
+        else:
+            ev, builder = threading.Event(), True
+            _cache[key] = ev
+    if not builder:
+        ev.wait()
+        with _lock:
+            cached = _cache.get(key)
+        if isinstance(cached, tuple):
             return cached
+        # the builder failed and cleared the sentinel: try building
+        return minhash_band_index(spark, sf_dir, split_mod=split_mod)
+    try:
+        # Derive the historical slice's banded rows from the
+        # SESSION-SHARED full-corpus sketch (above) rather than
+        # re-shingling the slice: a banded row is a function of its
+        # document's own text only, so the slice's sketch is exactly a
+        # filter of the corpus sketch. Six declared queries now share one
+        # shingle->signature->band pass. (banded_documents takes _lock
+        # itself briefly — fine: this thread holds no lock here.)
+        banded = banded_documents(spark, sf_dir, portable=True)
+        idx = band_index(
+            banded.filter(F.col("doc_id") % split_mod != 0), id_col="doc_id"
+        )
         path = index_scratch_dir(spark, "minhash_band_index")
         idx.write.mode("overwrite").parquet(path)
         entry = (spark.read.parquet(path), path)
+    except BaseException:
+        with _lock:
+            if _cache.get(key) is ev:
+                del _cache[key]
+        ev.set()  # wake waiters so they can retry (or fail) themselves
+        raise
+    with _lock:
         _put(key, entry)
-        return entry
+    ev.set()
+    return entry
 
 
 def index_scratch_dir(spark: SparkSession, prefix: str) -> str:
@@ -150,7 +179,19 @@ def index_scratch_dir(spark: SparkSession, prefix: str) -> str:
     loses partitions on a multi-node master — the same mislocation class
     ``streaming.util.stream_checkpoint_dir`` guards state stores against
     (both delegate to ``session.shared_scratch_dir``). Durable root env:
-    ``SPARK_GRAFT_INDEX_DIR``."""
+    ``SPARK_GRAFT_INDEX_DIR``.
+
+    Lifecycle (the stream_checkpoint_dir analog, ADVICE r11): the index
+    parquet must OUTLIVE the build call — the session's cached plans read
+    it for the rest of the session — so unlike a bounded stream's
+    checkpoint there is no delete-on-success point; it dies with the
+    scratch. Local-master runs land in a driver tempdir (the OS tmp
+    sweeper's to expire); a durable ``SPARK_GRAFT_INDEX_DIR`` root
+    accumulates one small dir per (session, corpus) and its owner should
+    attach a TTL/janitor policy to the prefix, exactly like the
+    streaming-checkpoint root. Long-lived CROSS-SESSION indexes belong in
+    the transactional dedup store instead (operators/ingest.py — versioned
+    + manifest-committed, with ``sweep_orphans`` as the janitor)."""
     from multiomix_aws_emr_spark.session import shared_scratch_dir
 
     return shared_scratch_dir(

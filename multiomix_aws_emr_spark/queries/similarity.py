@@ -200,6 +200,45 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_assign(new_banded, index, id_col="doc_id")
 
 
+@query("pipeline_incremental_ingest", oracle=_minhash_incremental_oracle())
+def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSACTIONAL rolling-ingest pipeline end-to-end (VERDICT r11
+    task 3): a fresh dedup store ingests the corpus as two batches through
+    ``operators/ingest.ingest_batch`` — each ingest stages the batch
+    sketch, the rep assignments, and the upserted index + membership
+    versions, then COMMITS them as one atomic manifest publish (the
+    sink_python_datasource two-phase pattern); a crash anywhere leaves
+    the previous committed version readable and a re-run converges
+    (kill-probed in tests/test_ingest_txn.py). Emits the second batch's
+    committed ``(doc_id, rep_id)`` assignments, which must be
+    bit-identical to the non-transactional index path — the oracle is
+    the same from-raw-text recomputation ``dedup_incremental_minhash``
+    is checked against, so the transaction machinery is proven to change
+    durability, not results."""
+    from multiomix_aws_emr_spark.operators.ingest import ingest_batch
+    from multiomix_aws_emr_spark.session import shared_scratch_dir
+
+    root = shared_scratch_dir(
+        spark,
+        "dedup_store",
+        env_var="SPARK_GRAFT_DEDUP_STORE_DIR",
+        what="transactional dedup store (POSIX-shared path)",
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ingest_batch(
+        spark,
+        root,
+        docs.filter(F.col("doc_id") % 4 != 0),
+        batch_id="history",
+    )
+    return ingest_batch(
+        spark,
+        root,
+        docs.filter(F.col("doc_id") % 4 == 0),
+        batch_id="incoming",
+    )
+
+
 _ANN_ORACLE_TMPL = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

@@ -1,0 +1,276 @@
+"""Transactional dedup store (VERDICT r11 tasks 2-4): atomic
+replay-idempotent ingest, crash convergence at every kill point,
+loud-failure concurrent-writer contract, and index retraction."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from multiomix_aws_emr_spark.operators.dedup import band_index, banded_buckets
+from multiomix_aws_emr_spark.operators.ingest import (
+    ConcurrentIngestError,
+    _commit_manifest,
+    ingest_batch,
+    latest_manifest,
+    read_assignments,
+    read_index,
+    read_membership,
+    retract_batch,
+    sweep_orphans,
+)
+from multiomix_aws_emr_spark.sources.tables import load
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def _banded(docs):
+    return banded_buckets(docs, text_col="text", id_col="doc_id", portable=True)
+
+
+def _index_set(df):
+    return {(r.band, r.bucket, r.rep) for r in df.collect()}
+
+
+def _assign_map(df):
+    return {r.doc_id: r.rep_id for r in df.collect()}
+
+
+def _clean_two_batch_store(spark, docs, root):
+    ingest_batch(
+        spark, root, docs.filter(F.col("doc_id") % 4 != 0), batch_id="b0"
+    )
+    return ingest_batch(
+        spark, root, docs.filter(F.col("doc_id") % 4 == 0), batch_id="b1"
+    )
+
+
+def test_two_batch_ingest_matches_rebuild(spark, docs, tmp_path):
+    """Final committed index == from-scratch band_index over everything;
+    the second batch's assignments == the non-transactional index path."""
+    from multiomix_aws_emr_spark.operators.dedup import incremental_assign
+
+    root = str(tmp_path / "store")
+    got = _assign_map(_clean_two_batch_store(spark, docs, root))
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    expected = _assign_map(
+        incremental_assign(
+            _banded(new), band_index(_banded(old), id_col="doc_id"),
+            id_col="doc_id",
+        )
+    )
+    assert got == expected
+    assert _index_set(read_index(spark, root)) == _index_set(
+        band_index(_banded(docs), id_col="doc_id")
+    )
+    ver, m = latest_manifest(root)
+    assert ver == 2 and set(m["batches"]) == {"b0", "b1"}
+
+
+def test_replay_committed_batch_is_noop(spark, docs, tmp_path):
+    root = str(tmp_path / "store")
+    first = _assign_map(_clean_two_batch_store(spark, docs, root))
+    ver_before, _ = latest_manifest(root)
+    again = ingest_batch(
+        spark, root, docs.filter(F.col("doc_id") % 4 == 0), batch_id="b1"
+    )
+    assert _assign_map(again) == first
+    assert latest_manifest(root)[0] == ver_before  # nothing re-committed
+
+
+@pytest.mark.parametrize(
+    "crash_point", ["after_banded", "after_assign", "after_index", "before_commit"]
+)
+def test_crash_then_rerun_converges(spark, docs, tmp_path, monkeypatch, crash_point):
+    """The kill matrix: a crash at ANY point of the second ingest leaves
+    the v1 store intact and readable, and a plain re-run converges to
+    exactly the clean two-batch result."""
+    clean_root = str(tmp_path / "clean")
+    clean_assigns = _assign_map(_clean_two_batch_store(spark, docs, clean_root))
+    clean_index = _index_set(read_index(spark, clean_root))
+
+    root = str(tmp_path / "crashy")
+    batch0 = docs.filter(F.col("doc_id") % 4 != 0)
+    batch1 = docs.filter(F.col("doc_id") % 4 == 0)
+    ingest_batch(spark, root, batch0, batch_id="b0")
+    v1_index = _index_set(read_index(spark, root))
+
+    monkeypatch.setenv("SPARK_GRAFT_INGEST_CRASH_POINT", crash_point)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest_batch(spark, root, batch1, batch_id="b1")
+    # consistency at the kill point: committed state is still v1, whole
+    ver, m = latest_manifest(root)
+    assert ver == 1 and "b1" not in m["batches"]
+    assert _index_set(read_index(spark, root)) == v1_index
+    with pytest.raises(KeyError):
+        read_assignments(spark, root, "b1")
+
+    monkeypatch.delenv("SPARK_GRAFT_INGEST_CRASH_POINT")
+    rerun = ingest_batch(spark, root, batch1, batch_id="b1")
+    assert _assign_map(rerun) == clean_assigns
+    assert _index_set(read_index(spark, root)) == clean_index
+    # the dead attempt's staging is orphaned, invisible, and sweepable
+    swept = sweep_orphans(root)
+    assert _index_set(read_index(spark, root)) == clean_index
+    assert _assign_map(read_assignments(spark, root, "b1")) == clean_assigns
+    if crash_point in ("after_index", "before_commit"):
+        assert any(e.startswith("index_v2") for e in swept)
+
+
+def test_hard_kill_subprocess_then_recover(spark, docs, tmp_path, sf_dir):
+    """The r9/r10 kill-probe pattern, process-level: a separate driver
+    process is SIGKILLED (os._exit 137) mid-ingest — between the index
+    write and the manifest commit — and this session's plain re-run
+    converges. Proves convergence needs no in-process cleanup handler."""
+    root = str(tmp_path / "store")
+    batch0 = docs.filter(F.col("doc_id") % 4 != 0)
+    ingest_batch(spark, root, batch0, batch_id="b0")
+    v1 = latest_manifest(root)
+
+    script = f"""
+import sys
+sys.path.insert(0, {REPO!r})
+from multiomix_aws_emr_spark.session import build_session
+from multiomix_aws_emr_spark.operators.ingest import ingest_batch
+from pyspark.sql import functions as F
+from multiomix_aws_emr_spark.sources.tables import load
+spark = build_session(master="local[4]", shuffle_partitions=4)
+docs = load(spark, {sf_dir!r}, "documents").select("doc_id", "text")
+ingest_batch(spark, {root!r}, docs.filter(F.col("doc_id") % 4 == 0), batch_id="b1")
+"""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_INGEST_CRASH_POINT="after_index",
+        SPARK_GRAFT_INGEST_CRASH_MODE="exit",
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script], env=env, capture_output=True, timeout=300
+    )
+    assert proc.returncode == 137, proc.stderr.decode()[-2000:]
+    assert latest_manifest(root) == v1  # store untouched by the dead driver
+
+    rerun = ingest_batch(
+        spark, root, docs.filter(F.col("doc_id") % 4 == 0), batch_id="b1"
+    )
+    assert _index_set(read_index(spark, root)) == _index_set(
+        band_index(_banded(docs), id_col="doc_id")
+    )
+    assert len(_assign_map(rerun)) == docs.filter(F.col("doc_id") % 4 == 0).count()
+
+
+def test_concurrent_commit_fails_loudly(spark, docs, tmp_path):
+    """VERDICT r11 task 4: two writers racing one version slot — the
+    loser gets ConcurrentIngestError, never a silent lost update, and a
+    retry from the new manifest lands BOTH batches' buckets."""
+    root = str(tmp_path / "store")
+    ingest_batch(spark, root, docs.filter(F.col("doc_id") % 4 == 1), batch_id="bA")
+    # the direct contract: claiming an already-committed version slot raises
+    _, m = latest_manifest(root)
+    with pytest.raises(ConcurrentIngestError):
+        _commit_manifest(root, 1, m)
+
+    # end-to-end interleave: writer 1 stages then dies pre-commit; writer 2
+    # commits v2; writer 1's retry targets v3 and loses nothing
+    os.environ["SPARK_GRAFT_INGEST_CRASH_POINT"] = "before_commit"
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            ingest_batch(
+                spark, root, docs.filter(F.col("doc_id") % 4 == 2), batch_id="bB"
+            )
+    finally:
+        os.environ.pop("SPARK_GRAFT_INGEST_CRASH_POINT", None)
+    ingest_batch(spark, root, docs.filter(F.col("doc_id") % 4 == 3), batch_id="bC")
+    ingest_batch(spark, root, docs.filter(F.col("doc_id") % 4 == 2), batch_id="bB")
+    ver, m = latest_manifest(root)
+    assert ver == 3 and set(m["batches"]) == {"bA", "bB", "bC"}
+    survivors = docs.filter(F.col("doc_id") % 4 != 0)
+    assert _index_set(read_index(spark, root)) == _index_set(
+        band_index(_banded(survivors), id_col="doc_id")
+    )
+
+
+def test_retract_rep_doc_equals_surviving_rebuild(spark, docs, tmp_path):
+    """VERDICT r11 task 2's done-bar: delete a document that IS a bucket
+    rep — the retracted index must equal band_index over the surviving
+    corpus (next-smallest member takes over; empty buckets vanish)."""
+    root = str(tmp_path / "store")
+    _clean_two_batch_store(spark, docs, root)
+    membership = read_membership(spark, root)
+    # pick a rep that shares a bucket with at least one other doc — the
+    # case min-merge could never forget — plus a solo doc's rep
+    crowded = (
+        membership.groupBy("band", "bucket")
+        .agg(F.min("doc_id").alias("rep"), F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("rep")
+        .limit(1)
+    )
+    victim = [r.rep for r in crowded.collect()]
+    assert victim, "fixture has no multi-member bucket"
+    retract = spark.createDataFrame([(v,) for v in victim], "doc_id BIGINT")
+    retract_batch(spark, root, retract, op_id="gdpr-1")
+
+    surviving = docs.join(retract, "doc_id", "left_anti")
+    assert _index_set(read_index(spark, root)) == _index_set(
+        band_index(_banded(surviving), id_col="doc_id")
+    )
+    mset = {
+        (r.band, r.bucket, r.doc_id)
+        for r in read_membership(spark, root).collect()
+    }
+    expected_m = {
+        (r.band, r.bucket, r.doc_id) for r in _banded(surviving).collect()
+    }
+    assert mset == expected_m
+    # replay of the same retraction is a no-op
+    ver_before, _ = latest_manifest(root)
+    retract_batch(spark, root, retract, op_id="gdpr-1")
+    assert latest_manifest(root)[0] == ver_before
+    # a retracted doc is never again proposed as rep to future ingests
+    assert not read_index(spark, root).filter(
+        F.col("rep").isin(victim)
+    ).count()
+
+
+def test_params_pinned_and_uri_root_refused(spark, docs, tmp_path):
+    root = str(tmp_path / "store")
+    ingest_batch(spark, root, docs.limit(5), batch_id="b0")
+    with pytest.raises(ValueError, match="params"):
+        ingest_batch(spark, root, docs.limit(5), batch_id="b1", bands=8)
+    with pytest.raises(ValueError, match="conditional-put"):
+        ingest_batch(spark, "s3a://bucket/store", docs, batch_id="x")
+
+
+def test_declared_query_matches_index_path(spark, sf_dir):
+    """pipeline_incremental_ingest emits exactly what the
+    non-transactional dedup_incremental_minhash emits."""
+    from multiomix_aws_emr_spark.queries import QUERIES
+
+    txn = _assign_map(QUERIES["pipeline_incremental_ingest"](spark, sf_dir))
+    plain = _assign_map(QUERIES["dedup_incremental_minhash"](spark, sf_dir))
+    assert txn == plain
+
+
+def test_manifest_publish_is_complete_file(tmp_path):
+    """The link-publish protocol: a published manifest parses, and no
+    temp residue is left next to it."""
+    root = str(tmp_path / "store")
+    _commit_manifest(root, 1, {"version": 1, "batches": {}})
+    ver, m = latest_manifest(root)
+    assert ver == 1 and m["version"] == 1
+    residue = [
+        f for f in os.listdir(os.path.join(root, "manifest"))
+        if f.startswith(".tmp")
+    ]
+    assert residue == []
+    with open(os.path.join(root, "manifest", "v000001.json")) as fh:
+        json.load(fh)
