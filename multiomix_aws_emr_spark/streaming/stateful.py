@@ -99,25 +99,26 @@ def run_running_totals(
     from multiomix_aws_emr_spark.streaming.util import await_bounded
 
     ckpt = stream_checkpoint_dir(spark, "ck_st")
-    try:
-        with bounded_state_partitions(spark, n_state):
-            w = (
-                out.writeStream.outputMode("update")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-            )
-            if sink_dir is None:
-                q = w.format("memory").queryName(table).start()
-            else:
-                out_path = os.path.join(sink_dir, table)
+    with bounded_state_partitions(spark, n_state):
+        w = (
+            out.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+        )
+        if sink_dir is None:
+            q = w.format("memory").queryName(table).start()
+        else:
+            out_path = os.path.join(sink_dir, table)
 
-                def _append(batch_df: DataFrame, batch_id: int) -> None:
-                    batch_df.write.mode("append").parquet(out_path)
+            def _append(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.write.mode("append").parquet(out_path)
 
-                q = w.foreachBatch(_append).start()
-            await_bounded(q, table)
-    finally:
-        cleanup_stream_checkpoint(ckpt, spark)
+            q = w.foreachBatch(_append).start()
+        await_bounded(q, table)
+    # SUCCESS-ONLY sweep (the stream_checkpoint_dir policy): a failed run
+    # keeps its checkpoint for diagnosis; the durable root's TTL janitor
+    # is the backstop for leftovers.
+    cleanup_stream_checkpoint(ckpt, spark)
     from pyspark.sql import functions as F
 
     if sink_dir is None:

@@ -42,9 +42,14 @@ def stream_checkpoint_dir(spark: SparkSession, prefix: str) -> str:
     Durable-root lifecycle: bounded runners delete their per-run subdir
     on success (``cleanup_stream_checkpoint`` with the session handle —
     Hadoop-FS delete for URI roots) and KEEP it on failure for
-    diagnosis. The root's owner should still attach a TTL/janitor policy
-    (e.g. an S3 lifecycle rule on the prefix): failure leftovers and
-    runs killed before cleanup are the owner's to expire.
+    diagnosis — every runner site sweeps on the success path only
+    (ADVICE r11 made this uniform), with ONE deliberate exception:
+    :func:`prewarm_streaming_runtime` sweeps unconditionally, because
+    its checkpoint warms a 5-row throwaway stream whose failures are
+    swallowed by design — there is nothing to diagnose. The root's
+    owner should still attach a TTL/janitor policy (e.g. an S3
+    lifecycle rule on the prefix): failure leftovers and runs killed
+    before cleanup are the owner's to expire.
     """
     from multiomix_aws_emr_spark.session import shared_scratch_dir
 

@@ -75,26 +75,27 @@ def run_watermarked_tumbling_with_drop_count(
     out = watermarked_tumbling_plan(stream)
     table = f"wm_{uuid.uuid4().hex[:8]}"
     ckpt = stream_checkpoint_dir(spark, "ck_wm")
-    try:
-        with bounded_state_partitions(spark, n_state):
-            q = (
-                out.writeStream.format("memory")
-                .queryName(table)
-                .outputMode("append")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            dropped = 0
-            for progress in q.recentProgress:
-                for op in progress.get("stateOperators", []):
-                    dropped += int(op.get("numRowsDroppedByWatermark", 0))
-        # Materialize before the checkpoint dir disappears.
-        result = spark.table(table)
-        result.count()
-    finally:
-        cleanup_stream_checkpoint(ckpt, spark)
+    with bounded_state_partitions(spark, n_state):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dropped = 0
+        for progress in q.recentProgress:
+            for op in progress.get("stateOperators", []):
+                dropped += int(op.get("numRowsDroppedByWatermark", 0))
+    # Materialize before the checkpoint dir disappears.
+    result = spark.table(table)
+    result.count()
+    # SUCCESS-ONLY sweep (the stream_checkpoint_dir policy): a failed run
+    # keeps its checkpoint for diagnosis; the durable root's TTL janitor
+    # is the backstop for leftovers.
+    cleanup_stream_checkpoint(ckpt, spark)
     return result, dropped
 
 
@@ -147,48 +148,50 @@ def rate_source_smoke(
     )
     out = watermarked_tumbling_plan(ev)
     ckpt = stream_checkpoint_dir(spark, "ck_rate")
+    q = (
+        out.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    start = _time.monotonic()
+    hard_deadline = start + hard_cap_sec
+    # the stall clock counts from the stream start and resets on every
+    # NEW progress event (tracked by batchId); empty batches count as
+    # progress — the engine is alive, just hasn't ingested yet
+    last_progress_at = start
+    seen_batch_ids: set = set()
+    reason = None
     try:
-        q = (
-            out.writeStream.format("noop")
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        start = _time.monotonic()
-        hard_deadline = start + hard_cap_sec
-        # the stall clock counts from the stream start and resets on every
-        # NEW progress event (tracked by batchId); empty batches count as
-        # progress — the engine is alive, just hasn't ingested yet
-        last_progress_at = start
-        seen_batch_ids: set = set()
-        reason = None
-        try:
-            while True:
-                for p in q.recentProgress:
-                    bid = p.get("batchId")
-                    if bid not in seen_batch_ids:
-                        seen_batch_ids.add(bid)
-                        last_progress_at = _time.monotonic()
-                nonempty = [
-                    p
-                    for p in q.recentProgress
-                    if int(p.get("numInputRows", 0)) > 0
-                ]
-                if len(nonempty) >= min_batches:
-                    break
-                now = _time.monotonic()
-                if now - last_progress_at > stall_timeout_sec:
-                    reason = "stalled"  # no new micro-batch for the window
-                    break
-                if now > hard_deadline:
-                    reason = "hard_cap"  # alive but rowless until the cap
-                    break
-                _time.sleep(0.5)
-            progress = list(q.recentProgress)
-        finally:
-            q.stop()
+        while True:
+            for p in q.recentProgress:
+                bid = p.get("batchId")
+                if bid not in seen_batch_ids:
+                    seen_batch_ids.add(bid)
+                    last_progress_at = _time.monotonic()
+            nonempty = [
+                p
+                for p in q.recentProgress
+                if int(p.get("numInputRows", 0)) > 0
+            ]
+            if len(nonempty) >= min_batches:
+                break
+            now = _time.monotonic()
+            if now - last_progress_at > stall_timeout_sec:
+                reason = "stalled"  # no new micro-batch for the window
+                break
+            if now > hard_deadline:
+                reason = "hard_cap"  # alive but rowless until the cap
+                break
+            _time.sleep(0.5)
+        progress = list(q.recentProgress)
     finally:
-        cleanup_stream_checkpoint(ckpt, spark)
+        q.stop()  # an unstopped rate stream would burn cores forever
+    # SUCCESS-ONLY sweep (stream_checkpoint_dir policy): an exception
+    # keeps the checkpoint for diagnosis. A stalled/hard-cap outcome
+    # returns normally (reason in the dict) and sweeps — a synthetic
+    # rate source's offsets have no diagnostic value.
+    cleanup_stream_checkpoint(ckpt, spark)
     input_rows = sum(int(p.get("numInputRows", 0)) for p in progress)
     wm_set = any(
         p.get("eventTime", {}).get("watermark", "1970-01-01T00:00:00.000Z")
