@@ -67,52 +67,39 @@ def _last_verified_round() -> dict[str, int]:
 # Queries whose newest driver evidence predates their current code or
 # oracle must land inside the driver's ~50-query budget regardless of
 # what the LRU sort alone would pick (the r5 convention: code-newer-
-# than-evidence is the worst staleness). Round 11 pins exactly this
+# than-evidence is the worst staleness). Round 12 pins exactly this
 # round's own edits:
 #
-# 1. queries/registry.py changed the wrapper for EVERY declared query
-#    (execution-scoped sizing binding) and session.py changed
-#    configure/build_session (eager baseline capture). Both are on
-#    every declared path — a breakage fails all 180 at once, which the
-#    driver run detects (the r9 conf-assembly precedent) — so they pin
-#    nothing by themselves. The three qids that gained a MEASURED
-#    sizing hint execute a changed per-qid path and are pinned:
-#    dedup_ngram_jaccard, dedup_simhash, text_unigram_rarity.
-# 2. operators/dedup.py grew band_index/incremental_assign/
-#    upsert_band_index (new functions; existing bodies untouched) and
-#    plans/sketchcache.py grew minhash_band_index — function-scoped per
-#    the r9 llmdata precedent; the file-level convention still pins the
-#    sketch consumers dedup_near_minhash + dedup_minhash_components.
-#    The NEW qid dedup_incremental_minhash is never-verified and leads
-#    the LRU segment automatically.
-# 3. operators/checkpointing.py + streaming/util.py now route the
-#    local-master predicate through session.is_local_master, and every
-#    streaming runner passes the session handle to
-#    cleanup_stream_checkpoint (URI sweep). On the driver's local
-#    master both return exactly the prior behavior, and a breakage
-#    fails every streaming/fixpoint qid at once (conf-assembly
-#    precedent) — pinned representatives: graph_pagerank (fixpoint),
-#    stream_rollup_upsert + source_python_stream (streaming cleanup
-#    callers in two different modules); all 15 streaming/connector
-#    qids were re-verified green locally after the edit
-#    (tests/test_stream_ckpt_sweep.py runs the full surface).
+# 1. queries/registry.py changed the bound-class machinery for EVERY
+#    declared query (derived-frame binding propagation, writer proxies)
+#    — on every declared path, so a breakage fails all 181 at once (the
+#    r9 conf-assembly precedent): pins nothing by itself.
+# 2. plans/sketchcache.py restructured minhash_band_index (build+write
+#    moved outside the module lock, sentinel publish) and _put (sentinel
+#    -aware eviction) — file-level convention pins the sketch-cache
+#    consumers whose build path changed: dedup_incremental_minhash (the
+#    direct minhash_band_index consumer), dedup_near_minhash +
+#    dedup_minhash_components (banded_documents consumers through the
+#    changed _put).
+# 3. streaming/watermark.py + stateful.py moved checkpoint cleanup to
+#    the success-only path — pinned representative per runner:
+#    stream_watermark_latedrop (watermark runner); the stateful runner's
+#    qid (stream_stateful_totals) is already in the r8-stale cohort
+#    below.
+# 4. The NEW qid pipeline_incremental_ingest (operators/ingest.py) is
+#    never-verified and leads the LRU segment automatically.
 #
-# That is 7 pinned + 1 new qid; the LRU sort below fills the remaining
-# ~42 of the driver's budget with the 40 r7-stale qids (VERDICT r10
-# task 1 — the sort/set-op/scalar/text/sql-TPC-H cohort), leaving max
-# staleness r8 after r11.
+# That is 4 pinned + 1 new qid; the LRU sort below fills the remaining
+# ~45 of the driver's budget with the 38 r8-stale qids (VERDICT r11
+# task 1 — the agg/window/stream/udf/variant/pipeline-text cohort),
+# leaving max staleness r9 after r12 with room for ~6 r9 qids besides.
 _STALE_PRIORITY = [
-    # (1) newly hinted shapes — measured fan-outs
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "text_unigram_rarity",
-    # (2) dedup/sketchcache file-level consumers
+    # (2) sketch-cache build-path consumers
+    "dedup_incremental_minhash",
     "dedup_near_minhash",
     "dedup_minhash_components",
-    # (3) is_local_master + cleanup-handle representatives
-    "graph_pagerank",
-    "stream_rollup_upsert",
-    "source_python_stream",
+    # (3) success-only checkpoint-cleanup representative
+    "stream_watermark_latedrop",
 ]
 
 
