@@ -170,6 +170,7 @@ def ingest_batch(
     batch_id: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    banded: DataFrame | None = None,
     **params,
 ) -> DataFrame:
     """One atomic ingest: shingle the batch (only the batch — history is
@@ -180,7 +181,17 @@ def ingest_batch(
     Re-running a committed ``batch_id`` returns the stored assignments
     without writing (replay no-op); re-running a crashed attempt redoes
     the staging and commits — convergence is asserted by the kill-probe
-    test matrix (tests/test_ingest_txn.py)."""
+    test matrix (tests/test_ingest_txn.py).
+
+    ``banded``: optionally the batch's PRECOMPUTED ``(id, band, bucket)``
+    sketch — per-doc sketches are subset-invariant, so a pipeline that
+    already holds a corpus sketch (plans/sketchcache.banded_documents)
+    passes its filtered slice and skips the shingle pass entirely. It
+    must have been built with the same ``params`` the store is pinned to
+    (caller's contract — the store cannot re-derive a sketch's
+    parameters); the transaction is unchanged (the sketch is still
+    staged to parquet, so crash re-runs and both downstream consumers
+    read one materialization)."""
     root = _check_root(root)
     p = {**_DEFAULT_PARAMS, **params}
     ver, m = latest_manifest(root)
@@ -202,10 +213,13 @@ def ingest_batch(
 
     # Stage 1: the batch sketch, materialized ONCE — both the assignment
     # and the index upsert read it back, so the shingle->signature->band
-    # pipeline runs a single time per ingest.
-    banded_buckets(
-        batch, text_col=text_col, id_col=id_col, **p
-    ).write.parquet(os.path.join(root, banded_rel))
+    # pipeline runs a single time per ingest (zero times with a supplied
+    # precomputed sketch).
+    if banded is None:
+        banded = banded_buckets(batch, text_col=text_col, id_col=id_col, **p)
+    banded.select(id_col, "band", "bucket").write.parquet(
+        os.path.join(root, banded_rel)
+    )
     _crash_point("after_banded")
     nb = spark.read.parquet(os.path.join(root, banded_rel))
 

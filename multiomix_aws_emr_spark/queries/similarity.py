@@ -214,8 +214,14 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the non-transactional index path — the oracle is
     the same from-raw-text recomputation ``dedup_incremental_minhash``
     is checked against, so the transaction machinery is proven to change
-    durability, not results."""
+    durability, not results. Both batch sketches are FILTERED SLICES of
+    the session-shared corpus sketch (per-doc sketches are
+    subset-invariant — the seventh consumer of the one
+    shingle->signature->band pass), passed through ``ingest_batch``'s
+    precomputed-sketch hook; the transaction still stages each slice to
+    parquet."""
     from multiomix_aws_emr_spark.operators.ingest import ingest_batch
+    from multiomix_aws_emr_spark.plans.sketchcache import banded_documents
     from multiomix_aws_emr_spark.session import shared_scratch_dir
 
     root = shared_scratch_dir(
@@ -225,17 +231,20 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         what="transactional dedup store (POSIX-shared path)",
     )
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sketch = banded_documents(spark, sf_dir, portable=True)
     ingest_batch(
         spark,
         root,
         docs.filter(F.col("doc_id") % 4 != 0),
         batch_id="history",
+        banded=sketch.filter(F.col("doc_id") % 4 != 0),
     )
     return ingest_batch(
         spark,
         root,
         docs.filter(F.col("doc_id") % 4 == 0),
         batch_id="incoming",
+        banded=sketch.filter(F.col("doc_id") % 4 == 0),
     )
 
 

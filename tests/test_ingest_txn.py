@@ -274,3 +274,28 @@ def test_manifest_publish_is_complete_file(tmp_path):
     assert residue == []
     with open(os.path.join(root, "manifest", "v000001.json")) as fh:
         json.load(fh)
+
+
+def test_precomputed_sketch_hook_matches_raw_path(spark, docs, tmp_path):
+    """Supplying a corpus-sketch slice through ``banded=`` must commit
+    exactly what the raw-text path commits (per-doc sketches are
+    subset-invariant)."""
+    raw_root = str(tmp_path / "raw")
+    raw = _assign_map(_clean_two_batch_store(spark, docs, raw_root))
+
+    sketch = _banded(docs)
+    root = str(tmp_path / "sliced")
+    ingest_batch(
+        spark, root, docs.filter(F.col("doc_id") % 4 != 0), batch_id="b0",
+        banded=sketch.filter(F.col("doc_id") % 4 != 0),
+    )
+    got = _assign_map(
+        ingest_batch(
+            spark, root, docs.filter(F.col("doc_id") % 4 == 0), batch_id="b1",
+            banded=sketch.filter(F.col("doc_id") % 4 == 0),
+        )
+    )
+    assert got == raw
+    assert _index_set(read_index(spark, root)) == _index_set(
+        read_index(spark, raw_root)
+    )
