@@ -111,6 +111,28 @@ def main() -> int:
         t_txn = time.perf_counter() - t0
         txn_n, txn_h = _checksum(read_assignments(spark, store_root, "b1"))
 
+        # ---- retraction: forget 1000 docs (worst case: every one a rep)
+        from multiomix_aws_emr_spark.operators.ingest import (
+            read_index,
+            read_membership,
+            retract_batch,
+        )
+
+        victims = (
+            read_index(spark, store_root)
+            .select(F.col("rep").alias("doc_id"))
+            .distinct()
+            .limit(1000)
+        )
+        n_victims = victims.count()
+        t0 = time.perf_counter()
+        retract_batch(spark, store_root, victims, op_id="retract-probe")
+        t_retract = time.perf_counter() - t0
+        survived = read_membership(spark, store_root).join(
+            victims, "doc_id", "left_semi"
+        )
+        assert survived.count() == 0, "retracted ids still in membership"
+
         print(
             json.dumps(
                 {
@@ -123,6 +145,8 @@ def main() -> int:
                     "bare_ingest_sec": round(t_bare, 2),
                     "txn_ingest_sec": round(t_txn, 2),
                     "txn_overhead": round(t_txn / max(t_bare, 0.01), 2),
+                    "n_retracted_reps": n_victims,
+                    "retract_txn_sec": round(t_retract, 2),
                 }
             )
         )
