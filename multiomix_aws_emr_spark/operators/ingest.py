@@ -325,6 +325,21 @@ def read_assignments(spark: SparkSession, root: str, batch_id: str) -> DataFrame
     return spark.read.parquet(os.path.join(root, rec["assignments"]))
 
 
+def read_all_assignments(spark: SparkSession, root: str) -> DataFrame:
+    """Every committed ingest's ``(id, rep_id)`` assignments, one scan
+    over all committed batch paths (each doc appears exactly once — in
+    the batch that ingested it)."""
+    _, m = latest_manifest(root)
+    paths = [
+        os.path.join(root, rec["assignments"])
+        for rec in m["batches"].values()
+        if "assignments" in rec
+    ]
+    if not paths:
+        raise ValueError(f"store {root} has no committed ingests")
+    return spark.read.parquet(*paths)
+
+
 def sweep_orphans(root: str) -> list[str]:
     """The store's janitor: delete data dirs the newest manifest does not
     reference — crashed attempts' staging, race losers' versions, and

@@ -248,6 +248,43 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("stream_incremental_ingest", oracle=_minhash_oracle())
+def stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS transactional dedup ingest: documents arrive as a
+    bounded file STREAM and every micro-batch commits one atomic
+    ``ingest_batch`` through ``foreachBatch``, keyed by the streaming
+    batch id (streaming/ingest.py). Exactly-once composes from the
+    offset log (replays carry the same batch id) + the store's
+    replay-idempotent commit — the same two-halves argument as
+    ``stream_rollup_upsert``, with crash-restart and late-arrival
+    continuation kill-tested in tests/test_ingest_txn.py. Emits every
+    committed ``(doc_id, rep_id)`` assignment; the fixture's single-file
+    layout streams as one micro-batch against an empty index, so the
+    result equals the one-step corpus assignment — the same oracle as
+    ``dedup_near_minhash``, which pins that streaming arrival changes
+    durability and pacing, not results."""
+    from multiomix_aws_emr_spark.session import shared_scratch_dir
+    from multiomix_aws_emr_spark.streaming.ingest import run_stream_ingest
+    from multiomix_aws_emr_spark.streaming.util import static_and_stream
+
+    root = shared_scratch_dir(
+        spark,
+        "dedup_store_stream",
+        env_var="SPARK_GRAFT_DEDUP_STORE_DIR",
+        what="transactional dedup store (POSIX-shared path)",
+    )
+    _static, stream, n_state = static_and_stream(spark, sf_dir, "documents.parquet")
+    return run_stream_ingest(
+        spark,
+        root,
+        stream,
+        id_col="doc_id",
+        text_col="text",
+        n_state=n_state,
+        portable=True,
+    )
+
+
 _ANN_ORACLE_TMPL = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

@@ -4,6 +4,7 @@ loud-failure concurrent-writer contract, and index retraction."""
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -298,4 +299,125 @@ def test_precomputed_sketch_hook_matches_raw_path(spark, docs, tmp_path):
     assert got == raw
     assert _index_set(read_index(spark, root)) == _index_set(
         read_index(spark, raw_root)
+    )
+
+
+def _write_doc_batches(spark, docs, dirpath, n_files=4):
+    """The corpus as n single-file parquet batches with ascending mtimes
+    (doc_id % n == i -> file i), so a maxFilesPerTrigger=1 stream ingests
+    them as n ordered micro-batches."""
+    import time as _time
+
+    os.makedirs(dirpath, exist_ok=True)
+    pdf = docs.select("doc_id", "text").toPandas()
+    now = _time.time()
+    for i in range(n_files):
+        part = pdf[pdf.doc_id % n_files == i]
+        p = os.path.join(dirpath, f"b{i}.parquet")
+        part.to_parquet(p, index=False)
+        os.utime(p, (now - 60 * (n_files - i), now - 60 * (n_files - i)))
+    return dirpath
+
+
+def _doc_stream(spark, src):
+    static = spark.read.parquet(src)
+    return (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+
+def test_stream_ingest_multibatch_matches_rebuild(spark, docs, tmp_path):
+    """Four micro-batches through foreachBatch: the maintained index must
+    equal the from-scratch build, each doc assigned exactly once, and
+    every rep already-ingested at its doc's batch (the rolling-ingest
+    order contract)."""
+    from multiomix_aws_emr_spark.streaming.ingest import run_stream_ingest
+
+    src = _write_doc_batches(spark, docs, str(tmp_path / "src"))
+    root = str(tmp_path / "store")
+    assigns = run_stream_ingest(
+        spark, root, _doc_stream(spark, src), n_state=4, portable=True
+    )
+    amap = _assign_map(assigns)
+    assert len(amap) == docs.count()
+    assert _index_set(read_index(spark, root)) == _index_set(
+        band_index(_banded(docs), id_col="doc_id")
+    )
+    for doc_id, rep in amap.items():
+        assert rep == doc_id or (rep % 4) <= (doc_id % 4)
+    ver, m = latest_manifest(root)
+    assert ver == 4 and len(m["batches"]) == 4
+
+
+def test_stream_ingest_crash_restart_converges(spark, docs, tmp_path, monkeypatch):
+    """Kill the stream mid-micro-batch (injected crash inside the store
+    commit), restart from the SAME checkpoint: the offset log replays the
+    failed batch with the same id, the store's replay rule absorbs any
+    already-committed ones, and the final state equals a clean run."""
+    from pyspark.errors import StreamingQueryException
+
+    from multiomix_aws_emr_spark.streaming.ingest import run_stream_ingest
+
+    src = _write_doc_batches(spark, docs, str(tmp_path / "src"))
+    clean_root = str(tmp_path / "clean")
+    clean = _assign_map(
+        run_stream_ingest(
+            spark, clean_root, _doc_stream(spark, src), n_state=4, portable=True
+        )
+    )
+
+    root = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    monkeypatch.setenv("SPARK_GRAFT_INGEST_CRASH_POINT", "before_commit")
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        run_stream_ingest(
+            spark, root, _doc_stream(spark, src),
+            checkpoint=ckpt, n_state=4, portable=True,
+        )
+    assert latest_manifest(root)[0] == 0  # died in batch 0: nothing committed
+    monkeypatch.delenv("SPARK_GRAFT_INGEST_CRASH_POINT")
+    got = _assign_map(
+        run_stream_ingest(
+            spark, root, _doc_stream(spark, src),
+            checkpoint=ckpt, n_state=4, portable=True,
+        )
+    )
+    assert got == clean
+    assert _index_set(read_index(spark, root)) == _index_set(
+        read_index(spark, clean_root)
+    )
+
+
+def test_stream_ingest_late_arrival_continues(spark, docs, tmp_path):
+    """Two-phase arrival: ingest two files, then two more land in the
+    source dir — resuming with the same checkpoint + store ingests ONLY
+    the new files (no version burned re-reading the old) and converges
+    to the full-corpus index."""
+    from multiomix_aws_emr_spark.streaming.ingest import run_stream_ingest
+
+    staged = _write_doc_batches(spark, docs, str(tmp_path / "staged"))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in (0, 1):
+        shutil.copy2(os.path.join(staged, f"b{i}.parquet"), src)
+    root = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    run_stream_ingest(
+        spark, root, _doc_stream(spark, src),
+        checkpoint=ckpt, n_state=4, portable=True,
+    )
+    assert latest_manifest(root)[0] == 2
+    for i in (2, 3):
+        shutil.copy2(os.path.join(staged, f"b{i}.parquet"), src)
+    assigns = run_stream_ingest(
+        spark, root, _doc_stream(spark, src),
+        checkpoint=ckpt, n_state=4, portable=True,
+    )
+    ver, m = latest_manifest(root)
+    assert ver == 4 and len(m["batches"]) == 4  # old files NOT re-ingested
+    assert len(_assign_map(assigns)) == docs.count()
+    assert _index_set(read_index(spark, root)) == _index_set(
+        band_index(_banded(docs), id_col="doc_id")
     )
