@@ -80,3 +80,51 @@ def test_put_evicts_other_sessions_entries():
         finally:
             sc._cache.clear()
             sc._cache.update(saved)
+
+
+def test_band_index_concurrent_callers_share_one_build(spark, sf_dir):
+    """ADVICE r11: the index parquet write runs OUTSIDE the module lock
+    (a per-key building sentinel), so concurrent consumers neither block
+    each other's unrelated cache hits nor double-build: N threads racing
+    minhash_band_index get the SAME persisted path, and another
+    sketch-cache consumer (banded_documents) completes while the build
+    is in flight."""
+    import threading
+
+    from multiomix_aws_emr_spark.plans import sketchcache as sc
+    from multiomix_aws_emr_spark.plans.sketchcache import (
+        banded_documents,
+        minhash_band_index,
+    )
+
+    # evict any committed entry for this key so the race actually builds
+    key_tail = ("bandindex", 7)
+    with sc._lock:
+        for k in [k for k in sc._cache if k[2:] == key_tail]:
+            del sc._cache[k]
+
+    paths, others, errs = [], [], []
+
+    def _build():
+        try:
+            _, p = minhash_band_index(spark, sf_dir, split_mod=7)
+            paths.append(p)
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+
+    def _other_consumer():
+        try:
+            others.append(banded_documents(spark, sf_dir).count())
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+
+    threads = [threading.Thread(target=_build) for _ in range(3)] + [
+        threading.Thread(target=_other_consumer)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errs, errs
+    assert len(set(paths)) == 1 and len(paths) == 3
+    assert others and others[0] > 0
