@@ -197,7 +197,7 @@ def ingest_batch(
     ver, m = latest_manifest(root)
     committed = m["batches"].get(batch_id)
     if committed is not None:
-        return spark.read.parquet(os.path.join(root, committed["assignments"]))
+        return _batch_assignments(spark, root, committed, batch_id)
     if ver and m.get("params") != p:
         raise ValueError(
             f"store {root} was built with params {m.get('params')}, "
@@ -316,28 +316,105 @@ def read_membership(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, m["membership"]))
 
 
+def _batch_assignments(
+    spark: SparkSession, root: str, rec: dict, batch_id: str
+) -> DataFrame:
+    """One committed ingest's rows, loose-dir or archive-backed."""
+    from pyspark.sql import functions as F
+
+    if "archived" in rec:
+        return (
+            spark.read.parquet(os.path.join(root, rec["archived"]))
+            .filter(F.col("_batch") == batch_id)
+            .drop("_batch")
+        )
+    return spark.read.parquet(os.path.join(root, rec["assignments"]))
+
+
 def read_assignments(spark: SparkSession, root: str, batch_id: str) -> DataFrame:
     """A committed batch's ``(id, rep_id)`` assignments."""
     _, m = latest_manifest(root)
     rec = m["batches"].get(batch_id)
-    if rec is None or "assignments" not in rec:
+    if rec is None or rec.get("kind") != "ingest":
         raise KeyError(f"no committed ingest {batch_id!r} in {root}")
-    return spark.read.parquet(os.path.join(root, rec["assignments"]))
+    return _batch_assignments(spark, root, rec, batch_id)
 
 
 def read_all_assignments(spark: SparkSession, root: str) -> DataFrame:
     """Every committed ingest's ``(id, rep_id)`` assignments, one scan
     over all committed batch paths (each doc appears exactly once — in
-    the batch that ingested it)."""
+    the batch that ingested it); archives contribute one scan total."""
     _, m = latest_manifest(root)
-    paths = [
+    loose = [
         os.path.join(root, rec["assignments"])
         for rec in m["batches"].values()
         if "assignments" in rec
     ]
-    if not paths:
+    archives = sorted(
+        {
+            os.path.join(root, rec["archived"])
+            for rec in m["batches"].values()
+            if "archived" in rec
+        }
+    )
+    frames = []
+    if loose:
+        frames.append(spark.read.parquet(*loose))
+    for a in archives:
+        frames.append(spark.read.parquet(a).drop("_batch"))
+    if not frames:
         raise ValueError(f"store {root} has no committed ingests")
-    return spark.read.parquet(*paths)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def compact_store(spark: SparkSession, root: str) -> bool:
+    """Maintenance: collapse all committed per-batch assignment dirs into
+    ONE archive table (a ``_batch`` column preserves per-batch reads) and
+    commit a manifest whose ingest records point at it. A rolling corpus
+    at 10k ingests otherwise carries 10k small parquet dirs and a
+    manifest that re-lists them all on every commit — after compaction
+    the store is one archive + one index + one membership dir plus
+    whatever arrived since.
+
+    Replay idempotence is PRESERVED: the manifest still records every
+    ingested batch id, so re-running an archived batch returns its rows
+    from the archive without writing. Runs as a normal transaction
+    (atomic manifest publish; a concurrent writer race fails loudly);
+    afterwards :func:`sweep_orphans` reclaims the superseded per-batch
+    dirs. Returns False when there is nothing to compact."""
+    root = _check_root(root)
+    ver, m = latest_manifest(root)
+    from pyspark.sql import functions as F
+
+    loose = {
+        bid: rec
+        for bid, rec in m["batches"].items()
+        if "assignments" in rec
+    }
+    if len(loose) < 2:
+        return False
+    token = uuid.uuid4().hex[:8]
+    archive_rel = f"assignments_archive_v{ver + 1}_{token}"
+    frames = [
+        spark.read.parquet(os.path.join(root, rec["assignments"]))
+        .withColumn("_batch", F.lit(bid))
+        for bid, rec in loose.items()
+    ]
+    merged = frames[0]
+    for f in frames[1:]:
+        merged = merged.unionByName(f)
+    merged.write.parquet(os.path.join(root, archive_rel))
+
+    batches = dict(m["batches"])
+    for bid in loose:
+        batches[bid] = {"kind": "ingest", "archived": archive_rel}
+    manifest = {**m, "version": ver + 1, "parent": ver, "batches": batches}
+    _crash_point("before_commit")
+    _commit_manifest(root, ver + 1, manifest)
+    return True
 
 
 def sweep_orphans(root: str) -> list[str]:
@@ -358,10 +435,13 @@ def sweep_orphans(root: str) -> list[str]:
     for rec in m["batches"].values():
         if "assignments" in rec:
             keep.add(os.path.dirname(rec["assignments"]))
+        if "archived" in rec:
+            keep.add(rec["archived"])
     swept = []
+    versioned = ("index_v", "membership_v", "assignments_archive_v")
     for entry in os.listdir(root) if os.path.isdir(root) else []:
-        if entry.startswith(("index_v", "membership_v")) and entry not in keep:
-            v = int(entry.split("_v")[1].split("_")[0])
+        if entry.startswith(versioned) and entry not in keep:
+            v = int(entry.split("_v")[-1].split("_")[0])
             if v <= ver:  # superseded or a race loser; > ver may be staging
                 shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
                 swept.append(entry)

@@ -421,3 +421,49 @@ def test_stream_ingest_late_arrival_continues(spark, docs, tmp_path):
     assert _index_set(read_index(spark, root)) == _index_set(
         band_index(_banded(docs), id_col="doc_id")
     )
+
+
+def test_compact_store_preserves_reads_and_replay(spark, docs, tmp_path):
+    """Compaction collapses per-batch assignment dirs into one archive:
+    reads (per-batch and all), replay no-ops, later ingests, and the
+    sweep of superseded loose dirs all keep working."""
+    from multiomix_aws_emr_spark.operators.ingest import (
+        compact_store,
+        read_all_assignments,
+    )
+
+    root = str(tmp_path / "store")
+    batches = {
+        f"b{i}": docs.filter(F.col("doc_id") % 4 == i) for i in range(3)
+    }
+    for bid, b in batches.items():
+        ingest_batch(spark, root, b, batch_id=bid)
+    before_all = _assign_map(read_all_assignments(spark, root))
+    before_b1 = _assign_map(read_assignments(spark, root, "b1"))
+
+    assert compact_store(spark, root) is True
+    ver, m = latest_manifest(root)
+    assert ver == 4
+    assert all("archived" in rec for rec in m["batches"].values())
+    assert _assign_map(read_all_assignments(spark, root)) == before_all
+    assert _assign_map(read_assignments(spark, root, "b1")) == before_b1
+    # replay of an archived batch: no new version, archive rows returned
+    replay = ingest_batch(spark, root, batches["b1"], batch_id="b1")
+    assert _assign_map(replay) == before_b1
+    assert latest_manifest(root)[0] == ver
+    # nothing new to compact twice
+    assert compact_store(spark, root) is False
+
+    # superseded loose batch dirs are now sweepable; reads survive
+    swept = sweep_orphans(root)
+    assert any(e.startswith("batches/") for e in swept)
+    assert _assign_map(read_all_assignments(spark, root)) == before_all
+
+    # the store keeps ingesting after compaction (archive + loose mix)
+    ingest_batch(
+        spark, root, docs.filter(F.col("doc_id") % 4 == 3), batch_id="b3"
+    )
+    assert len(_assign_map(read_all_assignments(spark, root))) == docs.count()
+    assert _index_set(read_index(spark, root)) == _index_set(
+        band_index(_banded(docs), id_col="doc_id")
+    )
