@@ -200,7 +200,15 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_assign(new_banded, index, id_col="doc_id")
 
 
-@query("pipeline_incremental_ingest", oracle=_minhash_incremental_oracle())
+@query(
+    "pipeline_incremental_ingest",
+    oracle=_minhash_incremental_oracle(),
+    # Same widest exchange as dedup_near_minhash (the shingle->signature
+    # aggregation inside each ingest's sketch build — the store's writes
+    # run EAGERLY inside the query call, under the conf this hint sets);
+    # same fanout, same fixture-floor behavior.
+    sizing_hint=fact_bytes("documents", fanout=3.0),
+)
 def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TRANSACTIONAL rolling-ingest pipeline end-to-end (VERDICT r11
     task 3): a fresh dedup store ingests the corpus as two batches through
@@ -248,7 +256,15 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_incremental_ingest", oracle=_minhash_oracle())
+@query(
+    "stream_incremental_ingest",
+    oracle=_minhash_oracle(),
+    # The per-micro-batch sketch build is the same shingle exchange; the
+    # hint sizes the session conf the foreachBatch ingests run under —
+    # they execute as ordinary batch jobs, and the runner deliberately
+    # applies no state-partition override (stateless passthrough stream).
+    sizing_hint=fact_bytes("documents", fanout=3.0),
+)
 def stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTINUOUS transactional dedup ingest: documents arrive as a
     bounded file STREAM and every micro-batch commits one atomic
@@ -273,15 +289,11 @@ def stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         env_var="SPARK_GRAFT_DEDUP_STORE_DIR",
         what="transactional dedup store (POSIX-shared path)",
     )
-    _static, stream, n_state = static_and_stream(spark, sf_dir, "documents.parquet")
+    _static, stream, _n_state = static_and_stream(
+        spark, sf_dir, "documents.parquet"
+    )
     return run_stream_ingest(
-        spark,
-        root,
-        stream,
-        id_col="doc_id",
-        text_col="text",
-        n_state=n_state,
-        portable=True,
+        spark, root, stream, id_col="doc_id", text_col="text", portable=True
     )
 
 

@@ -27,7 +27,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from multiomix_aws_emr_spark.streaming.util import (
     await_bounded,
-    bounded_state_partitions,
     cleanup_stream_checkpoint,
     stream_checkpoint_dir,
 )
@@ -41,7 +40,6 @@ def run_stream_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     checkpoint: str | None = None,
-    n_state: int | None = None,
     **params,
 ) -> DataFrame:
     """Run a bounded (availableNow) streaming ingest of ``stream`` into
@@ -51,7 +49,15 @@ def run_stream_ingest(
     run RESUMABLE (crash-restart and late-arrival continuation — the
     production shape); by default a per-run checkpoint is provisioned
     and swept on success (the bounded-runner policy). Empty micro-batches
-    commit nothing (no store version burned)."""
+    commit nothing (no store version burned).
+
+    Deliberately NOT wrapped in ``bounded_state_partitions``: the stream
+    side is a stateless passthrough into ``foreachBatch`` (no streaming
+    aggregate, no state-store instances to right-size), and the work
+    that DOES shuffle — each micro-batch's sketch build and index join —
+    runs as ordinary batch jobs that should execute at the session's
+    (possibly rule-2-hinted) sizing, which a state-partition override
+    would silently defeat."""
     from multiomix_aws_emr_spark.operators.ingest import (
         ingest_batch,
         read_all_assignments,
@@ -72,15 +78,14 @@ def run_stream_ingest(
         )
 
     ckpt = checkpoint or stream_checkpoint_dir(spark, "ck_ingest")
-    with bounded_state_partitions(spark, n_state):
-        q = (
-            stream.writeStream.foreachBatch(_ingest)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        await_bounded(q, "streaming transactional ingest")
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_bounded(q, "streaming transactional ingest")
     if checkpoint is None:
         # success-only sweep (the stream_checkpoint_dir policy); a
         # caller-owned checkpoint is the caller's to keep — it IS the

@@ -338,7 +338,7 @@ def test_stream_ingest_multibatch_matches_rebuild(spark, docs, tmp_path):
     src = _write_doc_batches(spark, docs, str(tmp_path / "src"))
     root = str(tmp_path / "store")
     assigns = run_stream_ingest(
-        spark, root, _doc_stream(spark, src), n_state=4, portable=True
+        spark, root, _doc_stream(spark, src), portable=True
     )
     amap = _assign_map(assigns)
     assert len(amap) == docs.count()
@@ -364,7 +364,7 @@ def test_stream_ingest_crash_restart_converges(spark, docs, tmp_path, monkeypatc
     clean_root = str(tmp_path / "clean")
     clean = _assign_map(
         run_stream_ingest(
-            spark, clean_root, _doc_stream(spark, src), n_state=4, portable=True
+            spark, clean_root, _doc_stream(spark, src), portable=True
         )
     )
 
@@ -374,14 +374,14 @@ def test_stream_ingest_crash_restart_converges(spark, docs, tmp_path, monkeypatc
     with pytest.raises(StreamingQueryException, match="injected crash"):
         run_stream_ingest(
             spark, root, _doc_stream(spark, src),
-            checkpoint=ckpt, n_state=4, portable=True,
+            checkpoint=ckpt, portable=True,
         )
     assert latest_manifest(root)[0] == 0  # died in batch 0: nothing committed
     monkeypatch.delenv("SPARK_GRAFT_INGEST_CRASH_POINT")
     got = _assign_map(
         run_stream_ingest(
             spark, root, _doc_stream(spark, src),
-            checkpoint=ckpt, n_state=4, portable=True,
+            checkpoint=ckpt, portable=True,
         )
     )
     assert got == clean
@@ -406,14 +406,14 @@ def test_stream_ingest_late_arrival_continues(spark, docs, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     run_stream_ingest(
         spark, root, _doc_stream(spark, src),
-        checkpoint=ckpt, n_state=4, portable=True,
+        checkpoint=ckpt, portable=True,
     )
     assert latest_manifest(root)[0] == 2
     for i in (2, 3):
         shutil.copy2(os.path.join(staged, f"b{i}.parquet"), src)
     assigns = run_stream_ingest(
         spark, root, _doc_stream(spark, src),
-        checkpoint=ckpt, n_state=4, portable=True,
+        checkpoint=ckpt, portable=True,
     )
     ver, m = latest_manifest(root)
     assert ver == 4 and len(m["batches"]) == 4  # old files NOT re-ingested
