@@ -307,13 +307,26 @@ def retract_from_band_index(
     ingested when — retraction changes what future ingests see (a
     retracted doc is never again proposed as rep), it does not rewrite
     past batches. Re-ingesting a recrawled document afterwards is just a
-    normal ingest of its new text."""
-    surviving = membership.join(retract_ids, on=id_col, how="left_anti")
+    normal ingest of its new text.
+
+    ``retract_ids`` is explicitly BROADCAST: a retraction set is small by
+    contract (a deletion request, a recrawl manifest), and without the
+    hint a stats-less id frame (createDataFrame, a JDBC read) makes the
+    planner shuffle the whole membership table on the id just to
+    anti-join a handful of rows. Callers with a genuinely huge retract
+    set should instead partition-rebuild via :func:`band_index` over the
+    surviving corpus slice."""
+    surviving = membership.join(
+        F.broadcast(retract_ids), on=id_col, how="left_anti"
+    )
     touched = (
-        membership.join(retract_ids, on=id_col, how="left_semi")
+        membership.join(F.broadcast(retract_ids), on=id_col, how="left_semi")
         .select("band", "bucket")
         .distinct()
     )
+    # touched is one row per affected bucket — broadcast it into both
+    # consumers so neither the surviving membership nor the index moves
+    touched = F.broadcast(touched)
     recomputed = (
         surviving.join(touched, ["band", "bucket"], "left_semi")
         .groupBy("band", "bucket")

@@ -184,3 +184,59 @@ def test_empty_batch_yields_empty_assignment(spark, docs):
     )
     assert got.count() == 0
     assert [f.name for f in got.schema.fields] == ["doc_id", "rep_id"]
+
+
+def test_bucketed_membership_retraction_shuffle_free(spark, docs):
+    """The retraction cost-model claim (SURVEY r12), made real: with the
+    MEMBERSHIP table stored bucketed+sorted on (band, bucket) and the
+    retract-id set tiny (broadcast), the rep re-election plan moves NO
+    membership rows across the cluster — the only shuffle-shaped
+    operators are broadcast exchanges of the id set and the touched
+    bucket list. Every groupBy lands on the bucketed distribution."""
+    from multiomix_aws_emr_spark.operators.dedup import (
+        retract_from_band_index,
+    )
+
+    banded = _full_banded(docs)
+    idx = band_index(banded, id_col="doc_id")
+    spark.sql("DROP TABLE IF EXISTS member_bkt_test")
+    spark.sql("DROP TABLE IF EXISTS idx_bkt_retract_test")
+    banded.select("band", "bucket", "doc_id").write.bucketBy(
+        8, "band", "bucket"
+    ).sortBy("band", "bucket").mode("overwrite").saveAsTable("member_bkt_test")
+    idx.write.bucketBy(8, "band", "bucket").sortBy("band", "bucket").mode(
+        "overwrite"
+    ).saveAsTable("idx_bkt_retract_test")
+    membership = spark.table("member_bkt_test")
+    # retract ids arrive as external input in production — materialize
+    # them so the plan under test is the retraction alone
+    victim_ids = [r.rep for r in idx.limit(5).collect()]
+    victims = spark.createDataFrame([(v,) for v in victim_ids], "doc_id BIGINT")
+    # Pin bucketed scans on: at FIXTURE sizes the auto-bucketed-scan
+    # heuristic drops the bucketed read as not worth its task layout
+    # (the exchange it avoids is tiny here, huge at corpus scale) — the
+    # same pin-the-real-shape move as the sibling test's broadcast
+    # threshold.
+    auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old_auto = spark.conf.get(auto)
+    spark.conf.set(auto, "false")
+    try:
+        new_idx, new_membership = retract_from_band_index(
+            spark.table("idx_bkt_retract_test"),
+            membership,
+            victims,
+            id_col="doc_id",
+        )
+        plan = new_idx._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # correctness alongside the plan shape
+        surviving = docs.join(victims, "doc_id", "left_anti")
+        expect = band_index(_full_banded(surviving), id_col="doc_id")
+        assert {(r.band, r.bucket, r.rep) for r in new_idx.collect()} == {
+            (r.band, r.bucket, r.rep) for r in expect.collect()
+        }
+    finally:
+        spark.conf.set(auto, old_auto)
+        spark.sql("DROP TABLE IF EXISTS member_bkt_test")
+        spark.sql("DROP TABLE IF EXISTS idx_bkt_retract_test")
