@@ -204,6 +204,25 @@ def ingest_batch(
             f"got {p}: sketches would not be comparable"
         )
 
+    if batch.isEmpty():
+        # nothing to ingest: do NOT burn a store version — return an
+        # empty assignment frame (consistent with replaying it later:
+        # the batch id is not recorded, and re-ingesting the same empty
+        # batch returns empty again). The streaming runner short-circuits
+        # the same way per micro-batch.
+        from pyspark.sql import types as T
+
+        id_type = batch.schema[id_col].dataType
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(id_col, id_type),
+                    T.StructField("rep_id", id_type),
+                ]
+            ),
+        )
+
     token = uuid.uuid4().hex[:8]
     bdir = f"batches/{batch_id}_{token}"
     banded_rel = f"{bdir}/banded"
@@ -438,6 +457,17 @@ def sweep_orphans(root: str) -> list[str]:
         if "archived" in rec:
             keep.add(rec["archived"])
     swept = []
+    # a hard kill between a manifest temp's create and its link leaves
+    # .tmp_* residue next to the versioned manifests — harmless (never
+    # read) but the janitor's to clear
+    mdir = _manifest_dir(root)
+    for entry in os.listdir(mdir) if os.path.isdir(mdir) else []:
+        if entry.startswith(".tmp_"):
+            try:
+                os.unlink(os.path.join(mdir, entry))
+                swept.append(os.path.join("manifest", entry))
+            except OSError:
+                pass
     versioned = ("index_v", "membership_v", "assignments_archive_v")
     for entry in os.listdir(root) if os.path.isdir(root) else []:
         if entry.startswith(versioned) and entry not in keep:

@@ -467,3 +467,16 @@ def test_compact_store_preserves_reads_and_replay(spark, docs, tmp_path):
     assert _index_set(read_index(spark, root)) == _index_set(
         band_index(_banded(docs), id_col="doc_id")
     )
+
+
+def test_empty_batch_burns_no_version(spark, docs, tmp_path):
+    root = str(tmp_path / "store")
+    ingest_batch(spark, root, docs.limit(20), batch_id="b0")
+    ver_before, _ = latest_manifest(root)
+    out = ingest_batch(
+        spark, root, docs.filter(F.lit(False)), batch_id="empty"
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "rep_id"]
+    ver, m = latest_manifest(root)
+    assert ver == ver_before and "empty" not in m["batches"]
