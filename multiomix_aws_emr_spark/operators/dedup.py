@@ -196,7 +196,11 @@ def band_index(banded: DataFrame, *, id_col: str) -> DataFrame:
 
 
 def incremental_assign(
-    new_banded: DataFrame, index: DataFrame, *, id_col: str
+    new_banded: DataFrame,
+    index: DataFrame,
+    *,
+    id_col: str,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """(id, rep_id) one-step assignment of a NEW batch against a persisted
     band index — exactly what :func:`lsh_cluster_assign` over old∪new
@@ -234,7 +238,39 @@ def incremental_assign(
 
     After ingest, merge the batch into the index with
     :func:`upsert_band_index` (the maintenance_merge_upsert pattern).
+
+    ``skew_safe``: the default window-min puts each (band, bucket) group
+    in ONE task — a boilerplate mega-cluster ("enable javascript" x 10^8)
+    would serialize into a single sort that outgrows task memory, and
+    AQE's skew splitting applies to joins/aggregates, NOT windows. The
+    skew-safe form computes per-bucket minima via groupBy (map-side
+    partial min — a hot bucket combines down to one row per map task)
+    and joins them back, at the price of shuffling the batch sketch
+    twice — which re-derives an UNMATERIALIZED sketch pipeline twice, so
+    only use it on a materialized sketch (the transactional ingest path
+    always stages the sketch to parquet first). Measured at 5M docs
+    (r12 skew probe): window vs groupBy is 6.7 vs 5.0 s at a 250k-row
+    hot bucket and 4.1 vs 4.4 s at a 1M-row one — equivalent single-node
+    to the largest bucket a local probe can build; the groupBy form is
+    the insurance for buckets that exceed per-task memory, where the
+    window's single sort task spills or dies.
     """
+    if skew_safe:
+        bucket_new = new_banded.groupBy("band", "bucket").agg(
+            F.min(id_col).alias("_min_new")
+        )
+        bucket_rep = bucket_new.join(index, ["band", "bucket"], "left").select(
+            "band",
+            "bucket",
+            F.least(
+                F.col("_min_new"), F.coalesce(F.col("rep"), F.col("_min_new"))
+            ).alias("_cand"),
+        )
+        return (
+            new_banded.join(bucket_rep, ["band", "bucket"])
+            .groupBy(id_col)
+            .agg(F.min("_cand").alias("rep_id"))
+        )
     w = Window.partitionBy("band", "bucket")
     with_new_min = new_banded.withColumn(
         "_min_new", F.min(id_col).over(w)

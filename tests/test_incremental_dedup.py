@@ -240,3 +240,24 @@ def test_bucketed_membership_retraction_shuffle_free(spark, docs):
         spark.conf.set(auto, old_auto)
         spark.sql("DROP TABLE IF EXISTS member_bkt_test")
         spark.sql("DROP TABLE IF EXISTS idx_bkt_retract_test")
+
+
+def test_skew_safe_assign_matches_window_path(spark, docs):
+    """The groupBy-based skew-safe assign (for materialized sketches with
+    task-memory-exceeding hot buckets) emits exactly what the default
+    window-min path emits."""
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    idx = band_index(_full_banded(old), id_col="doc_id")
+    nb = _full_banded(new)
+    default = {
+        (r.doc_id, r.rep_id)
+        for r in incremental_assign(nb, idx, id_col="doc_id").collect()
+    }
+    safe = {
+        (r.doc_id, r.rep_id)
+        for r in incremental_assign(
+            nb, idx, id_col="doc_id", skew_safe=True
+        ).collect()
+    }
+    assert safe == default and len(safe) == new.count()
