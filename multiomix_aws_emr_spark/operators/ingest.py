@@ -244,8 +244,11 @@ def ingest_batch(
 
     index, membership = _read_index(spark, root, m, nb, id_col)
 
-    # Stage 2: accepted rows — the batch's rep assignments.
-    incremental_assign(nb, index, id_col=id_col).write.parquet(
+    # Stage 2: accepted rows — the batch's rep assignments. The sketch is
+    # materialized (stage 1), so the skew-safe groupBy assign costs no
+    # re-derivation — and a rolling corpus is exactly where boilerplate
+    # mega-buckets show up (incremental_assign docstring, r12 skew probe).
+    incremental_assign(nb, index, id_col=id_col, skew_safe=True).write.parquet(
         os.path.join(root, assigns_rel)
     )
     _crash_point("after_assign")
