@@ -480,3 +480,65 @@ def test_empty_batch_burns_no_version(spark, docs, tmp_path):
     assert [f.name for f in out.schema.fields] == ["doc_id", "rep_id"]
     ver, m = latest_manifest(root)
     assert ver == ver_before and "empty" not in m["batches"]
+
+
+def test_compact_crash_then_rerun_converges(spark, docs, tmp_path, monkeypatch):
+    """Compaction is a transaction too: a crash before its commit leaves
+    the loose layout fully readable, and a re-run compacts cleanly."""
+    from multiomix_aws_emr_spark.operators.ingest import (
+        compact_store,
+        read_all_assignments,
+    )
+
+    root = str(tmp_path / "store")
+    for i in range(3):
+        ingest_batch(
+            spark, root, docs.filter(F.col("doc_id") % 4 == i), batch_id=f"b{i}"
+        )
+    before = _assign_map(read_all_assignments(spark, root))
+    ver_before, _ = latest_manifest(root)
+    monkeypatch.setenv("SPARK_GRAFT_INGEST_CRASH_POINT", "before_commit")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact_store(spark, root)
+    assert latest_manifest(root)[0] == ver_before
+    assert _assign_map(read_all_assignments(spark, root)) == before
+    monkeypatch.delenv("SPARK_GRAFT_INGEST_CRASH_POINT")
+    assert compact_store(spark, root) is True
+    assert _assign_map(read_all_assignments(spark, root)) == before
+
+
+def test_recrawl_cycle_retract_then_reingest(spark, docs, tmp_path):
+    """The documented recrawl story end-to-end: retract a rep document,
+    then re-ingest its (new) text as a normal batch — the final index
+    equals a from-scratch build over the final corpus state, and the
+    recrawled doc assigns against the post-retraction index."""
+    from pyspark.sql import functions as SF
+
+    root = str(tmp_path / "store")
+    _clean_two_batch_store(spark, docs, root)
+    membership = read_membership(spark, root)
+    crowded_rep = (
+        membership.groupBy("band", "bucket")
+        .agg(SF.min("doc_id").alias("rep"), SF.count("*").alias("n"))
+        .filter(SF.col("n") >= 2)
+        .limit(1)
+        .collect()[0]
+        .rep
+    )
+    victims = spark.createDataFrame([(crowded_rep,)], "doc_id BIGINT")
+    retract_batch(spark, root, victims, op_id="recrawl-drop")
+
+    # the recrawled document returns with CHANGED text (same id)
+    recrawled = docs.filter(SF.col("doc_id") == crowded_rep).select(
+        "doc_id", SF.concat(SF.lit("fresh recrawl body "), SF.col("text")).alias("text")
+    )
+    assigns = ingest_batch(spark, root, recrawled, batch_id="recrawl-1")
+    amap = _assign_map(assigns)
+    assert set(amap) == {crowded_rep}
+
+    final_corpus = docs.filter(SF.col("doc_id") != crowded_rep).unionByName(
+        recrawled
+    )
+    assert _index_set(read_index(spark, root)) == _index_set(
+        band_index(_banded(final_corpus), id_col="doc_id")
+    )
