@@ -86,12 +86,13 @@ def _last_verified_round() -> dict[str, int]:
 #    stream_watermark_latedrop (watermark runner); the stateful runner's
 #    qid (stream_stateful_totals) is already in the r8-stale cohort
 #    below.
-# 4. The NEW qids pipeline_incremental_ingest (operators/ingest.py) and
-#    stream_incremental_ingest (streaming/ingest.py) are never-verified
-#    and lead the LRU segment automatically.
+# 4. The NEW qids pipeline_incremental_ingest (operators/ingest.py),
+#    stream_incremental_ingest (streaming/ingest.py), and
+#    dedup_retract_index (retraction) are never-verified and lead the
+#    LRU segment automatically.
 #
-# That is 4 pinned + 2 new qids; the LRU sort below fills the remaining
-# ~44 of the driver's budget with the 38 r8-stale qids (VERDICT r11
+# That is 4 pinned + 3 new qids; the LRU sort below fills the remaining
+# ~43 of the driver's budget with the 38 r8-stale qids (VERDICT r11
 # task 1 — the agg/window/stream/udf/variant/pipeline-text cohort),
 # leaving max staleness r9 after r12 with room for a few r9 qids besides.
 _STALE_PRIORITY = [

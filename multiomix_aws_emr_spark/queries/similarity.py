@@ -256,6 +256,55 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_retract_oracle() -> str:
+    from multiomix_aws_emr_spark.queries.minhash_oracle import (
+        minhash_onestep_ctes,
+    )
+
+    return (
+        f"WITH {minhash_onestep_ctes()} "
+        "SELECT band, bucket, CAST(MIN(doc_id) AS BIGINT) AS rep "
+        "FROM banded WHERE doc_id % 16 <> 1 GROUP BY band, bucket"
+    )
+
+
+@query("dedup_retract_index", oracle=_minhash_retract_oracle())
+def dedup_retract_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten over the persisted dedup index: delete the
+    ``doc_id % 16 == 1`` documents (the fixture stand-in for a deletion/
+    recrawl request — some ARE bucket reps) and emit the retracted
+    ``(band, bucket, rep)`` index. The compact index alone cannot forget
+    (rep = bucket min; min-merge is insert-only), so the operator
+    re-elects reps for the TOUCHED buckets from the surviving MEMBERSHIP
+    rows and drops emptied buckets — touching only membership rows of
+    affected buckets, never the corpus text
+    (operators/dedup.retract_from_band_index; broadcast victim set;
+    plan-asserted shuffle-free over bucketed tables in
+    tests/test_incremental_dedup.py). The oracle recomputes the index
+    over the surviving corpus from raw text, so parity proves retraction
+    equals a from-scratch rebuild. Membership and index both derive from
+    the session-shared corpus sketch here (subset-invariant per-doc
+    rows)."""
+    from multiomix_aws_emr_spark.operators.dedup import (
+        band_index,
+        retract_from_band_index,
+    )
+    from multiomix_aws_emr_spark.plans.sketchcache import banded_documents
+
+    sketch = banded_documents(spark, sf_dir, portable=True)
+    membership = sketch.select("band", "bucket", "doc_id")
+    index = band_index(sketch, id_col="doc_id")
+    victims = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 16 == 1)
+        .select("doc_id")
+    )
+    new_index, _membership = retract_from_band_index(
+        index, membership, victims, id_col="doc_id"
+    )
+    return new_index
+
+
 @query(
     "stream_incremental_ingest",
     oracle=_minhash_oracle(),
