@@ -105,6 +105,45 @@ def latest_manifest(root: str) -> tuple[int, dict]:
         return int(os.path.basename(newest)[1:-5]), json.load(fh)
 
 
+def manifest_at(root: str, version: int) -> dict:
+    """The committed manifest for an EXACT version (time travel): the
+    manifest chain is append-only and each file is tiny, so every
+    committed version stays addressable forever. Whether the version's
+    DATA is still readable is a separate, vacuum-governed question —
+    :func:`sweep_orphans`'s ``retain_versions`` decides how much history
+    keeps its dirs (the Delta Lake VACUUM-vs-time-travel contract)."""
+    path = os.path.join(_manifest_dir(root), f"v{version:06d}.json")
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        raise ValueError(
+            f"store {root} has no committed version {version}"
+        ) from None
+
+
+def _versioned_read(
+    spark: SparkSession, root: str, version: int | None, key: str
+) -> DataFrame:
+    """Read the index/membership parquet named by the newest (or an
+    exact historical) manifest, failing LOUDLY when a time-travel read
+    targets a version whose data the vacuum already reclaimed."""
+    if version is None:
+        ver, m = latest_manifest(root)
+        if not ver:
+            raise ValueError(f"store {root} has no committed version")
+    else:
+        m = manifest_at(root, version)
+    path = os.path.join(root, m[key])
+    if version is not None and not os.path.isdir(path):
+        raise ValueError(
+            f"version {version} of {root} is no longer readable: its "
+            f"{key} dir was vacuumed (sweep_orphans retain_versions). "
+            "Raise the retention window to keep deeper time travel."
+        )
+    return spark.read.parquet(path)
+
+
 def _commit_manifest(root: str, version: int, manifest: dict) -> None:
     """Atomically publish ``v{version}.json``: full temp write + fsync,
     then ``os.link`` to the final name — create-if-absent is the
@@ -322,20 +361,20 @@ def retract_batch(
     _commit_manifest(root, ver + 1, manifest)
 
 
-def read_index(spark: SparkSession, root: str) -> DataFrame:
+def read_index(
+    spark: SparkSession, root: str, *, version: int | None = None
+) -> DataFrame:
     """The committed ``(band, bucket, rep)`` index — readers follow the
-    manifest only, so staged/orphaned attempts are invisible."""
-    ver, m = latest_manifest(root)
-    if not ver:
-        raise ValueError(f"store {root} has no committed version")
-    return spark.read.parquet(os.path.join(root, m["index"]))
+    manifest only, so staged/orphaned attempts are invisible.
+    ``version`` time-travels to an exact committed version (raises
+    loudly if that version's data was vacuumed)."""
+    return _versioned_read(spark, root, version, "index")
 
 
-def read_membership(spark: SparkSession, root: str) -> DataFrame:
-    ver, m = latest_manifest(root)
-    if not ver:
-        raise ValueError(f"store {root} has no committed version")
-    return spark.read.parquet(os.path.join(root, m["membership"]))
+def read_membership(
+    spark: SparkSession, root: str, *, version: int | None = None
+) -> DataFrame:
+    return _versioned_read(spark, root, version, "membership")
 
 
 def _batch_assignments(
@@ -439,26 +478,46 @@ def compact_store(spark: SparkSession, root: str) -> bool:
     return True
 
 
-def sweep_orphans(root: str) -> list[str]:
-    """The store's janitor: delete data dirs the newest manifest does not
-    reference — crashed attempts' staging, race losers' versions, and
-    superseded index/membership history. Returns the swept relative
-    paths. Run it in a MAINTENANCE WINDOW (no writer in flight): an
-    in-flight writer's freshly staged dirs are indistinguishable from a
-    crashed attempt's until its manifest commits, so sweeping while a
-    writer stages could delete its work (it would fail loudly at read,
-    not corrupt the store — committed state is only ever what the newest
-    manifest names — but the ingest would have to be retried)."""
-    import shutil
-
-    root = _check_root(root)
-    ver, m = latest_manifest(root)
+def _manifest_refs(m: dict) -> set[str]:
+    """Every data dir (relative path) a manifest makes readable."""
     keep = {m.get("index"), m.get("membership")}
     for rec in m["batches"].values():
         if "assignments" in rec:
             keep.add(os.path.dirname(rec["assignments"]))
         if "archived" in rec:
             keep.add(rec["archived"])
+    keep.discard(None)
+    return keep
+
+
+def sweep_orphans(root: str, *, retain_versions: int = 0) -> list[str]:
+    """The store's janitor (VACUUM): delete data dirs the retained
+    manifests do not reference — crashed attempts' staging, race losers'
+    versions, and superseded index/membership history. Returns the swept
+    relative paths. Run it in a MAINTENANCE WINDOW (no writer in flight):
+    an in-flight writer's freshly staged dirs are indistinguishable from a
+    crashed attempt's until its manifest commits, so sweeping while a
+    writer stages could delete its work (it would fail loudly at read,
+    not corrupt the store — committed state is only ever what the newest
+    manifest names — but the ingest would have to be retried).
+
+    ``retain_versions`` is the TIME-TRAVEL retention window: the newest
+    manifest plus that many predecessors keep every dir they reference,
+    so ``read_index(root, version=v)`` stays serviceable for
+    ``v >= newest - retain_versions``. Deeper versions keep their (tiny)
+    manifest files — history stays enumerable — but a data read fails
+    loudly. The default 0 preserves the original behavior: only the
+    newest version's data survives."""
+    import shutil
+
+    root = _check_root(root)
+    ver, m = latest_manifest(root)
+    keep = _manifest_refs(m)
+    for v in range(max(1, ver - retain_versions), ver):
+        try:
+            keep |= _manifest_refs(manifest_at(root, v))
+        except ValueError:
+            pass  # version slot never committed (race loser's gap)
     swept = []
     # a hard kill between a manifest temp's create and its link leaves
     # .tmp_* residue next to the versioned manifests — harmless (never

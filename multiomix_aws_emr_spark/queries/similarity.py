@@ -346,6 +346,77 @@ def stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_history_index_oracle() -> str:
+    from multiomix_aws_emr_spark.queries.minhash_oracle import (
+        minhash_onestep_ctes,
+    )
+
+    return (
+        f"WITH {minhash_onestep_ctes()} "
+        "SELECT band, bucket, CAST(MIN(doc_id) AS BIGINT) AS rep "
+        "FROM banded WHERE doc_id % 4 <> 0 GROUP BY band, bucket"
+    )
+
+
+@query(
+    "dedup_store_time_travel",
+    oracle=_minhash_history_index_oracle(),
+    # Same widest exchange as pipeline_incremental_ingest (the two
+    # ingests' staging writes run eagerly inside the call).
+    sizing_hint=fact_bytes("documents", fanout=3.0),
+)
+def dedup_store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reads over the dedup store's version chain (time travel):
+    ingest the corpus as two committed versions (v1 = history slice,
+    v2 = the incoming batch) and read the index AS OF v1 — the emitted
+    ``(band, bucket, rep)`` rows must be exactly the band index over the
+    history slice alone, bit-identical to what a reader saw before v2
+    committed (the oracle recomputes that index from the history slice's
+    raw text). Snapshot isolation falls out of the store's immutability
+    protocol for free: every version's index/membership dirs are
+    writer-unique and never rewritten, and the append-only manifest chain
+    (``operators/ingest.manifest_at``) names them forever — so an audit,
+    a reproducible-training run, or a what-changed diff pins a version
+    number instead of racing the ingest pipeline, exactly Delta/Iceberg
+    snapshot semantics. How much history keeps its DATA is the vacuum's
+    retention window (``sweep_orphans(retain_versions=K)``): inside the
+    window time travel is a manifest lookup + one parquet scan; past it
+    the read fails loudly, never silently serving a newer snapshot
+    (tests/test_ingest_txn.py::TestTimeTravel). Both batch sketches are
+    filtered slices of the session-shared corpus sketch (subset-invariant
+    per-doc rows), so the query adds no extra shingle pass."""
+    from multiomix_aws_emr_spark.operators.ingest import (
+        ingest_batch,
+        read_index,
+    )
+    from multiomix_aws_emr_spark.plans.sketchcache import banded_documents
+    from multiomix_aws_emr_spark.session import shared_scratch_dir
+
+    root = shared_scratch_dir(
+        spark,
+        "dedup_store_tt",
+        env_var="SPARK_GRAFT_DEDUP_STORE_DIR",
+        what="transactional dedup store (POSIX-shared path)",
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sketch = banded_documents(spark, sf_dir, portable=True)
+    ingest_batch(
+        spark,
+        root,
+        docs.filter(F.col("doc_id") % 4 != 0),
+        batch_id="history",
+        banded=sketch.filter(F.col("doc_id") % 4 != 0),
+    )
+    ingest_batch(
+        spark,
+        root,
+        docs.filter(F.col("doc_id") % 4 == 0),
+        batch_id="incoming",
+        banded=sketch.filter(F.col("doc_id") % 4 == 0),
+    )
+    return read_index(spark, root, version=1)
+
+
 _ANN_ORACLE_TMPL = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

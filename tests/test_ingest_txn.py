@@ -542,3 +542,40 @@ def test_recrawl_cycle_retract_then_reingest(spark, docs, tmp_path):
     assert _index_set(read_index(spark, root)) == _index_set(
         band_index(_banded(final_corpus), id_col="doc_id")
     )
+
+
+def test_time_travel_reads_and_vacuum_retention(spark, docs, tmp_path):
+    """Time travel (r12): ``read_index(version=v)`` serves each committed
+    snapshot bit-exactly (== the from-scratch index over the corpus as of
+    that version); vacuum's ``retain_versions`` window bounds how deep the
+    data stays readable, and a swept version fails LOUDLY instead of
+    silently serving a newer snapshot."""
+    from multiomix_aws_emr_spark.operators.ingest import manifest_at
+
+    root = str(tmp_path / "store")
+    corpus = None
+    snap = {}
+    for i in range(3):
+        b = docs.filter(F.col("doc_id") % 4 == i)
+        ingest_batch(spark, root, b, batch_id=f"b{i}")
+        corpus = b if corpus is None else corpus.unionByName(b)
+        snap[i + 1] = _index_set(band_index(_banded(corpus), id_col="doc_id"))
+
+    for v, expect in snap.items():
+        assert _index_set(read_index(spark, root, version=v)) == expect
+    assert _index_set(read_index(spark, root)) == snap[3]
+    assert manifest_at(root, 3)["parent"] == 2  # chain walks back
+    with pytest.raises(ValueError, match="no committed version"):
+        manifest_at(root, 99)
+
+    # vacuum keeping one predecessor: v2/v3 data survives, v1's is swept
+    swept = sweep_orphans(root, retain_versions=1)
+    assert any(e.startswith("index_v1_") for e in swept)
+    assert _index_set(read_index(spark, root, version=2)) == snap[2]
+    assert _index_set(read_index(spark, root, version=3)) == snap[3]
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_index(spark, root, version=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_membership(spark, root, version=1)
+    # history stays ENUMERABLE past the window (manifests are kept)
+    assert manifest_at(root, 1)["version"] == 1
