@@ -172,6 +172,87 @@ def minhash_band_index(
     return entry
 
 
+def two_batch_store(spark: SparkSession, sf_dir: str) -> str:
+    """The session-shared TWO-BATCH transactional dedup store: the corpus
+    ingested as version 1 (= the ``doc_id % 4 != 0`` history slice) then
+    version 2 (= the incoming complement) through
+    ``operators/ingest.ingest_batch``, built AT MOST ONCE per
+    (session, corpus). Returns the store root.
+
+    Two declared queries are pure committed-state readers of it:
+    ``pipeline_incremental_ingest`` (the incoming batch's assignments)
+    and ``dedup_store_time_travel`` (the index as of v1). Sharing the
+    build is semantically free — the store's commit protocol is
+    replay-idempotent, so "ingest if absent, else read the committed
+    rows" is exactly ``ingest_batch``'s own contract — and it halves the
+    staged writes the ingest family costs per suite run. Both batch
+    sketches are filtered slices of the session-shared corpus sketch
+    (subset-invariant per-doc rows), so no extra shingle pass either.
+
+    Same double-checked sentinel as ``minhash_band_index``: the build is
+    several Spark jobs (staged parquet writes) and must not hold the
+    module lock."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        "twobatchstore",
+    )
+    with _lock:
+        cached = _cache.get(key)
+        if isinstance(cached, threading.Event):
+            ev, builder = cached, False
+        elif cached is not None:
+            return cached
+        else:
+            ev, builder = threading.Event(), True
+            _cache[key] = ev
+    if not builder:
+        ev.wait()
+        with _lock:
+            cached = _cache.get(key)
+        if isinstance(cached, str):
+            return cached
+        return two_batch_store(spark, sf_dir)
+    try:
+        from multiomix_aws_emr_spark.operators.ingest import ingest_batch
+        from multiomix_aws_emr_spark.session import shared_scratch_dir
+        from multiomix_aws_emr_spark.sources.tables import load
+
+        root = shared_scratch_dir(
+            spark,
+            "dedup_store_shared",
+            env_var="SPARK_GRAFT_DEDUP_STORE_DIR",
+            what="transactional dedup store (POSIX-shared path)",
+        )
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        sketch = banded_documents(spark, sf_dir, portable=True)
+        for batch_id, pred in (
+            ("history", F.col("doc_id") % 4 != 0),
+            ("incoming", F.col("doc_id") % 4 == 0),
+        ):
+            ingest_batch(
+                spark,
+                root,
+                docs.filter(pred),
+                batch_id=batch_id,
+                banded=sketch.filter(pred),
+            )
+    except BaseException:
+        with _lock:
+            if _cache.get(key) is ev:
+                del _cache[key]
+        ev.set()
+        raise
+    with _lock:
+        _put(key, root)
+    ev.set()
+    return root
+
+
 def index_scratch_dir(spark: SparkSession, prefix: str) -> str:
     """A parquet-index location every node of the session's topology can
     REACH AND WRITE: index part files are written by EXECUTORS and read

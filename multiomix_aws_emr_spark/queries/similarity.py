@@ -227,33 +227,15 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset-invariant — the seventh consumer of the one
     shingle->signature->band pass), passed through ``ingest_batch``'s
     precomputed-sketch hook; the transaction still stages each slice to
-    parquet."""
-    from multiomix_aws_emr_spark.operators.ingest import ingest_batch
-    from multiomix_aws_emr_spark.plans.sketchcache import banded_documents
-    from multiomix_aws_emr_spark.session import shared_scratch_dir
+    parquet. The store itself is session-shared with
+    ``dedup_store_time_travel`` (plans/sketchcache.two_batch_store) —
+    "ingest if absent, else read the committed rows" IS ``ingest_batch``'s
+    replay contract, so sharing the build changes cost, not semantics."""
+    from multiomix_aws_emr_spark.operators.ingest import read_assignments
+    from multiomix_aws_emr_spark.plans.sketchcache import two_batch_store
 
-    root = shared_scratch_dir(
-        spark,
-        "dedup_store",
-        env_var="SPARK_GRAFT_DEDUP_STORE_DIR",
-        what="transactional dedup store (POSIX-shared path)",
-    )
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sketch = banded_documents(spark, sf_dir, portable=True)
-    ingest_batch(
-        spark,
-        root,
-        docs.filter(F.col("doc_id") % 4 != 0),
-        batch_id="history",
-        banded=sketch.filter(F.col("doc_id") % 4 != 0),
-    )
-    return ingest_batch(
-        spark,
-        root,
-        docs.filter(F.col("doc_id") % 4 == 0),
-        batch_id="incoming",
-        banded=sketch.filter(F.col("doc_id") % 4 == 0),
-    )
+    root = two_batch_store(spark, sf_dir)
+    return read_assignments(spark, root, "incoming")
 
 
 def _minhash_retract_oracle() -> str:
@@ -382,38 +364,15 @@ def dedup_store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     retention window (``sweep_orphans(retain_versions=K)``): inside the
     window time travel is a manifest lookup + one parquet scan; past it
     the read fails loudly, never silently serving a newer snapshot
-    (tests/test_ingest_txn.py::TestTimeTravel). Both batch sketches are
-    filtered slices of the session-shared corpus sketch (subset-invariant
-    per-doc rows), so the query adds no extra shingle pass."""
-    from multiomix_aws_emr_spark.operators.ingest import (
-        ingest_batch,
-        read_index,
-    )
-    from multiomix_aws_emr_spark.plans.sketchcache import banded_documents
-    from multiomix_aws_emr_spark.session import shared_scratch_dir
+    (tests/test_ingest_txn.py::test_time_travel_reads_and_vacuum_retention).
+    The store is session-shared with ``pipeline_incremental_ingest``
+    (plans/sketchcache.two_batch_store): snapshot reads never conflict
+    with other readers of the same committed chain, which is the point
+    of the immutability protocol."""
+    from multiomix_aws_emr_spark.operators.ingest import read_index
+    from multiomix_aws_emr_spark.plans.sketchcache import two_batch_store
 
-    root = shared_scratch_dir(
-        spark,
-        "dedup_store_tt",
-        env_var="SPARK_GRAFT_DEDUP_STORE_DIR",
-        what="transactional dedup store (POSIX-shared path)",
-    )
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sketch = banded_documents(spark, sf_dir, portable=True)
-    ingest_batch(
-        spark,
-        root,
-        docs.filter(F.col("doc_id") % 4 != 0),
-        batch_id="history",
-        banded=sketch.filter(F.col("doc_id") % 4 != 0),
-    )
-    ingest_batch(
-        spark,
-        root,
-        docs.filter(F.col("doc_id") % 4 == 0),
-        batch_id="incoming",
-        banded=sketch.filter(F.col("doc_id") % 4 == 0),
-    )
+    root = two_batch_store(spark, sf_dir)
     return read_index(spark, root, version=1)
 
 

@@ -128,3 +128,40 @@ def test_band_index_concurrent_callers_share_one_build(spark, sf_dir):
     assert not errs, errs
     assert len(set(paths)) == 1 and len(paths) == 3
     assert others and others[0] > 0
+
+
+def test_two_batch_store_shared_and_single_build(spark, sf_dir):
+    """The ingest-family readers share ONE committed store per session:
+    concurrent callers get the same root (single build via the sentinel),
+    and both declared consumers read that one store — the incoming
+    assignments and the as-of-v1 index come from the same manifest
+    chain."""
+    import threading
+
+    from multiomix_aws_emr_spark.operators.ingest import latest_manifest
+    from multiomix_aws_emr_spark.plans import sketchcache as sc
+    from multiomix_aws_emr_spark.plans.sketchcache import two_batch_store
+
+    with sc._lock:
+        for k in [k for k in sc._cache if k[-1] == "twobatchstore"]:
+            del sc._cache[k]
+
+    roots, errs = [], []
+
+    def _build():
+        try:
+            roots.append(two_batch_store(spark, sf_dir))
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+
+    threads = [threading.Thread(target=_build) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errs, errs
+    assert len(set(roots)) == 1 and len(roots) == 3
+    ver, m = latest_manifest(roots[0])
+    assert ver == 2 and set(m["batches"]) == {"history", "incoming"}
+    # repeat call is a pure cache hit
+    assert two_batch_store(spark, sf_dir) == roots[0]
