@@ -377,6 +377,53 @@ def read_membership(
     return _versioned_read(spark, root, version, "membership")
 
 
+def diff_versions(
+    spark: SparkSession, root: str, v_from: int, v_to: int
+) -> DataFrame:
+    """What changed between two committed snapshots of the index: one
+    ``(band, bucket, rep_from, rep_to, change)`` row per bucket that was
+    ``added`` (new batch opened it), ``removed`` (retraction emptied it),
+    or ``rep_changed`` (a new/removed doc re-elected the min). The audit /
+    what-changed primitive a versioned store owes its operators — answers
+    "which dedup decisions did ingest N flip" without replaying anything.
+
+    Cost model at scale: a full-outer join of two index snapshots — both
+    are the compact ~25-byte-per-bucket tables, both persisted bucketed
+    on the join key by the store's layout, so the diff is shuffle-light
+    and touches no corpus text. Unchanged buckets (the overwhelming
+    majority between adjacent versions) are filtered before emit."""
+    from pyspark.sql import functions as F
+
+    a = read_index(spark, root, version=v_from).withColumnRenamed(
+        "rep", "rep_from"
+    )
+    b = read_index(spark, root, version=v_to).withColumnRenamed(
+        "rep", "rep_to"
+    )
+    joined = a.alias("a").join(
+        b.alias("b"),
+        on=[
+            F.col("a.band") == F.col("b.band"),
+            F.col("a.bucket") == F.col("b.bucket"),
+        ],
+        how="full_outer",
+    )
+    return joined.select(
+        F.coalesce("a.band", "b.band").alias("band"),
+        F.coalesce("a.bucket", "b.bucket").alias("bucket"),
+        "rep_from",
+        "rep_to",
+        F.when(F.col("rep_from").isNull(), F.lit("added"))
+        .when(F.col("rep_to").isNull(), F.lit("removed"))
+        .otherwise(F.lit("rep_changed"))
+        .alias("change"),
+    ).filter(
+        F.col("rep_from").isNull()
+        | F.col("rep_to").isNull()
+        | (F.col("rep_from") != F.col("rep_to"))
+    )
+
+
 def _batch_assignments(
     spark: SparkSession, root: str, rec: dict, batch_id: str
 ) -> DataFrame:

@@ -328,6 +328,50 @@ def stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_version_diff_oracle() -> str:
+    from multiomix_aws_emr_spark.queries.minhash_oracle import (
+        minhash_onestep_ctes,
+    )
+
+    return (
+        f"WITH {minhash_onestep_ctes()}, "
+        "old_idx AS (SELECT band, bucket, CAST(MIN(doc_id) AS BIGINT) AS rep "
+        "FROM banded WHERE doc_id % 4 <> 0 GROUP BY band, bucket), "
+        "new_idx AS (SELECT band, bucket, CAST(MIN(doc_id) AS BIGINT) AS rep "
+        "FROM banded GROUP BY band, bucket) "
+        "SELECT COALESCE(o.band, n.band) AS band, "
+        "COALESCE(o.bucket, n.bucket) AS bucket, "
+        "o.rep AS rep_from, n.rep AS rep_to, "
+        "CASE WHEN o.rep IS NULL THEN 'added' "
+        "WHEN n.rep IS NULL THEN 'removed' "
+        "ELSE 'rep_changed' END AS change "
+        "FROM old_idx o FULL OUTER JOIN new_idx n "
+        "ON o.band = n.band AND o.bucket = n.bucket "
+        "WHERE o.rep IS NULL OR n.rep IS NULL OR o.rep <> n.rep"
+    )
+
+
+@query("dedup_store_version_diff", oracle=_minhash_version_diff_oracle())
+def dedup_store_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff over the store's version chain: which dedup decisions
+    did the incoming ingest flip — one ``(band, bucket, rep_from, rep_to,
+    change)`` row per bucket the v1→v2 transition ``added`` or whose rep
+    it ``rep_changed`` (``removed`` appears only across retraction
+    versions). The audit primitive of a versioned store: incident review
+    ("why did these docs merge yesterday"), change-data capture for
+    downstream consumers of dedup decisions, and regression checks after
+    a recrawl all read this diff instead of replaying ingests. Cost is a
+    full-outer join of two compact bucket tables
+    (``operators/ingest.diff_versions``) — no corpus text, shuffle-light
+    under the store's bucketed layout; the oracle recomputes both
+    snapshots' indexes from raw text and diffs them in SQL."""
+    from multiomix_aws_emr_spark.operators.ingest import diff_versions
+    from multiomix_aws_emr_spark.plans.sketchcache import two_batch_store
+
+    root = two_batch_store(spark, sf_dir)
+    return diff_versions(spark, root, 1, 2)
+
+
 def _minhash_history_index_oracle() -> str:
     from multiomix_aws_emr_spark.queries.minhash_oracle import (
         minhash_onestep_ctes,

@@ -579,3 +579,50 @@ def test_time_travel_reads_and_vacuum_retention(spark, docs, tmp_path):
         read_membership(spark, root, version=1)
     # history stays ENUMERABLE past the window (manifests are kept)
     assert manifest_at(root, 1)["version"] == 1
+
+
+def test_diff_versions_reconstructs_and_covers_all_changes(spark, docs, tmp_path):
+    """diff_versions is a faithful changelog: applying the v1->v3 diff to
+    the v1 snapshot reproduces the v3 snapshot exactly (added + rep_changed
+    + removed — the removed arm exercised via a retraction version), and
+    adjacent-version diffs never report an unchanged bucket."""
+    from multiomix_aws_emr_spark.operators.ingest import diff_versions
+
+    root = str(tmp_path / "store")
+    _clean_two_batch_store(spark, docs, root)  # v1 history, v2 incoming
+    # v3: retract one crowded-bucket rep so 'removed'/'rep_changed' occur
+    membership = read_membership(spark, root)
+    crowded_rep = (
+        membership.groupBy("band", "bucket")
+        .agg(F.min("doc_id").alias("rep"), F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .limit(1)
+        .collect()[0]
+        .rep
+    )
+    victims = spark.createDataFrame([(crowded_rep,)], "doc_id BIGINT")
+    retract_batch(spark, root, victims, op_id="gdpr-1")
+
+    d = diff_versions(spark, root, 1, 3).collect()
+    kinds = {r.change for r in d}
+    assert "rep_changed" in kinds or "removed" in kinds
+    assert all(
+        (r.change == "added") == (r.rep_from is None)
+        and (r.change == "removed") == (r.rep_to is None)
+        for r in d
+    )
+    v1 = _index_set(read_index(spark, root, version=1))
+    v3 = _index_set(read_index(spark, root, version=3))
+    patched = {
+        t for t in v1
+        if (t[0], t[1]) not in {(r.band, r.bucket) for r in d}
+    } | {(r.band, r.bucket, r.rep_to) for r in d if r.rep_to is not None}
+    assert patched == v3
+    # adjacent diff reports only true changes (no unchanged buckets)
+    v2 = _index_set(read_index(spark, root, version=2))
+    d12 = diff_versions(spark, root, 1, 2).collect()
+    for r in d12:
+        if r.change == "rep_changed":
+            assert (r.band, r.bucket, r.rep_from) in v1
+            assert (r.band, r.bucket, r.rep_to) in v2
+            assert r.rep_from != r.rep_to
