@@ -38,6 +38,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _synth_if_missing(spark, big_dir: str) -> None:
+    """Materialize the 1000x documents synth via tools/scale_probe's
+    synthesizer when the dir is absent (a fresh /tmp)."""
+    if os.path.isdir(big_dir):
+        return
+    import importlib.util
+
+    sp = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scale_probe.py")
+    spec = importlib.util.spec_from_file_location("scale_probe", sp)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.synthesize(spark, "documents", "/root/testdata/sf0.1", big_dir, 1000)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--big-dir", default="/tmp/scale_probe/documents_1000x")
@@ -61,6 +75,7 @@ def main() -> int:
 
     spark = build_session(app_name="ingest-txn-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    _synth_if_missing(spark, args.big_dir)
 
     docs = load(spark, args.big_dir, "documents").select("doc_id", "text")
     n_docs = docs.count()
@@ -133,6 +148,35 @@ def main() -> int:
         )
         assert survived.count() == 0, "retracted ids still in membership"
 
+        # ---- time travel + version diff + vacuum (r12): the chain is now
+        # v1 history, v2 ingest, v3 retraction — snapshot reads and the
+        # changelog are manifest lookups + compact-table scans/joins,
+        # never corpus text.
+        from multiomix_aws_emr_spark.operators.ingest import (
+            diff_versions,
+            sweep_orphans,
+        )
+
+        t0 = time.perf_counter()
+        tt_rows = read_index(spark, store_root, version=1).count()
+        t_timetravel = time.perf_counter() - t0
+        assert tt_rows == spark.read.parquet(bare_index_path).count(), (
+            "as-of-v1 snapshot != the history index"
+        )
+        t0 = time.perf_counter()
+        diff_rows = diff_versions(spark, store_root, 2, 3).count()
+        t_diff = time.perf_counter() - t0
+        assert diff_rows >= n_victims, "retraction changelog too small"
+        t0 = time.perf_counter()
+        swept = sweep_orphans(store_root, retain_versions=1)
+        t_vacuum = time.perf_counter() - t0
+        assert read_index(spark, store_root, version=2).count() > 0
+        try:
+            read_index(spark, store_root, version=1)
+            raise AssertionError("vacuumed v1 still readable")
+        except ValueError:
+            pass
+
         print(
             json.dumps(
                 {
@@ -147,6 +191,12 @@ def main() -> int:
                     "txn_overhead": round(t_txn / max(t_bare, 0.01), 2),
                     "n_retracted_reps": n_victims,
                     "retract_txn_sec": round(t_retract, 2),
+                    "timetravel_v1_rows": tt_rows,
+                    "timetravel_read_sec": round(t_timetravel, 2),
+                    "diff_v2_v3_rows": diff_rows,
+                    "diff_sec": round(t_diff, 2),
+                    "vacuum_swept_dirs": len(swept),
+                    "vacuum_sec": round(t_vacuum, 2),
                 }
             )
         )
