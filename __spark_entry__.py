@@ -88,12 +88,13 @@ def _last_verified_round() -> dict[str, int]:
 #    below.
 # 4. The NEW qids pipeline_incremental_ingest (operators/ingest.py),
 #    stream_incremental_ingest (streaming/ingest.py), dedup_retract_index
-#    (retraction), dedup_store_time_travel (as-of version reads), and
-#    dedup_store_version_diff (snapshot changelog) are never-verified and
-#    lead the LRU segment automatically.
+#    (retraction), dedup_store_time_travel (as-of version reads),
+#    dedup_store_version_diff (snapshot changelog), and
+#    similarity_ivf_incremental (persisted-quantizer ANN ingest) are
+#    never-verified and lead the LRU segment automatically.
 #
-# That is 4 pinned + 5 new qids; the LRU sort below fills the remaining
-# ~41 of the driver's budget with the 38 r8-stale qids (VERDICT r11
+# That is 4 pinned + 6 new qids; the LRU sort below fills the remaining
+# ~40 of the driver's budget with the 38 r8-stale qids (VERDICT r11
 # task 1 — the agg/window/stream/udf/variant/pipeline-text cohort),
 # leaving max staleness r9 after r12.
 _STALE_PRIORITY = [

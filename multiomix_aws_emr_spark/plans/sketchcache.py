@@ -172,6 +172,87 @@ def minhash_band_index(
     return entry
 
 
+def ivf_centroid_index(
+    spark: SparkSession, sf_dir: str, *, n_lists: int = 8, split_mod: int = 4
+) -> tuple[DataFrame, str]:
+    """The PERSISTED coarse-quantizer index of the historical embeddings
+    slice — ``(list_id, cent array<double>)`` parquet, ``n_lists`` tiny
+    rows, written once per session + corpus and read back by every
+    incremental assignment. Returns ``(df, path)``.
+
+    The similarity-surface analog of ``minhash_band_index``: the
+    historical slice (``vec_id % split_mod != 0``) is read exactly once
+    to train the quantizer
+    (operators/similarity.hash_group_centroids — deterministic so the
+    oracle can recompute it; production swaps in ``kmeans_centroids``
+    with the identical downstream shape); afterwards every new embedding
+    batch quantizes against THIS parquet without touching historical
+    vectors. Same double-checked sentinel as the band index (the parquet
+    write is a Spark job and must not hold the module lock)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        "ivfcentroids",
+        n_lists,
+        split_mod,
+    )
+    with _lock:
+        cached = _cache.get(key)
+        if isinstance(cached, threading.Event):
+            ev, builder = cached, False
+        elif cached is not None:
+            return cached
+        else:
+            ev, builder = threading.Event(), True
+            _cache[key] = ev
+    if not builder:
+        ev.wait()
+        with _lock:
+            cached = _cache.get(key)
+        if isinstance(cached, tuple):
+            return cached
+        return ivf_centroid_index(
+            spark, sf_dir, n_lists=n_lists, split_mod=split_mod
+        )
+    try:
+        from multiomix_aws_emr_spark.operators.similarity import (
+            hash_group_centroids,
+        )
+        from multiomix_aws_emr_spark.sources.tables import load
+
+        hist = load(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % split_mod != 0
+        )
+        # group on (vec_id >> 2) % n_lists — ORTHOGONAL to the % split_mod
+        # train/ingest split, so every list trains on history rows (plain
+        # vec_id % 8 would leave lists {0,4} empty: those residues are
+        # exactly the held-out batch)
+        cents = hash_group_centroids(
+            hist,
+            id_col="vec_id",
+            vec_col="embedding",
+            n_lists=n_lists,
+            group_expr=F.pmod(F.shiftright(F.col("vec_id"), 2), F.lit(n_lists)),
+        )
+        path = index_scratch_dir(spark, "ivf_centroid_index")
+        cents.write.mode("overwrite").parquet(path)
+        entry = (spark.read.parquet(path), path)
+    except BaseException:
+        with _lock:
+            if _cache.get(key) is ev:
+                del _cache[key]
+        ev.set()
+        raise
+    with _lock:
+        _put(key, entry)
+    ev.set()
+    return entry
+
+
 def two_batch_store(spark: SparkSession, sf_dir: str) -> str:
     """The session-shared TWO-BATCH transactional dedup store: the corpus
     ingested as version 1 (= the ``doc_id % 4 != 0`` history slice) then

@@ -420,6 +420,72 @@ def dedup_store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_index(spark, root, version=1)
 
 
+_IVF_INCREMENTAL_ORACLE = """
+WITH hist AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE vec_id % 4 <> 0
+), dims AS (
+  SELECT (vec_id // 4) % 8 AS list_id,
+         generate_subscripts(emb, 1) AS pos,
+         UNNEST(emb) AS val
+  FROM hist
+), cent_dims AS (
+  SELECT list_id, pos, AVG(val) AS m FROM dims GROUP BY 1, 2
+), cents AS (
+  SELECT list_id, list(m ORDER BY pos) AS cent FROM cent_dims GROUP BY list_id
+), newv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE vec_id % 4 = 0
+), dists AS (
+  SELECT n.vec_id, c.list_id,
+         list_sum(list_transform(list_zip(n.emb, c.cent),
+                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS d2
+  FROM newv n CROSS JOIN cents c
+)
+SELECT vec_id, CAST(list_id AS INTEGER) AS list_id, ROUND(d2, 6) + 0 AS dist2
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, list_id) AS rn FROM dists)
+WHERE rn = 1
+"""
+
+
+@query("similarity_ivf_incremental", oracle=_IVF_INCREMENTAL_ORACLE)
+def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN ingest: quantize a NEW embedding batch against the
+    PERSISTED coarse-quantizer index without touching historical vectors —
+    the similarity-surface twin of ``dedup_incremental_minhash``. The
+    quantizer (8 centroids over the ``vec_id % 4 != 0`` history slice)
+    lives as a tiny parquet built once per session
+    (plans/sketchcache.ivf_centroid_index); the incoming batch
+    (``vec_id % 4 == 0``) runs ONE map-only pass — the centroid matrix
+    rides an Arrow-vectorized pandas UDF closure (BLAS matmul per batch,
+    ``operators/similarity.assign_to_centroids``), so there is no join,
+    no shuffle, and no history read (plan-asserted: one scan, zero
+    Exchange, in tests/test_incremental_dedup.py). Emits
+    ``(vec_id, list_id, dist2)`` —
+    nearest list by squared L2 with lower-id tie-break. At 100 TB this
+    is how every new embedding shard lands in its inverted list; the
+    deterministic hash-group quantizer keeps the oracle exact
+    (recomputing every centroid coordinate from raw floats), and
+    production swaps in ``kmeans_centroids`` with the identical
+    downstream shape."""
+    from multiomix_aws_emr_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+    from multiomix_aws_emr_spark.plans.sketchcache import ivf_centroid_index
+
+    cents_df, _path = ivf_centroid_index(spark, sf_dir)
+    rows = sorted(cents_df.collect(), key=lambda r: r.list_id)
+    assert [r.list_id for r in rows] == list(range(len(rows)))
+    import numpy as np
+
+    cmat = np.array([r.cent for r in rows], dtype=np.float64)
+    batch = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    return assign_to_centroids(
+        batch, cmat, id_col="vec_id", vec_col="embedding"
+    )
+
+
 _ANN_ORACLE_TMPL = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

@@ -261,3 +261,42 @@ def test_skew_safe_assign_matches_window_path(spark, docs):
         ).collect()
     }
     assert safe == default and len(safe) == new.count()
+
+
+def test_ivf_incremental_map_only_and_correct(spark, sf_dir):
+    """The similarity twin of the incremental-dedup plan shape: the
+    declared query's physical plan scans embeddings ONCE (the new batch),
+    contains NO shuffle (map-only quantization — centroids ride the UDF
+    closure), and its assignment matches a NumPy recomputation from the
+    persisted centroids."""
+    import numpy as np
+
+    from multiomix_aws_emr_spark.plans.sketchcache import ivf_centroid_index
+    from multiomix_aws_emr_spark.sources.tables import load
+
+    df = QUERIES["similarity_ivf_incremental"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("embeddings.parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+
+    cents_df, path = ivf_centroid_index(spark, sf_dir)
+    rows = sorted(cents_df.collect(), key=lambda r: r.list_id)
+    assert [r.list_id for r in rows] == list(range(8))  # all lists trained
+    cmat = np.array([r.cent for r in rows], dtype=np.float64)
+    got = {r.vec_id: (r.list_id, r.dist2) for r in df.collect()}
+    batch = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings")
+        .filter("vec_id % 4 = 0")
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for vid, v in batch.items():
+        d2 = ((v[None, :] - cmat) ** 2).sum(axis=1)
+        best = int(d2.argmin())
+        assert got[vid][0] == best
+        assert abs(got[vid][1] - round(float(d2[best]), 6)) < 1e-9
+
+    # session-cached: second call returns the same persisted path
+    assert ivf_centroid_index(spark, sf_dir)[1] == path
