@@ -377,6 +377,41 @@ def read_membership(
     return _versioned_read(spark, root, version, "membership")
 
 
+def store_history(spark: SparkSession, root: str) -> DataFrame:
+    """DESCRIBE HISTORY for the store: one row per committed version —
+    ``(version, parent, op_id, kind, n_batches)`` — reconstructed from
+    the append-only manifest chain (each version's operation is the batch
+    record it added relative to its parent; a compaction adds none and
+    reports ``kind='compact'``). Driver-side: manifests are tiny JSON
+    files, never data."""
+    _check_root(root)
+    ver, newest = latest_manifest(root)
+    if not ver:
+        raise ValueError(f"store {root} has no committed version")
+    manifests = {}
+    for v in range(1, ver + 1):
+        try:
+            manifests[v] = manifest_at(root, v)
+        except ValueError:
+            continue  # never-committed slot (race loser's gap)
+    rows = []
+    for v, m in sorted(manifests.items()):
+        parent = m.get("parent", 0)
+        prev = manifests.get(parent, {"batches": {}})
+        added = sorted(set(m["batches"]) - set(prev["batches"]))
+        if added:
+            for op in added:
+                rows.append(
+                    (v, parent, op, m["batches"][op]["kind"], len(m["batches"]))
+                )
+        else:
+            rows.append((v, parent, None, "compact", len(m["batches"])))
+    return spark.createDataFrame(
+        rows,
+        "version INT, parent INT, op_id STRING, kind STRING, n_batches INT",
+    )
+
+
 def diff_versions(
     spark: SparkSession, root: str, v_from: int, v_to: int
 ) -> DataFrame:

@@ -626,3 +626,29 @@ def test_diff_versions_reconstructs_and_covers_all_changes(spark, docs, tmp_path
             assert (r.band, r.bucket, r.rep_from) in v1
             assert (r.band, r.bucket, r.rep_to) in v2
             assert r.rep_from != r.rep_to
+
+
+def test_store_history_describes_the_chain(spark, docs, tmp_path):
+    """DESCRIBE HISTORY: every committed version appears with its parent,
+    operation id, and kind — ingest, retract, and compact all legible
+    from the manifest chain alone."""
+    from multiomix_aws_emr_spark.operators.ingest import (
+        compact_store,
+        store_history,
+    )
+
+    root = str(tmp_path / "store")
+    _clean_two_batch_store(spark, docs, root)
+    victims = (
+        read_index(spark, root).select(F.col("rep").alias("doc_id")).limit(5)
+    )
+    retract_batch(spark, root, victims, op_id="gdpr-7")
+    assert compact_store(spark, root) is True
+
+    h = {r.version: r for r in store_history(spark, root).collect()}
+    assert set(h) == {1, 2, 3, 4}
+    assert (h[1].op_id, h[1].kind, h[1].parent) == ("b0", "ingest", 0)
+    assert (h[2].op_id, h[2].kind, h[2].parent) == ("b1", "ingest", 1)
+    assert (h[3].op_id, h[3].kind, h[3].parent) == ("gdpr-7", "retract", 2)
+    assert (h[4].op_id, h[4].kind, h[4].parent) == (None, "compact", 3)
+    assert h[4].n_batches == 3
