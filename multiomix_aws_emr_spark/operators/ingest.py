@@ -474,20 +474,41 @@ def _batch_assignments(
     return spark.read.parquet(os.path.join(root, rec["assignments"]))
 
 
-def read_assignments(spark: SparkSession, root: str, batch_id: str) -> DataFrame:
-    """A committed batch's ``(id, rep_id)`` assignments."""
-    _, m = latest_manifest(root)
+def read_assignments(
+    spark: SparkSession,
+    root: str,
+    batch_id: str,
+    *,
+    version: int | None = None,
+) -> DataFrame:
+    """A committed batch's ``(id, rep_id)`` assignments. ``version``
+    time-travels the lookup: a batch committed after that version is
+    absent (KeyError), exactly as a reader at that time saw the store."""
+    m = (
+        latest_manifest(root)[1]
+        if version is None
+        else manifest_at(root, version)
+    )
     rec = m["batches"].get(batch_id)
     if rec is None or rec.get("kind") != "ingest":
         raise KeyError(f"no committed ingest {batch_id!r} in {root}")
     return _batch_assignments(spark, root, rec, batch_id)
 
 
-def read_all_assignments(spark: SparkSession, root: str) -> DataFrame:
+def read_all_assignments(
+    spark: SparkSession, root: str, *, version: int | None = None
+) -> DataFrame:
     """Every committed ingest's ``(id, rep_id)`` assignments, one scan
     over all committed batch paths (each doc appears exactly once — in
-    the batch that ingested it); archives contribute one scan total."""
-    _, m = latest_manifest(root)
+    the batch that ingested it); archives contribute one scan total.
+    ``version`` restricts to the ingests committed as of that version
+    (the same vacuum-retention contract as ``read_index``: a swept
+    batch dir fails loudly at scan, never silently serves newer rows)."""
+    m = (
+        latest_manifest(root)[1]
+        if version is None
+        else manifest_at(root, version)
+    )
     loose = [
         os.path.join(root, rec["assignments"])
         for rec in m["batches"].values()

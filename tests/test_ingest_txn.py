@@ -652,3 +652,20 @@ def test_store_history_describes_the_chain(spark, docs, tmp_path):
     assert (h[3].op_id, h[3].kind, h[3].parent) == ("gdpr-7", "retract", 2)
     assert (h[4].op_id, h[4].kind, h[4].parent) == (None, "compact", 3)
     assert h[4].n_batches == 3
+
+
+def test_assignment_reads_time_travel(spark, docs, tmp_path):
+    """Assignment reads honor the version chain too: as of v1 only the
+    first batch exists (the second raises KeyError), and the all-batches
+    scan at v1 returns exactly the first batch's rows."""
+    from multiomix_aws_emr_spark.operators.ingest import read_all_assignments
+
+    root = str(tmp_path / "store")
+    _clean_two_batch_store(spark, docs, root)
+    b0 = _assign_map(read_assignments(spark, root, "b0"))
+    assert _assign_map(read_all_assignments(spark, root, version=1)) == b0
+    assert _assign_map(read_assignments(spark, root, "b0", version=1)) == b0
+    with pytest.raises(KeyError):
+        read_assignments(spark, root, "b1", version=1)
+    both = _assign_map(read_all_assignments(spark, root))
+    assert set(both) > set(b0)
