@@ -79,6 +79,12 @@ TIER_QUERIES = {
         "pipeline_curation_v3",
         "pipeline_shuffle_shards",
         "text_unigram_rarity",
+        # the transactional store's SNAPSHOT-READ path (r12): the warm
+        # pass builds the session-shared two-batch store, so the timed
+        # pass measures the as-of-v1 read (manifest lookup + index scan,
+        # scales with the index). Build linearity at volume is
+        # tools/ingest_txn_probe.py's measurement, not this one.
+        "dedup_store_time_travel",
     ),
     "relational": (
         "flagship_revenue_by_region",
@@ -109,6 +115,9 @@ TIER_QUERIES = {
         "similarity_topk",
         "similarity_ann_lsh",
         "similarity_ivf",
+        # incremental ANN ingest (r12): quantizer train over history +
+        # map-only batch assign — both sides linear in their slice
+        "similarity_ivf_incremental",
     ),
     # the Arrow mapInPandas media batch path: genuine PPM/WAV decode,
     # resample round-trip, byte histogram, frame expansion — the
