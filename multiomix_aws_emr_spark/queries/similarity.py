@@ -351,7 +351,14 @@ def _minhash_version_diff_oracle() -> str:
     )
 
 
-@query("dedup_store_version_diff", oracle=_minhash_version_diff_oracle())
+@query(
+    "dedup_store_version_diff",
+    oracle=_minhash_version_diff_oracle(),
+    # First store consumer in a session pays the shared two-batch build,
+    # whose widest exchange is the shingle aggregation — same hint as the
+    # rest of the ingest family so build sizing is order-independent.
+    sizing_hint=fact_bytes("documents", fanout=3.0),
+)
 def dedup_store_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff over the store's version chain: which dedup decisions
     did the incoming ingest flip — one ``(band, bucket, rep_from, rep_to,
