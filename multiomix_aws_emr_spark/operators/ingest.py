@@ -52,6 +52,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -122,6 +123,30 @@ def manifest_at(root: str, version: int) -> dict:
         ) from None
 
 
+def version_as_of(root: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution: the newest committed version whose
+    ``committed_at`` is <= ``ts`` (the clock is the WRITER's — one
+    coordinator in the single-writer pattern, or "any committed clock"
+    under races, the same semantics Delta gives). Raises if the store
+    had no committed version yet at that time. Pre-timestamp manifests
+    (an older store's) are treated as infinitely old — addressable by
+    version number, and by any timestamp at or after epoch 0."""
+    ver, _ = latest_manifest(root)
+    best = 0
+    for v in range(1, ver + 1):
+        try:
+            m = manifest_at(root, v)
+        except ValueError:
+            continue
+        if m.get("committed_at", 0.0) <= ts:
+            best = v
+    if not best:
+        raise ValueError(
+            f"store {root} had no committed version at timestamp {ts}"
+        )
+    return best
+
+
 def _versioned_read(
     spark: SparkSession, root: str, version: int | None, key: str
 ) -> DataFrame:
@@ -151,6 +176,7 @@ def _commit_manifest(root: str, version: int, manifest: dict) -> None:
     mdir = _manifest_dir(root)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".tmp_{uuid.uuid4().hex[:12]}")
+    manifest = {**manifest, "committed_at": time.time()}
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
         fh.flush()

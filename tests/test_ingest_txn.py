@@ -669,3 +669,36 @@ def test_assignment_reads_time_travel(spark, docs, tmp_path):
         read_assignments(spark, root, "b1", version=1)
     both = _assign_map(read_all_assignments(spark, root))
     assert set(both) > set(b0)
+
+
+def test_timestamp_as_of_resolution(spark, docs, tmp_path):
+    """TIMESTAMP AS OF: every commit records its wall time; a timestamp
+    between two commits resolves to the earlier version, before the first
+    commit raises, and the resolved snapshot reads bit-exactly."""
+    import time as _time
+
+    from multiomix_aws_emr_spark.operators.ingest import (
+        manifest_at,
+        version_as_of,
+    )
+
+    root = str(tmp_path / "store")
+    ingest_batch(
+        spark, root, docs.filter(F.col("doc_id") % 4 != 0), batch_id="b0"
+    )
+    t_between = _time.time()
+    v1_idx = _index_set(read_index(spark, root))
+    ingest_batch(
+        spark, root, docs.filter(F.col("doc_id") % 4 == 0), batch_id="b1"
+    )
+
+    m1, m2 = manifest_at(root, 1), manifest_at(root, 2)
+    assert 0 < m1["committed_at"] <= t_between <= m2["committed_at"]
+    assert version_as_of(root, t_between) == 1
+    assert version_as_of(root, _time.time()) == 2
+    with pytest.raises(ValueError, match="no committed version at"):
+        version_as_of(root, m1["committed_at"] - 10.0)
+    assert (
+        _index_set(read_index(spark, root, version=version_as_of(root, t_between)))
+        == v1_idx
+    )
