@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Callable
+from contextlib import contextmanager
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -69,6 +70,38 @@ ORACLES: dict[str, str] = {}
 SIZING_HINTS: dict[str, Callable[[str], int]] = {}
 
 _SHUFFLE_CONF = "spark.sql.shuffle.partitions"
+
+
+@contextmanager
+def _scoped_confs(spark: SparkSession, extras: Optional[dict]):
+    """Apply ``extras`` (conf key -> value) for the duration of one action
+    and restore the prior values on exit — the per-query mechanism for
+    OPTIMIZER confs that must be live at job-submission time (runtime
+    bloom-filter injection, broadcast thresholds) without leaking into the
+    next query of a shared-session suite. Scoped around eager actions
+    only; ``toLocalIterator`` runs its incremental jobs after the scope
+    closes, so extras-carrying queries must not rely on it."""
+    if not extras:
+        yield
+        return
+    saved: dict = {}
+    for key, value in extras.items():
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+        spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        for key, old in saved.items():
+            try:
+                if old is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, old)
+            except Exception:
+                pass
 
 
 def _apply_sizing(
@@ -193,24 +226,26 @@ class _BoundBuilder:
     bound frame: DataFrames returned by its methods inherit the owning
     query's execution binding; nested builders (``pivot``) re-wrap."""
 
-    __slots__ = ("_inner", "_conf")
+    __slots__ = ("_inner", "_conf", "_extras")
 
-    def __init__(self, inner, conf):
+    def __init__(self, inner, conf, extras=None):
         object.__setattr__(self, "_inner", inner)
         object.__setattr__(self, "_conf", conf)
+        object.__setattr__(self, "_extras", extras)
 
     def __getattr__(self, name):
         val = getattr(self._inner, name)
         if not callable(val):
             return val
         conf = self._conf
+        extras = self._extras
 
         def call(*args, **kwargs):
             out = val(*args, **kwargs)
             if isinstance(out, DataFrame):
-                return _bind_execution_conf(out, *conf)
+                return _bind_execution_conf(out, *conf, extras=extras)
             if type(out) is type(self._inner):
-                return _BoundBuilder(out, conf)
+                return _BoundBuilder(out, conf, extras)
             return out
 
         return call
@@ -224,25 +259,28 @@ class _BoundWriter:
     built in between; builder-chaining calls (``mode``/``option``/
     ``using``) re-wrap their returned writer."""
 
-    __slots__ = ("_inner", "_conf")
+    __slots__ = ("_inner", "_conf", "_extras")
 
-    def __init__(self, inner, conf):
+    def __init__(self, inner, conf, extras=None):
         object.__setattr__(self, "_inner", inner)
         object.__setattr__(self, "_conf", conf)
+        object.__setattr__(self, "_extras", extras)
 
     def __getattr__(self, name):
         val = getattr(self._inner, name)
         if not callable(val):
             return val
         conf = self._conf
+        extras = self._extras
 
         def call(*args, **kwargs):
             spark, target = conf
             if spark.conf.get(_SHUFFLE_CONF) != target:
                 spark.conf.set(_SHUFFLE_CONF, target)
-            out = val(*args, **kwargs)
+            with _scoped_confs(spark, extras):
+                out = val(*args, **kwargs)
             if out is self._inner or type(out) is type(self._inner):
-                return _BoundWriter(out, conf)
+                return _BoundWriter(out, conf, extras)
             return out
 
         return call
@@ -269,7 +307,11 @@ def _bound_class(base: type) -> type:
     def _make_action(name: str, method):
         def run(self, *args, **kwargs):
             self._maes_reapply()
-            return method(self, *args, **kwargs)
+            with _scoped_confs(
+                self._maes_exec_conf[0],
+                getattr(self, "_maes_extra_confs", None),
+            ):
+                return method(self, *args, **kwargs)
 
         run.__name__ = name
         run.__doc__ = getattr(method, "__doc__", None)
@@ -286,7 +328,11 @@ def _bound_class(base: type) -> type:
                 self._maes_reapply()
             out = method(self, *args, **kwargs)
             if isinstance(out, DataFrame) and out is not self:
-                return _bind_execution_conf(out, *self._maes_exec_conf)
+                return _bind_execution_conf(
+                    out,
+                    *self._maes_exec_conf,
+                    extras=getattr(self, "_maes_extra_confs", None),
+                )
             return out
 
         run.__name__ = name
@@ -303,7 +349,9 @@ def _bound_class(base: type) -> type:
     def _make_grouping(name: str, method):
         def run(self, *args, **kwargs):
             return _BoundBuilder(
-                method(self, *args, **kwargs), self._maes_exec_conf
+                method(self, *args, **kwargs),
+                self._maes_exec_conf,
+                getattr(self, "_maes_extra_confs", None),
             )
 
         run.__name__ = name
@@ -319,7 +367,9 @@ def _bound_class(base: type) -> type:
         def fget(self):
             self._maes_reapply()
             return _BoundWriter(
-                prop.__get__(self, type(self)), self._maes_exec_conf
+                prop.__get__(self, type(self)),
+                self._maes_exec_conf,
+                getattr(self, "_maes_extra_confs", None),
             )
 
         return property(fget, doc=getattr(prop, "__doc__", None))
@@ -328,7 +378,9 @@ def _bound_class(base: type) -> type:
         def run(self, *args, **kwargs):
             self._maes_reapply()
             return _BoundWriter(
-                method(self, *args, **kwargs), self._maes_exec_conf
+                method(self, *args, **kwargs),
+                self._maes_exec_conf,
+                getattr(self, "_maes_extra_confs", None),
             )
 
         run.__name__ = name
@@ -349,7 +401,12 @@ def _bound_class(base: type) -> type:
     return sub
 
 
-def _bind_execution_conf(df: DataFrame, spark: SparkSession, target: str) -> DataFrame:
+def _bind_execution_conf(
+    df: DataFrame,
+    spark: SparkSession,
+    target: str,
+    extras: Optional[dict] = None,
+) -> DataFrame:
     """Bind this query's resolved shuffle-partition count to the returned
     DataFrame's OWN execution: re-class the instance into a thin subclass
     whose actions (and ``write``/``writeTo`` sinks) re-apply the count
@@ -365,6 +422,7 @@ def _bind_execution_conf(df: DataFrame, spark: SparkSession, target: str) -> Dat
         # already bound (a declared query composed from another's frame):
         # retarget in place rather than stacking subclasses
         df._maes_exec_conf = (spark, target)
+        df._maes_extra_confs = extras
         return df
     base = type(df)
     sub = _BOUND_CLASSES.get(base)
@@ -373,6 +431,8 @@ def _bind_execution_conf(df: DataFrame, spark: SparkSession, target: str) -> Dat
     try:
         df.__class__ = sub
         df._maes_exec_conf = (spark, target)
+        if extras:
+            df._maes_extra_confs = extras
     except (AttributeError, TypeError):
         pass  # slotted/frozen DataFrame variants: leave unbound
     return df
@@ -395,17 +455,27 @@ def query(
     name: str,
     oracle: Optional[str] = None,
     sizing_hint: Optional[Callable[[str], int]] = None,
+    extra_confs: Optional[dict] = None,
 ) -> Callable[[QueryFn], QueryFn]:
     """Register a declared query (and its DuckDB oracle, if hash-checkable).
 
     ``sizing_hint``: optional ``(sf_dir) -> bytes`` estimate of the widest
-    exchange for wide-state shapes — see the module docstring."""
+    exchange for wide-state shapes — see the module docstring.
+
+    ``extra_confs``: optional conf key -> value dict applied SCOPED around
+    each of the returned frame's actions (set -> run -> restore) for
+    optimizer behaviors read at job-submission time — e.g. runtime
+    bloom-filter injection thresholds. Never leaks: the prior values are
+    restored when the action returns, and the binding propagates through
+    derived frames/builders/writers exactly like the sizing count."""
 
     def deco(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             configure(spark)
             target = _apply_sizing(spark, sizing_hint, sf_dir)
-            return _bind_execution_conf(fn(spark, sf_dir), spark, target)
+            return _bind_execution_conf(
+                fn(spark, sf_dir), spark, target, extras=extra_confs
+            )
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__

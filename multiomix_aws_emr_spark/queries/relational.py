@@ -311,6 +311,88 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "s_suppkey")
 
 
+#: Optimizer confs for the runtime-bloom demonstration, applied SCOPED
+#: around the query's own actions (registry ``extra_confs`` — restored the
+#: moment the action returns). Each maps a fixture-scale stand-in to the
+#: 100 TB reality it reproduces:
+_RUNTIME_BLOOM_CONFS = {
+    # At 100 TB the ~1/5-selective orders slice is far beyond any broadcast
+    # threshold, so the real plan is a shuffle join; fixtures would pick
+    # BHJ (making a runtime filter moot), so disable broadcast here.
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Stock gate: only inject when the application-side scan exceeds 10 GB
+    # — correct at warehouse scale, never met by fixtures. 0 keeps the
+    # injected plan reproducible (and plan-asserted) at test scale.
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "0",
+    # The creation side is aggregated into one bloom bitmap, so it must be
+    # bounded; raise the 10 MB stock bound enough for the sf0.1 slice. At
+    # real scale a tighter dim predicate meets the stock default.
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "512MB",
+}
+
+
+@query(
+    "join_runtime_bloom",
+    oracle=(
+        # per-TERM rounding before the sum: a sum of 2-decimal values is an
+        # exact multiple of 0.01 (+/- 1e-11 float noise), so the outer
+        # ROUND can never land on a half-tie the way a raw double sum can
+        # (observed: 47120.995 summing in different orders). The +5e-9
+        # term epsilon settles the engines' opposite treatments of
+        # exact-half terms (price*(1-disc) lands on .xx5 often: Spark
+        # rounds the exact binary expansion, DuckDB the decimal-nearest):
+        # far above the double ulp at these magnitudes, far below the
+        # 0.005 rounding granularity, so ONLY boundary terms move — both
+        # engines then round them up together.
+        "SELECT o.o_orderdate, "
+        "ROUND(SUM(ROUND(l.l_extendedprice * (1 - l.l_discount) + 5e-9, 2)), "
+        "2) AS urgent_rev, "
+        "CAST(COUNT(*) AS BIGINT) AS n_items "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "WHERE o.o_orderpriority = '1-URGENT' "
+        "GROUP BY o.o_orderdate"
+    ),
+    extra_confs=_RUNTIME_BLOOM_CONFS,
+)
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime row-level bloom-filter join — the scale path BETWEEN
+    ``join_broadcast`` and a bare sort-merge join: when the selectively
+    filtered dim side is too big to broadcast, Catalyst's
+    InjectRuntimeFilter rewrites the FACT scan to
+    ``might_contain(bloom_filter_agg(xxhash64(o_orderkey)))`` built from
+    the dim slice, so ~4/5 of lineitem is dropped BEFORE its shuffle — the
+    exchange that dominates a 100 TB fact join. The plan is declarative
+    DataFrame code; only the injection-gating confs are set (scoped, via
+    the registry's ``extra_confs``), each annotated with its true-scale
+    meaning above. Injection is plan-asserted in
+    tests/test_runtime_bloom.py; BASELINE.md records the complementary
+    negative result (the incremental-dedup shape does NOT qualify — its
+    creation side lacks a recognizably selective predicate)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderdate")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        + F.lit(5e-9),
+                        2,
+                    )
+                ),
+                2,
+            ).alias("urgent_rev"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 @query(
     "join_asof_event",
     oracle=with_events_v(
