@@ -92,6 +92,10 @@ TIER_QUERIES = {
         "sql_large_volume_customer",
         "join_multiway",
         "agg_groupby",
+        # runtime-bloom join (r12): the injected fact-side prune must keep
+        # paying for itself as volume grows (tools/bloom_probe.py measures
+        # the on/off delta; this entry guards linearity of the on-path)
+        "join_runtime_bloom",
     ),
     "events": (
         "window_sessionize",
@@ -118,6 +122,9 @@ TIER_QUERIES = {
         # incremental ANN ingest (r12): quantizer train over history +
         # map-only batch assign — both sides linear in their slice
         "similarity_ivf_incremental",
+        # int8 scalar quantization (r12): map-only, zero exchange —
+        # the trivially-linear floor the other entries are judged against
+        "embedding_quantize_int8",
     ),
     # the Arrow mapInPandas media batch path: genuine PPM/WAV decode,
     # resample round-trip, byte histogram, frame expansion — the
