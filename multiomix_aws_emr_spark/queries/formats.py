@@ -346,6 +346,70 @@ def scan_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_dynamic_partition_prune",
+    oracle=(
+        "WITH events_v AS (SELECT epoch_ms(ts) AS ts_ms, event_type, value "
+        "FROM events), "
+        "dim(event_type, category) AS (VALUES "
+        "('click', 'engagement'), ('view', 'engagement'), "
+        "('purchase', 'conversion'), ('signup', 'conversion'), "
+        "('error', 'ops')) "
+        "SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROUND(SUM(e.value), 2) AS sum_value "
+        "FROM events_v e JOIN dim d ON e.event_type = d.event_type "
+        "WHERE d.category = 'engagement' "
+        "GROUP BY e.event_type"
+    ),
+)
+def join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the PARTITION-granularity sibling of
+    ``join_runtime_bloom``'s row-granularity runtime filter, completing
+    the runtime-filter family: the fact is laid out partitioned on the
+    join key (``scan_partitioned_pruned``'s first layout decision), the
+    dim carries the selective predicate (``category = 'engagement'`` —
+    a filter the fact side cannot see statically), and Catalyst inserts
+    ``dynamicpruningexpression(event_type IN dynamicpruning#N)`` into
+    the scan's PartitionFilters, reusing the broadcast result — so only
+    the 2 of 5 partition DIRECTORIES that can match are ever listed or
+    opened. At 100 TB this is the difference between scanning the whole
+    store and scanning the slice a dashboard filter actually names; it
+    needs NO conf overrides (unlike the bloom's size-gated injection) —
+    plan-asserted in tests/test_runtime_bloom.py. Parity with the
+    unpartitioned oracle proves the layout + pruning hop changes
+    nothing."""
+    import shutil
+
+    from multiomix_aws_emr_spark.sources.tables import events_v
+
+    path = _scratch(sf_dir, "events_by_type_dpp")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = events_v(spark, sf_dir).select("ts_ms", "event_type", "value")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("error", "ops"),
+        ],
+        "event_type string, category string",
+    )
+    return (
+        back.join(
+            F.broadcast(dim.filter(F.col("category") == "engagement")),
+            "event_type",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
     "maintenance_recompress_zstd",
     oracle=(
         "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "

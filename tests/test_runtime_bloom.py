@@ -90,3 +90,14 @@ def test_oracle_parity(spark, sf_dir, duck):
     got = _rows(QUERIES[BLOOM_QID](spark, sf_dir))
     want = sorted(map(tuple, duck.sql(ORACLES[BLOOM_QID]).fetchall()))
     assert got == want
+
+
+def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
+    # the partition-granularity sibling: the executed plan's fact scan
+    # must carry a dynamicpruning PartitionFilter fed by the dim's
+    # broadcast — no conf overrides involved
+    df = QUERIES["join_dynamic_partition_prune"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan
+    rows = _rows(df)
+    assert {r[0] for r in rows} == {"click", "view"}
