@@ -76,11 +76,15 @@ def _last_verified_round() -> dict[str, int]:
 #    r9 conf-assembly precedent): pins nothing by itself.
 # 2. plans/sketchcache.py restructured minhash_band_index (build+write
 #    moved outside the module lock, sentinel publish) and _put (sentinel
-#    -aware eviction) — file-level convention pins the sketch-cache
-#    consumers whose build path changed: dedup_incremental_minhash (the
-#    direct minhash_band_index consumer), dedup_near_minhash +
-#    dedup_minhash_components (banded_documents consumers through the
-#    changed _put).
+#    -aware eviction) — pins the sketch-cache consumers whose build path
+#    changed: dedup_incremental_minhash (the direct minhash_band_index
+#    consumer) and dedup_near_minhash as the banded_documents
+#    REPRESENTATIVE through the changed _put (dedup_minhash_components
+#    shares that exact entry path, so one representative covers the
+#    changed code; the late-r12 additions pushed the candidate set to 51
+#    for the 50-qid budget, and dropping the redundant second
+#    banded_documents consumer is what keeps the whole 38-qid r8 cohort
+#    inside it).
 # 3. streaming/watermark.py + stateful.py moved checkpoint cleanup to
 #    the success-only path — pinned representative per runner:
 #    stream_watermark_latedrop (watermark runner); the stateful runner's
@@ -89,19 +93,21 @@ def _last_verified_round() -> dict[str, int]:
 # 4. The NEW qids pipeline_incremental_ingest (operators/ingest.py),
 #    stream_incremental_ingest (streaming/ingest.py), dedup_retract_index
 #    (retraction), dedup_store_time_travel (as-of version reads),
-#    dedup_store_version_diff (snapshot changelog), and
-#    similarity_ivf_incremental (persisted-quantizer ANN ingest) are
-#    never-verified and lead the LRU segment automatically.
+#    dedup_store_version_diff (snapshot changelog),
+#    similarity_ivf_incremental (persisted-quantizer ANN ingest),
+#    join_runtime_bloom + join_dynamic_partition_prune (runtime-filter
+#    family), and embedding_quantize_int8 are never-verified and lead
+#    the LRU segment automatically.
 #
-# That is 4 pinned + 6 new qids; the LRU sort below fills the remaining
-# ~40 of the driver's budget with the 38 r8-stale qids (VERDICT r11
-# task 1 — the agg/window/stream/udf/variant/pipeline-text cohort),
-# leaving max staleness r9 after r12.
+# That is 3 pinned + 9 new qids; the LRU sort below fills the remaining
+# 38 of the driver's 50-qid budget with exactly the 38 r8-stale qids
+# (VERDICT r11 task 1 — the agg/window/stream/udf/variant/pipeline-text
+# cohort), leaving max staleness r9 after r12
+# (tests/test_entry_contract.py asserts the 50-budget composition).
 _STALE_PRIORITY = [
     # (2) sketch-cache build-path consumers
     "dedup_incremental_minhash",
     "dedup_near_minhash",
-    "dedup_minhash_components",
     # (3) success-only checkpoint-cleanup representative
     "stream_watermark_latedrop",
 ]

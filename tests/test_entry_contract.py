@@ -53,3 +53,24 @@ def test_lru_ordering_after_priority_prefix():
     tail = order[len(mod._STALE_PRIORITY) :]
     rounds = [last.get(q, 0) for q in tail]
     assert rounds == sorted(rounds)
+
+
+def test_r12_budget_composition():
+    """The driver's 50-qid budget must carry the round's full staleness
+    target: every never-verified qid, every pin, and the ENTIRE oldest
+    evidence cohort — nothing older than the oldest round represented in
+    the budget may be left outside it (the VERDICT r11 task-1 contract:
+    max staleness advances every round)."""
+    mod = _entry_module()
+    last = mod._last_verified_round()
+    order = list(mod.queries())
+    top, rest = order[:50], order[50:]
+    # never-verified (new this round) qids all sit inside the budget
+    assert all(last.get(q, 0) != 0 for q in rest)
+    # the oldest verified cohort is cleared whole: no qid outside the
+    # budget is as stale as the stalest qid inside it
+    oldest_in_top = min(last.get(q) for q in top if last.get(q, 0) > 0)
+    assert all(last.get(q, 0) > oldest_in_top for q in rest), (
+        oldest_in_top,
+        [q for q in rest if last.get(q, 0) <= oldest_in_top],
+    )
