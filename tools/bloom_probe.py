@@ -47,6 +47,17 @@ OFF_CONFS = {
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "false",
 }
 
+#: "sized" variant: the stock sketch (expectedNumItems 1M, numBits 8.4M
+#: ≈ 1 MB) SATURATES once the creation side's NDV passes ~1M keys — false
+#: positives then let unprunable fact rows through and the measured
+#: reduction degrades (observed at 100x: 70% -> 38%). Sizing the sketch
+#: to the creation-side NDV restores the prune at an 8 MB bitmap cost.
+SIZED_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems": "8000000",
+    "spark.sql.optimizer.runtime.bloomFilter.maxNumItems": "16000000",
+    "spark.sql.optimizer.runtime.bloomFilter.numBits": "67108864",
+}
+
 
 def _stages(spark) -> list[dict]:
     base = spark.sparkContext.uiWebUrl
@@ -86,6 +97,8 @@ def main() -> int:
         df = QUERIES[QID](spark, big_dir)
         if variant == "off":
             df._maes_extra_confs = dict(OFF_CONFS)
+        elif variant == "sized":
+            df._maes_extra_confs = {**df._maes_extra_confs, **SIZED_CONFS}
         seen = {s["stageId"] for s in _stages(spark)}
         t0 = time.perf_counter()
         df.write.mode("overwrite").format("noop").save()
@@ -107,15 +120,17 @@ def main() -> int:
         print(json.dumps(rec), flush=True)
         return rec
 
+    variants = ("on", "sized", "off")
     # one untimed warm pass per variant (file listing, codegen caches)
-    run("on"), run("off")
+    for v in variants:
+        run(v)
     runs: list[dict] = []
     for _ in range(args.reps):
-        runs.append(run("on"))
-        runs.append(run("off"))
+        for v in variants:
+            runs.append(run(v))
 
     summary = {}
-    for variant in ("on", "off"):
+    for variant in variants:
         walls = [r["sec"] for r in runs if r["variant"] == variant]
         shuf = [r["total_shuffle_mb"] for r in runs if r["variant"] == variant]
         summary[variant] = {
@@ -124,12 +139,11 @@ def main() -> int:
             "median_total_shuffle_mb": round(statistics.median(shuf), 1),
         }
     summary["replicas"] = args.replicas
-    summary["shuffle_reduction"] = round(
-        1
-        - summary["on"]["median_total_shuffle_mb"]
-        / max(summary["off"]["median_total_shuffle_mb"], 0.1),
-        3,
-    )
+    off_mb = max(summary["off"]["median_total_shuffle_mb"], 0.1)
+    summary["shuffle_reduction"] = {
+        v: round(1 - summary[v]["median_total_shuffle_mb"] / off_mb, 3)
+        for v in ("on", "sized")
+    }
     print(json.dumps(summary))
     spark.stop()
     return 0
