@@ -328,7 +328,11 @@ _RUNTIME_BLOOM_CONFS = {
     "applicationSideScanSizeThreshold": "0",
     # The creation side is aggregated into one bloom bitmap, so it must be
     # bounded; raise the 10 MB stock bound enough for the sf0.1 slice. At
-    # real scale a tighter dim predicate meets the stock default.
+    # real scale a tighter dim predicate meets the stock default — and any
+    # creationSideThreshold raise MUST be paired with expectedNumItems/
+    # numBits raises: the stock 1M-item/1MB sketch saturates past ~1M
+    # creation-side keys and quietly halves the prune (measured at 100x,
+    # tools/bloom_probe.py "sized" variant; BASELINE.md NDV-sizing rule).
     "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "512MB",
 }
 
