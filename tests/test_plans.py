@@ -561,3 +561,12 @@ def test_q7_nation_hops_broadcast(spark, sf_dir):
     broadcast (plus customer/supplier dims) — no shuffled dim join."""
     plan = _plan(spark, sf_dir, "sql_volume_shipping")
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_quantize_int8_is_map_only(spark, sf_dir):
+    """The int8 quantization pass must plan as scan + projects with ZERO
+    exchange — per-vector scale and elements are row-local built-ins, so
+    nothing may shuffle at any corpus size."""
+    plan = _plan(spark, sf_dir, "embedding_quantize_int8")
+    assert "Exchange" not in plan, plan
+    assert "FileScan parquet" in plan
