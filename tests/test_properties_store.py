@@ -21,6 +21,9 @@ whole family on each example:
 """
 
 import tempfile
+import time
+
+import pytest
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -119,6 +122,23 @@ def test_store_chain_equals_prefix_rebuilds(spark, data):
     # time travel == prefix rebuild at every committed version
     for v, expect in snapshots.items():
         assert _index_set(read_index(spark, root, version=v)) == expect
+
+    # TIMESTAMP AS OF inverts the commit clock at every committed
+    # version: each commit's own wall time resolves to that version, a
+    # timestamp past the newest resolves to it, and one before the first
+    # commit raises
+    from multiomix_aws_emr_spark.operators.ingest import (
+        manifest_at,
+        version_as_of,
+    )
+
+    for v in snapshots:
+        assert version_as_of(root, manifest_at(root, v)["committed_at"]) == v
+    assert version_as_of(root, time.time() + 1.0) == last
+    with pytest.raises(ValueError, match="no committed version"):
+        version_as_of(
+            root, manifest_at(root, min(snapshots))["committed_at"] - 1.0
+        )
 
     # diff is a faithful patch across the full span and adjacent pairs
     versions = sorted(snapshots)
