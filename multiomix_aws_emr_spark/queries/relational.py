@@ -350,13 +350,16 @@ _RUNTIME_BLOOM_CONFS = {
         # far above the double ulp at these magnitudes, far below the
         # 0.005 rounding granularity, so ONLY boundary terms move — both
         # engines then round them up together.
-        "SELECT o.o_orderdate, "
+        # epoch-ms key, not the raw timestamp: the harness convention for
+        # hash-compared time columns (Q3 casts to STRING, events queries
+        # emit *_ms — both sides hash bigints, never engine datetimes)
+        "SELECT epoch_ms(o.o_orderdate) AS order_date_ms, "
         "ROUND(SUM(ROUND(l.l_extendedprice * (1 - l.l_discount) + 5e-9, 2)), "
         "2) AS urgent_rev, "
         "CAST(COUNT(*) AS BIGINT) AS n_items "
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "WHERE o.o_orderpriority = '1-URGENT' "
-        "GROUP BY o.o_orderdate"
+        "GROUP BY epoch_ms(o.o_orderdate)"
     ),
     extra_confs=_RUNTIME_BLOOM_CONFS,
 )
@@ -380,7 +383,13 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderdate")
+        # NTZ -> LTZ cast is exact under the UTC session timezone (the
+        # ts_ms_expr pattern) and matches DuckDB epoch_ms
+        .groupBy(
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "order_date_ms"
+            )
+        )
         .agg(
             F.round(
                 F.sum(
