@@ -493,6 +493,113 @@ def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMANTIC_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), dims AS (
+  SELECT vec_id % 8 AS list_id,
+         generate_subscripts(emb, 1) AS pos,
+         UNNEST(emb) AS val
+  FROM e
+), cent_dims AS (
+  SELECT list_id, pos, AVG(val) AS m FROM dims GROUP BY 1, 2
+), cents AS (
+  SELECT list_id, list(m ORDER BY pos) AS cent FROM cent_dims GROUP BY list_id
+), dists AS (
+  SELECT v.vec_id, c.list_id,
+         list_sum(list_transform(list_zip(v.emb, c.cent),
+                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS d2
+  FROM e v CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, list_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, list_id) AS rn FROM dists)
+  WHERE rn = 1
+), m AS (
+  SELECT a.vec_id, a.list_id, e.emb,
+         SQRT(list_sum(list_transform(e.emb, x -> x * x))) AS nrm
+  FROM assigned a JOIN e USING (vec_id)
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM m a JOIN m b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 5) >= 0.35
+)
+SELECT vec_id, CAST(list_id AS INTEGER) AS list_id
+FROM assigned WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
+@query("dedup_semantic", oracle=_SEMANTIC_ORACLE)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then remove
+    near-duplicates ONLY within each cluster — the quadratic pairwise
+    step is CLUSTER-BOUNDED, which is the whole scale argument (with
+    k ∝ sqrt(N) clusters the pair work is ~N·(N/k) instead of N², and
+    each cluster's pairs shuffle-join on its own key). Emits the
+    surviving ``(vec_id, list_id)``: a vector is dropped iff a
+    lower-id member of ITS cluster matches at cosine >= 0.35 (the
+    fixture's near-orthogonal corpus; production uses ~0.95 like the
+    paper).
+
+    Pipeline: deterministic hash-group quantizer over the FULL corpus
+    (the same oracle-exact stand-in ``similarity_ivf`` uses — production
+    swaps in ``kmeans_centroids``, identical downstream shape) ->
+    map-only argmin assignment (Arrow pandas UDF, centroid matrix in the
+    closure, no shuffle) -> per-cluster pairwise cosine (one equi-join
+    on list_id) -> anti-join the dropped set. The oracle recomputes
+    every centroid coordinate, every assignment, and every within-
+    cluster pair from raw floats."""
+    import numpy as np
+
+    from multiomix_aws_emr_spark.operators.similarity import (
+        assign_to_centroids,
+        hash_group_centroids,
+    )
+
+    e = scan_parallel(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    cents = hash_group_centroids(
+        e, id_col="vec_id", vec_col="emb", n_lists=8
+    )
+    rows = sorted(cents.collect(), key=lambda r: r.list_id)
+    cmat = np.array([r.cent for r in rows], dtype=np.float64)
+    assigned = assign_to_centroids(
+        e, cmat, id_col="vec_id", vec_col="emb"
+    ).select("vec_id", "list_id")
+    m = assigned.join(e, "vec_id").select(
+        "vec_id", "list_id", "emb", l2_norm("emb").alias("nrm")
+    )
+    a = m.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("list_id").alias("list_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = m.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("list_id").alias("list_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("list_a") == F.col("list_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 5) >= 0.35
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(dropped, "vec_id", "left_anti").select(
+        "vec_id", F.col("list_id").cast("int").alias("list_id")
+    )
+
+
 _ANN_ORACLE_TMPL = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
