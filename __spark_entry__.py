@@ -76,15 +76,15 @@ def _last_verified_round() -> dict[str, int]:
 #    r9 conf-assembly precedent): pins nothing by itself.
 # 2. plans/sketchcache.py restructured minhash_band_index (build+write
 #    moved outside the module lock, sentinel publish) and _put (sentinel
-#    -aware eviction) — pins the sketch-cache consumers whose build path
-#    changed: dedup_incremental_minhash (the direct minhash_band_index
-#    consumer) and dedup_near_minhash as the banded_documents
-#    REPRESENTATIVE through the changed _put (dedup_minhash_components
-#    shares that exact entry path, so one representative covers the
-#    changed code; the late-r12 additions pushed the candidate set to 51
-#    for the 50-qid budget, and dropping the redundant second
-#    banded_documents consumer is what keeps the whole 38-qid r8 cohort
-#    inside it).
+#    -aware eviction) — ONE pin covers both changed paths:
+#    dedup_incremental_minhash consumes minhash_band_index directly AND
+#    publishes through the changed _put, so it is the representative for
+#    the whole sketch-cache family (near_minhash / minhash_components
+#    share the _put entry path and stay unpinned; the ten late-r12
+#    query additions left exactly 38 budget slots for the 38-qid r8
+#    cohort, and tests/test_entry_contract.py::test_r12_budget_composition
+#    is the alarm that fires if a pin or addition pushes any of them
+#    out).
 # 3. streaming/watermark.py + stateful.py moved checkpoint cleanup to
 #    the success-only path — pinned representative per runner:
 #    stream_watermark_latedrop (watermark runner); the stateful runner's
@@ -99,15 +99,14 @@ def _last_verified_round() -> dict[str, int]:
 #    family), and embedding_quantize_int8 are never-verified and lead
 #    the LRU segment automatically.
 #
-# That is 3 pinned + 9 new qids; the LRU sort below fills the remaining
+# That is 2 pinned + 10 new qids; the LRU sort below fills the remaining
 # 38 of the driver's 50-qid budget with exactly the 38 r8-stale qids
 # (VERDICT r11 task 1 — the agg/window/stream/udf/variant/pipeline-text
 # cohort), leaving max staleness r9 after r12
 # (tests/test_entry_contract.py asserts the 50-budget composition).
 _STALE_PRIORITY = [
-    # (2) sketch-cache build-path consumers
+    # (2) sketch-cache build-path representative (band index + _put)
     "dedup_incremental_minhash",
-    "dedup_near_minhash",
     # (3) success-only checkpoint-cleanup representative
     "stream_watermark_latedrop",
 ]
