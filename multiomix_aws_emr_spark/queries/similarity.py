@@ -478,15 +478,14 @@ def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream shape."""
     from multiomix_aws_emr_spark.operators.similarity import (
         assign_to_centroids,
+        centroid_matrix,
     )
     from multiomix_aws_emr_spark.plans.sketchcache import ivf_centroid_index
 
     cents_df, _path = ivf_centroid_index(spark, sf_dir)
-    rows = sorted(cents_df.collect(), key=lambda r: r.list_id)
-    assert [r.list_id for r in rows] == list(range(len(rows)))
-    import numpy as np
-
-    cmat = np.array([r.cent for r in rows], dtype=np.float64)
+    # row position == list_id by construction (ValueError on a gap —
+    # never a stripped assert silently misaligning argmin row positions)
+    cmat = centroid_matrix(cents_df.collect())
     batch = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
     return assign_to_centroids(
         batch, cmat, id_col="vec_id", vec_col="embedding"
@@ -546,23 +545,27 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the same oracle-exact stand-in ``similarity_ivf`` uses — production
     swaps in ``kmeans_centroids``, identical downstream shape) ->
     map-only argmin assignment (Arrow pandas UDF, centroid matrix in the
-    closure, no shuffle) -> ONE groupBy(list_id).applyInPandas where
-    each cluster's full pairwise cosine matrix is a single BLAS matmul
-    and the survivors emit directly. The grouped form needs a cluster to
-    fit one Arrow batch — exactly the paper's per-cluster memory
-    contract (k ∝ sqrt(N) bounds it). A join-based twin (self-join on
-    list_id + anti-join) was measured 10x slower at sf0.1: per-pair
-    ``zip_with``/``aggregate`` cosines run in the interpreted HOF path,
-    while the matmul stays in BLAS. The oracle recomputes every centroid
-    coordinate, every assignment, and every within-cluster pair from
-    raw floats; cosines round to 5 decimals on both engines before the
-    threshold compare (the family's float-parity convention)."""
-    import numpy as np
-    import pandas as pd
-
+    closure, no shuffle) -> the CAPPED within-cluster prune
+    (``operators/similarity.semantic_survivors``): a groupBy +
+    applyInPandas where each cluster's pairwise cosine block is tiled
+    BLAS bounded at ``max_cluster x tile`` doubles, and a cluster over
+    the cap is deterministically re-split on a secondary hash first —
+    so one boilerplate mega-cluster can never hand a single task an
+    m x m matrix (the r12 verdict's skew finding; fixture clusters are
+    far below the cap, so the capped form is bit-identical to the
+    uncapped rule and the oracle is unchanged). A join-based twin
+    (self-join on list_id + anti-join) was measured 10x slower at
+    sf0.1: per-pair ``zip_with``/``aggregate`` cosines run in the
+    interpreted HOF path, while the matmul stays in BLAS. The oracle
+    recomputes every centroid coordinate, every assignment, and every
+    within-cluster pair from raw floats; cosines round to 5 decimals on
+    both engines before the threshold compare (the family's
+    float-parity convention)."""
     from multiomix_aws_emr_spark.operators.similarity import (
         assign_to_centroids,
+        centroid_matrix,
         hash_group_centroids,
+        semantic_survivors,
     )
 
     e = scan_parallel(load(spark, sf_dir, "embeddings")).select(
@@ -571,32 +574,14 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = hash_group_centroids(
         e, id_col="vec_id", vec_col="emb", n_lists=8
     )
-    rows = sorted(cents.collect(), key=lambda r: r.list_id)
-    cmat = np.array([r.cent for r in rows], dtype=np.float64)
+    cmat = centroid_matrix(cents.collect())
     assigned = assign_to_centroids(
         e, cmat, id_col="vec_id", vec_col="emb"
     ).select("vec_id", "list_id")
     m = assigned.join(e, "vec_id").select("vec_id", "list_id", "emb")
-
-    def _survivors(pdf: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(pdf["vec_id"].to_numpy())
-        v = np.array(pdf["emb"].tolist(), dtype=np.float64)[order]
-        # dot/(|a||b|) in the oracle's own structure; round half away
-        # from zero at 5 decimals like SQL ROUND (np.round is half-even)
-        nrm = np.sqrt((v * v).sum(axis=1))
-        c = (v @ v.T) / np.outer(nrm, nrm)
-        r = np.sign(c) * np.floor(np.abs(c) * 1e5 + 0.5) / 1e5
-        # drop j iff ANY lower-id i (dropped or not) matches — the same
-        # non-transitive rule the oracle's a.vec_id < b.vec_id encodes
-        drop = np.triu(r >= 0.35, k=1).any(axis=0)
-        keep = pdf.iloc[order[~drop]]
-        return keep[["vec_id", "list_id"]]
-
-    return (
-        m.groupBy("list_id")
-        .applyInPandas(_survivors, "vec_id long, list_id int")
-        .select("vec_id", F.col("list_id").cast("int").alias("list_id"))
-    )
+    return semantic_survivors(
+        m, id_col="vec_id", vec_col="emb", threshold=0.35
+    ).select("vec_id", F.col("list_id").cast("int").alias("list_id"))
 
 
 _ANN_ORACLE_TMPL = """
