@@ -40,23 +40,32 @@ Protocol invariants:
   loser gets :class:`ConcurrentIngestError` (never a silent lost update)
   and retries from the new manifest.
 
-Scope: the root must be a path every node can reach through a POSIX-like
-filesystem (local, NFS, HDFS via mount) — ``os.link`` semantics are the
-commit primitive. On an object store (S3) deploy the same layout over a
-conditional-put (If-None-Match) or a transactional table format instead;
-a ``://`` root is refused loudly rather than committed unsafely.
+Scope: the commit primitive is PLUGGABLE per root
+(operators/commitbackend.py): plain paths default to POSIX ``os.link``
+create-if-absent (local, NFS, HDFS via mount); an object store (S3/GCS/
+Azure) registers a :class:`~multiomix_aws_emr_spark.operators.
+commitbackend.ConditionalPutBackend` over its If-None-Match API
+(``set_commit_backend``) — same optimistic-concurrency contract, plus
+read-back resolution of lost PUT responses. A ``://`` root WITHOUT a
+registered backend is still refused loudly rather than committed
+unsafely. Data dirs are backend-independent either way: they are only
+ever created at writer-unique names (no renames — the S3-committer-safe
+shape) and readers follow only the committed manifest.
 """
 
 from __future__ import annotations
 
-import glob
-import json
 import os
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from multiomix_aws_emr_spark.operators.commitbackend import (
+    CommitBackend,
+    ConcurrentIngestError,
+    backend_for,
+)
 from multiomix_aws_emr_spark.operators.dedup import (
     banded_buckets,
     incremental_assign,
@@ -65,10 +74,7 @@ from multiomix_aws_emr_spark.operators.dedup import (
     upsert_band_membership,
 )
 
-
-class ConcurrentIngestError(RuntimeError):
-    """Another writer committed the version this transaction targeted.
-    Nothing was lost: re-read the store and retry the operation."""
+__all__ = ["ConcurrentIngestError", "CommitBackend"]  # re-exported API
 
 
 _DEFAULT_PARAMS = {
@@ -80,30 +86,21 @@ _DEFAULT_PARAMS = {
 
 
 def _check_root(root: str) -> str:
-    if "://" in root:
-        raise ValueError(
-            "the dedup store's commit primitive is POSIX link-create; "
-            "an object-store root needs conditional-put or a "
-            f"transactional table format (got {root!r})"
-        )
+    backend_for(root)  # raises for a ``://`` root with no backend
     return root.rstrip("/")
-
-
-def _manifest_dir(root: str) -> str:
-    return os.path.join(_check_root(root), "manifest")
 
 
 def latest_manifest(root: str) -> tuple[int, dict]:
     """``(version, manifest)`` of the newest committed manifest, or
     ``(0, {"batches": {}})`` for an empty/new store. Published manifests
-    are complete by protocol (written + fsynced before link), so parse
-    errors are real corruption and raise."""
-    paths = glob.glob(os.path.join(_manifest_dir(root), "v*.json"))
-    if not paths:
+    are complete by protocol (fully staged before the atomic claim), so
+    parse errors are real corruption and raise."""
+    backend = backend_for(root)
+    versions = backend.versions()
+    if not versions:
         return 0, {"batches": {}}
-    newest = max(paths, key=lambda p: int(os.path.basename(p)[1:-5]))
-    with open(newest) as fh:
-        return int(os.path.basename(newest)[1:-5]), json.load(fh)
+    newest = max(versions)
+    return newest, backend.read(newest)
 
 
 def manifest_at(root: str, version: int) -> dict:
@@ -113,14 +110,10 @@ def manifest_at(root: str, version: int) -> dict:
     DATA is still readable is a separate, vacuum-governed question —
     :func:`sweep_orphans`'s ``retain_versions`` decides how much history
     keeps its dirs (the Delta Lake VACUUM-vs-time-travel contract)."""
-    path = os.path.join(_manifest_dir(root), f"v{version:06d}.json")
-    try:
-        with open(path) as fh:
-            return json.load(fh)
-    except FileNotFoundError:
-        raise ValueError(
-            f"store {root} has no committed version {version}"
-        ) from None
+    m = backend_for(root).read(version)
+    if m is None:
+        raise ValueError(f"store {root} has no committed version {version}")
+    return m
 
 
 def version_as_of(root: str, ts: float) -> int:
@@ -170,27 +163,18 @@ def _versioned_read(
 
 
 def _commit_manifest(root: str, version: int, manifest: dict) -> None:
-    """Atomically publish ``v{version}.json``: full temp write + fsync,
-    then ``os.link`` to the final name — create-if-absent is the
-    optimistic-concurrency claim on the version slot."""
-    mdir = _manifest_dir(root)
-    os.makedirs(mdir, exist_ok=True)
-    tmp = os.path.join(mdir, f".tmp_{uuid.uuid4().hex[:12]}")
-    manifest = {**manifest, "committed_at": time.time()}
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    final = os.path.join(mdir, f"v{version:06d}.json")
-    try:
-        os.link(tmp, final)
-    except FileExistsError:
-        raise ConcurrentIngestError(
-            f"version {version} of {root} was committed by another writer "
-            "while this transaction staged; re-read the store and retry"
-        ) from None
-    finally:
-        os.unlink(tmp)
+    """Atomically claim version slot ``v{version}`` through the root's
+    commit backend (POSIX link-create by default, conditional put for
+    registered object-store roots). The stamped ``writer_token``
+    identifies this publish attempt so a conditional-put backend can
+    resolve a lost PUT response by read-back; a lost race raises
+    :class:`ConcurrentIngestError` either way."""
+    manifest = {
+        **manifest,
+        "committed_at": time.time(),
+        "writer_token": uuid.uuid4().hex,
+    }
+    backend_for(root).publish(version, manifest)
 
 
 def _crash_point(point: str) -> None:
@@ -647,18 +631,9 @@ def sweep_orphans(root: str, *, retain_versions: int = 0) -> list[str]:
             keep |= _manifest_refs(manifest_at(root, v))
         except ValueError:
             pass  # version slot never committed (race loser's gap)
-    swept = []
-    # a hard kill between a manifest temp's create and its link leaves
-    # .tmp_* residue next to the versioned manifests — harmless (never
-    # read) but the janitor's to clear
-    mdir = _manifest_dir(root)
-    for entry in os.listdir(mdir) if os.path.isdir(mdir) else []:
-        if entry.startswith(".tmp_"):
-            try:
-                os.unlink(os.path.join(mdir, entry))
-                swept.append(os.path.join("manifest", entry))
-            except OSError:
-                pass
+    # commit-protocol residue (e.g. a hard kill between a POSIX temp
+    # manifest's create and its link) is the backend's to clear
+    swept = list(backend_for(root).sweep_tmp())
     versioned = ("index_v", "membership_v", "assignments_archive_v")
     for entry in os.listdir(root) if os.path.isdir(root) else []:
         if entry.startswith(versioned) and entry not in keep:
