@@ -300,3 +300,67 @@ def test_ivf_incremental_map_only_and_correct(spark, sf_dir):
 
     # session-cached: second call returns the same persisted path
     assert ivf_centroid_index(spark, sf_dir)[1] == path
+
+
+def test_kmeans_quantizer_swap_in_identical_contract(spark, sf_dir, tmp_path):
+    """VERDICT r12 task 5: the 'production swaps in kmeans_centroids'
+    claim, test-backed. Train the MLlib spherical k-means quantizer on
+    the SAME history slice the declared query's hash-group quantizer
+    uses, persist it in the same (list_id, cent) parquet shape, and run
+    the SAME assign_to_centroids batch pass. The downstream contract
+    must be identical: schema, map-only plan (single scan, zero
+    Exchange, Arrow UDF), and argmin-by-squared-L2 semantics (verified
+    against a NumPy recomputation from the persisted kmeans centers —
+    the assignment VALUES legitimately differ from the hash-group
+    quantizer's, the CONTRACT must not)."""
+    import numpy as np
+
+    from multiomix_aws_emr_spark.operators.similarity import (
+        assign_to_centroids,
+        centroid_matrix,
+        kmeans_centroids,
+    )
+
+    hist = (
+        load(spark, sf_dir, "embeddings")
+        .filter("vec_id % 4 != 0")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    cmat_trained = kmeans_centroids(hist, "emb", 8, seed=42)
+
+    # persist + read back through the same parquet shape the session
+    # cache uses — the production path trains once and reuses the file
+    path = str(tmp_path / "kmeans_centroids")
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cmat_trained)],
+        "list_id int, cent array<double>",
+    ).write.parquet(path)
+    cmat = centroid_matrix(spark.read.parquet(path).collect())
+    assert cmat.shape == cmat_trained.shape
+    assert np.allclose(np.sort(cmat, axis=0), np.sort(cmat_trained, axis=0))
+
+    batch = load(spark, sf_dir, "embeddings").filter("vec_id % 4 = 0")
+    df = assign_to_centroids(batch, cmat, id_col="vec_id", vec_col="embedding")
+
+    # identical schema to the declared hash-group-quantizer query
+    declared = QUERIES["similarity_ivf_incremental"](spark, sf_dir)
+    assert df.schema == declared.schema
+
+    # identical plan shape: one scan, zero Exchange, Arrow-batched UDF
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("embeddings.parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+
+    # identical argmin semantics against the trained centers
+    got = {r.vec_id: (r.list_id, r.dist2) for r in df.collect()}
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in batch.collect()
+    }
+    assert set(got) == set(vecs)
+    for vid, v in vecs.items():
+        d2 = ((v[None, :] - cmat) ** 2).sum(axis=1)
+        best = int(d2.argmin())
+        assert got[vid][0] == best
+        assert abs(got[vid][1] - round(float(d2[best]), 6)) < 1e-9
