@@ -37,8 +37,12 @@ frame return bound frames carrying the same count; ``groupBy``/
 aggregates inherit too; the ``write``/``writeTo`` sinks return proxied
 writers that re-apply the count at every builder/terminal call (so a
 writer held across another query's build still submits at its owner's
-sizing — the r11 ``writeTo`` escape). Remaining escapes, documented:
-``spark.sql`` over a temp view of a bound frame and RDD round-trips
+sizing — the r11 ``writeTo`` escape). Temp-view consumers can close
+their escape: view registrations from a bound frame note the owner's
+count in a session-scoped registry, and :func:`bound_sql` re-binds a
+``spark.sql`` statement referencing such views to the largest owner's
+sizing (r12 task 8). Remaining escapes, documented as permanent: RAW
+``spark.sql`` (not routed through ``bound_sql``) and RDD round-trips
 produce unbound plans executing at whatever the conf then holds —
 sessions mixing those with hinted volume should add
 ``session.adaptive_sizing_conf()`` (the runtime-adaptive complement;
@@ -51,6 +55,7 @@ free). ``SPARK_GRAFT_SIZING_HINTS=0`` disables hints (the A/B lever).
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable
 from contextlib import contextmanager
 from typing import Optional
@@ -80,7 +85,20 @@ def _scoped_confs(spark: SparkSession, extras: Optional[dict]):
     bloom-filter injection, broadcast thresholds) without leaking into the
     next query of a shared-session suite. Scoped around eager actions
     only; ``toLocalIterator`` runs its incremental jobs after the scope
-    closes, so extras-carrying queries must not rely on it."""
+    closes, so extras-carrying queries must not rely on it.
+
+    Threading contract (ADVICE r12): Spark confs are SESSION-GLOBAL, so
+    a concurrent thread's action can plan under this scope's values (or
+    the restore can clobber an interleaved scope). RESULTS stay correct
+    — every extras key shipped here is semantics-free (optimizer hints:
+    bloom injection, broadcast thresholds) — but plans and perf of
+    interleaved actions can flake. Extras-carrying queries therefore
+    assume single-threaded actions; suites that thread concurrent
+    actions (test_sketchcache.py's pattern) must keep extras-scoped
+    queries out of the threaded section or accept plan nondeterminism.
+    Serializing all bound actions behind one lock was considered and
+    rejected: it would penalize the common extras-free path to protect
+    a rare, correctness-neutral interleave."""
     if not extras:
         yield
         return
@@ -219,6 +237,18 @@ _TRANSFORM_METHODS = (
 #: grouping builders (return GroupedData, not DataFrame): routed through
 #: :class:`_BoundBuilder` so ``.agg``/``.pivot(...).agg`` inherit.
 _GROUPING_METHODS = ("groupBy", "groupby", "rollup", "cube")
+
+#: view registrations from a bound frame NOTE the owner's sizing in a
+#: session-scoped registry so ``spark.sql`` consumers can re-bind via
+#: :func:`bound_sql` — the r12 temp-view escape, closed for callers who
+#: route through it (raw ``spark.sql`` stays documented + remedied with
+#: ``session.adaptive_sizing_conf``).
+_VIEW_METHODS = (
+    "createOrReplaceTempView",
+    "createTempView",
+    "createGlobalTempView",
+    "createOrReplaceGlobalTempView",
+)
 
 
 class _BoundBuilder:
@@ -363,6 +393,34 @@ def _bound_class(base: type) -> type:
         if callable(method):
             ns[name] = _make_grouping(name, method)
 
+    def _make_view(name: str, method):
+        def run(self, view_name, *args, **kwargs):
+            out = method(self, view_name, *args, **kwargs)
+            spark = self._maes_exec_conf[0]
+            reg = getattr(spark, "_maes_view_confs", None)
+            if reg is None:
+                reg = {}
+                try:
+                    spark._maes_view_confs = reg
+                except Exception:
+                    return out  # session double that refuses attributes
+            # SQL identifiers are case-insensitive; the registry key is
+            # folded so bound_sql's reference scan matches any casing
+            reg[view_name.lower()] = (
+                self._maes_exec_conf[1],
+                getattr(self, "_maes_extra_confs", None),
+            )
+            return out
+
+        run.__name__ = name
+        run.__doc__ = getattr(method, "__doc__", None)
+        return run
+
+    for name in _VIEW_METHODS:
+        method = getattr(base, name, None)
+        if callable(method):
+            ns[name] = _make_view(name, method)
+
     def _make_sink_property(name: str, prop):
         def fget(self):
             self._maes_reapply()
@@ -436,6 +494,42 @@ def _bind_execution_conf(
     except (AttributeError, TypeError):
         pass  # slotted/frozen DataFrame variants: leave unbound
     return df
+
+
+def bound_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """``spark.sql`` with the temp-view sizing escape closed: when the
+    statement references a view that was registered FROM A BOUND FRAME
+    (the wrapped ``createOrReplaceTempView``/... note the owner's count
+    in a session-scoped registry), the returned frame is re-bound to the
+    largest referenced owner's shuffle-partition count (and the union of
+    their scoped extras, later registrations winning on key conflicts) —
+    so SQL over a hinted query's view executes at that query's sizing
+    instead of whatever the conf then holds. Statements referencing no
+    bound view return Spark's frame untouched.
+
+    Reference detection is a conservative identifier scan (any word in
+    the statement matching a registered view name, case-folded like SQL
+    identifiers); false positives only re-bind to a HIGHER count, never
+    drop a binding. Honest limits: raw ``spark.sql`` remains unbound
+    (the documented escape — remedy ``session.adaptive_sizing_conf``),
+    and a bound registration goes stale if the same name is later
+    re-registered by an UNBOUND frame (only bound frames can note
+    themselves; clear ``spark._maes_view_confs`` when recycling names
+    across binding regimes)."""
+    df = spark.sql(sql)
+    reg = getattr(spark, "_maes_view_confs", None)
+    if not reg:
+        return df
+    idents = {m.lower() for m in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", sql)}
+    hits = [reg[n] for n in sorted(idents & set(reg))]
+    if not hits:
+        return df
+    target = max((t for t, _ in hits), key=int)
+    extras: dict = {}
+    for _, e in hits:
+        if e:
+            extras.update(e)
+    return _bind_execution_conf(df, spark, target, extras=extras or None)
 
 
 def fact_bytes(table: str, fanout: float = 1.0) -> Callable[[str], int]:

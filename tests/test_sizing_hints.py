@@ -343,3 +343,50 @@ def test_writeto_sink_rebinds(spark, sf_dir, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.conf.set(CONF, base)
+
+
+def test_bound_view_registration_and_bound_sql(spark, sf_dir):
+    """VERDICT r12 task 8: view registrations from a bound frame note
+    the owner's count, and bound_sql re-binds spark.sql statements that
+    reference them — SQL over a hinted query's view executes at that
+    query's sizing even after an interleaved build rewrote the conf."""
+    from multiomix_aws_emr_spark.queries.registry import (
+        _bind_execution_conf,
+        bound_sql,
+    )
+
+    base = _baseline(spark)
+    sized = _apply_sizing(spark, lambda _sf: 14 << 30, sf_dir)
+    assert int(sized) > int(base)
+    df = _bind_execution_conf(spark.range(50).toDF("x"), spark, sized)
+    df.createOrReplaceTempView("bound_view_t8")
+    assert spark._maes_view_confs["bound_view_t8"][0] == sized
+
+    # an interleaved unhinted build restores the session conf...
+    _apply_sizing(spark, None, sf_dir)
+    assert spark.conf.get(CONF) == base
+
+    # ...but SQL routed through bound_sql re-binds to the view's owner
+    # (case-insensitively, like SQL identifiers)
+    out = bound_sql(spark, "SELECT COUNT(*) AS n FROM BOUND_VIEW_T8")
+    assert getattr(out, "_maes_exec_conf", None) == (spark, sized)
+    assert out.collect()[0].n == 50
+    assert spark.conf.get(CONF) == sized  # the action ran at the binding
+    spark.conf.set(CONF, base)
+
+    # statements referencing no bound view come back untouched
+    plain = bound_sql(spark, "SELECT 1 AS one")
+    assert not hasattr(plain, "_maes_exec_conf")
+
+    # largest-owner-wins when several bound views are referenced
+    small = str(int(base))
+    df2 = _bind_execution_conf(spark.range(5).toDF("y"), spark, small)
+    df2.createOrReplaceTempView("bound_view_t8b")
+    both = bound_sql(
+        spark,
+        "SELECT a.x FROM bound_view_t8 a JOIN bound_view_t8b b ON a.x = b.y",
+    )
+    assert getattr(both, "_maes_exec_conf", None) == (spark, sized)
+    spark.catalog.dropTempView("bound_view_t8")
+    spark.catalog.dropTempView("bound_view_t8b")
+    spark._maes_view_confs.clear()
