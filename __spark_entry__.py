@@ -67,48 +67,40 @@ def _last_verified_round() -> dict[str, int]:
 # Queries whose newest driver evidence predates their current code or
 # oracle must land inside the driver's ~50-query budget regardless of
 # what the LRU sort alone would pick (the r5 convention: code-newer-
-# than-evidence is the worst staleness). Round 12 pins exactly this
+# than-evidence is the worst staleness). Round 13 pins exactly this
 # round's own edits:
 #
 # 1. queries/registry.py changed the bound-class machinery for EVERY
-#    declared query (derived-frame binding propagation, writer proxies)
-#    — on every declared path, so a breakage fails all 181 at once (the
-#    r9 conf-assembly precedent): pins nothing by itself.
-# 2. plans/sketchcache.py restructured minhash_band_index (build+write
-#    moved outside the module lock, sentinel publish) and _put (sentinel
-#    -aware eviction) — ONE pin covers both changed paths:
-#    dedup_incremental_minhash consumes minhash_band_index directly AND
-#    publishes through the changed _put, so it is the representative for
-#    the whole sketch-cache family (near_minhash / minhash_components
-#    share the _put entry path and stay unpinned; the ten late-r12
-#    query additions left exactly 38 budget slots for the 38-qid r8
-#    cohort, and tests/test_entry_contract.py::test_r12_budget_composition
-#    is the alarm that fires if a pin or addition pushes any of them
-#    out).
-# 3. streaming/watermark.py + stateful.py moved checkpoint cleanup to
-#    the success-only path — pinned representative per runner:
-#    stream_watermark_latedrop (watermark runner); the stateful runner's
-#    qid (stream_stateful_totals) is already in the r8-stale cohort
-#    below.
-# 4. The NEW qids pipeline_incremental_ingest (operators/ingest.py),
-#    stream_incremental_ingest (streaming/ingest.py), dedup_retract_index
-#    (retraction), dedup_store_time_travel (as-of version reads),
-#    dedup_store_version_diff (snapshot changelog),
-#    similarity_ivf_incremental (persisted-quantizer ANN ingest),
-#    join_runtime_bloom + join_dynamic_partition_prune (runtime-filter
-#    family), and embedding_quantize_int8 are never-verified and lead
-#    the LRU segment automatically.
+#    declared query again (bound view registration + bound_sql) — on
+#    every declared path, so a breakage fails all 190 at once (the r9
+#    conf-assembly precedent): pins nothing by itself.
+# 2. dedup_semantic was rewritten (capped semantic_survivors operator:
+#    oversize-cluster re-split + tiled BLAS, r12 verdict task 1) — its
+#    r12 evidence predates the new code.
+# 3. operators/ingest.py's commit path now routes through the pluggable
+#    CommitBackend (commitbackend.py) — pipeline_incremental_ingest is
+#    the representative for the store family (stream_incremental_ingest
+#    / retract / time-travel / diff share the same commit path and have
+#    fresh r12 evidence besides).
+# 4. similarity_ivf_incremental swapped its assert for the
+#    by-construction centroid_matrix (ADVICE r12).
 #
-# That is 2 pinned + 10 new qids; the LRU sort below fills the remaining
-# 38 of the driver's 50-qid budget with exactly the 38 r8-stale qids
-# (VERDICT r11 task 1 — the agg/window/stream/udf/variant/pipeline-text
-# cohort), leaving max staleness r9 after r12
-# (tests/test_entry_contract.py asserts the 50-budget composition).
+# That is 3 pinned + 0 new qids; the LRU sort below fills the remaining
+# 47 of the driver's 50-qid budget with the ENTIRE 45-qid r9-stale
+# cohort (VERDICT r12 task 2 — rollup/cube/grouping-sets/approx,
+# window_moving_avg/range_frame, pivot_wide, the multimodal family,
+# similarity_ivf/ann_lsh, dedup_embedding_cosine/latest_version,
+# sample_hash_mod, the graph family, and the r5-era probe cohort) plus
+# the 2 oldest r10 qids, leaving max staleness r10 after r13
+# (tests/test_entry_contract.py::test_budget_composition asserts the
+# whole-cohort property generically).
 _STALE_PRIORITY = [
-    # (2) sketch-cache build-path representative (band index + _put)
-    "dedup_incremental_minhash",
-    # (3) success-only checkpoint-cleanup representative
-    "stream_watermark_latedrop",
+    # (2) capped SemDeDup rewrite
+    "dedup_semantic",
+    # (3) CommitBackend commit-path representative for the store family
+    "pipeline_incremental_ingest",
+    # (4) centroid_matrix by-construction swap
+    "similarity_ivf_incremental",
 ]
 
 

@@ -55,16 +55,18 @@ def test_lru_ordering_after_priority_prefix():
     assert rounds == sorted(rounds)
 
 
-def test_r12_budget_composition():
+def test_budget_composition():
     """The driver's 50-qid budget must carry the round's full staleness
     target: every never-verified qid, every pin, and the ENTIRE oldest
     evidence cohort — nothing older than the oldest round represented in
-    the budget may be left outside it (the VERDICT r11 task-1 contract:
-    max staleness advances every round)."""
+    the budget may be left outside it (the VERDICT r11 task-1 contract,
+    generalized per r12 task 2: max staleness advances every round)."""
     mod = _entry_module()
     last = mod._last_verified_round()
     order = list(mod.queries())
     top, rest = order[:50], order[50:]
+    # the round's code-newer-than-evidence pins lead the budget
+    assert all(q in top for q in mod._STALE_PRIORITY)
     # never-verified (new this round) qids all sit inside the budget
     assert all(last.get(q, 0) != 0 for q in rest)
     # the oldest verified cohort is cleared whole: no qid outside the
