@@ -1,0 +1,138 @@
+"""Per-query bench regression bands (VERDICT r12 task 4).
+
+The suite WALL drifts upward by construction as fixed-cost composites
+accumulate (each new streaming/store query adds 2-6 s of real work), so
+wall-vs-baseline stops being a regression signal. The tracked signal is
+now PER-QUERY: ``BENCH_BANDS.json`` holds each qid's reference seconds —
+the min over recorded quiet runs at the headline SF — and a run is
+regression-free when no carried query exceeds its band by the margin.
+
+Margin: ``band * ratio + slack`` with ratio 1.5 and slack 0.4 s. The
+ratio absorbs the host's documented minutes-scale load cycling
+(BASELINE.md §B: quiet-vs-loaded swings of 1.2-1.4x are routine); the
+absolute slack keeps 0.1-0.4 s queries from flagging on scheduler
+jitter that is larger than the query itself. Queries with no band yet
+(new this round) are reported separately, never flagged.
+
+Usage:
+  python tools/bench_bands.py --record [bench_result.json]
+      merge a run into the bands (per-qid min; refuses runs whose load
+      probe exceeds --probe-max, default 1.3 s — bands must come from
+      quiet windows or they stop being floors)
+  python tools/bench_bands.py --check [bench_result.json]
+      compare a run against the bands; exit 1 if any query regressed
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BANDS_PATH = os.path.join(REPO, "BENCH_BANDS.json")
+
+RATIO = 1.5
+SLACK = 0.4
+
+
+def _load(path: str) -> dict:
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def record(result_path: str, probe_max: float) -> int:
+    run = _load(result_path)
+    probe = run.get("load_probe_sec")
+    if probe is None or probe > probe_max:
+        print(
+            json.dumps(
+                {
+                    "recorded": False,
+                    "reason": f"load probe {probe} > {probe_max}: not a "
+                    "quiet window; bands must be floors",
+                }
+            )
+        )
+        return 1
+    bands = _load(BANDS_PATH) if os.path.exists(BANDS_PATH) else {
+        "sf": run.get("sf"),
+        "unit": "sec",
+        "n_runs": 0,
+        "queries": {},
+    }
+    if bands.get("sf") != run.get("sf"):
+        print(
+            json.dumps(
+                {
+                    "recorded": False,
+                    "reason": f"run sf {run.get('sf')} != bands sf "
+                    f"{bands.get('sf')}",
+                }
+            )
+        )
+        return 1
+    updated = 0
+    for qid, sec in run.get("queries", {}).items():
+        prev = bands["queries"].get(qid)
+        if prev is None or sec < prev:
+            bands["queries"][qid] = sec
+            updated += 1
+    bands["n_runs"] = bands.get("n_runs", 0) + 1
+    bands["probe_max"] = probe_max
+    with open(BANDS_PATH, "w") as fh:
+        json.dump(bands, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(
+        json.dumps(
+            {
+                "recorded": True,
+                "n_runs": bands["n_runs"],
+                "n_queries": len(bands["queries"]),
+                "tightened": updated,
+                "probe": probe,
+            }
+        )
+    )
+    return 0
+
+
+def check(result_path: str) -> int:
+    run = _load(result_path)
+    bands = _load(BANDS_PATH)
+    over, new = {}, []
+    for qid, sec in run.get("queries", {}).items():
+        band = bands["queries"].get(qid)
+        if band is None:
+            new.append(qid)
+        elif sec > band * RATIO + SLACK:
+            over[qid] = {"sec": sec, "band": band}
+    out = {
+        "regressions": over,
+        "n_checked": len(run.get("queries", {})) - len(new),
+        "new_unbanded": sorted(new),
+        "load_probe_sec": run.get("load_probe_sec"),
+        "margin": f"band*{RATIO}+{SLACK}s",
+    }
+    print(json.dumps(out, sort_keys=True))
+    return 1 if over else 0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    mode = ap.add_mutually_exclusive_group(required=True)
+    mode.add_argument("--record", action="store_true")
+    mode.add_argument("--check", action="store_true")
+    ap.add_argument(
+        "result", nargs="?", default=os.path.join(REPO, "bench_result.json")
+    )
+    ap.add_argument("--probe-max", type=float, default=1.3)
+    args = ap.parse_args()
+    sys.exit(
+        record(args.result, args.probe_max) if args.record else check(args.result)
+    )
+
+
+if __name__ == "__main__":
+    main()
