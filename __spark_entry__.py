@@ -85,13 +85,16 @@ def _last_verified_round() -> dict[str, int]:
 # 4. similarity_ivf_incremental swapped its assert for the
 #    by-construction centroid_matrix (ADVICE r12).
 #
-# That is 3 pinned + 0 new qids; the LRU sort below fills the remaining
-# 47 of the driver's 50-qid budget with the ENTIRE 45-qid r9-stale
+# That is 3 pinned + 2 new qids (embedding_quantize_pq and
+# dedup_substring_spans, never-verified, leading the LRU segment
+# automatically — the round's additions were capped at 2 precisely so
+# the stale cohort still fits); the LRU sort below fills the remaining
+# 45 of the driver's 50-qid budget with the ENTIRE 45-qid r9-stale
 # cohort (VERDICT r12 task 2 — rollup/cube/grouping-sets/approx,
 # window_moving_avg/range_frame, pivot_wide, the multimodal family,
 # similarity_ivf/ann_lsh, dedup_embedding_cosine/latest_version,
-# sample_hash_mod, the graph family, and the r5-era probe cohort) plus
-# the 2 oldest r10 qids, leaving max staleness r10 after r13
+# sample_hash_mod, the graph family, and the r5-era probe cohort),
+# leaving max staleness r10 after r13
 # (tests/test_entry_contract.py::test_budget_composition asserts the
 # whole-cohort property generically).
 _STALE_PRIORITY = [

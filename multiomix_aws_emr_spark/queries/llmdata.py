@@ -271,6 +271,65 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUANT_PQ_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), u AS (
+  SELECT vec_id, generate_subscripts(emb, 1) AS pos, UNNEST(emb) AS val
+  FROM e
+), c AS (
+  SELECT vec_id % 16 AS k, pos, AVG(val) AS m FROM u GROUP BY 1, 2
+), d AS (
+  SELECT u.vec_id, (u.pos - 1) // 8 AS sub, c.k,
+         SUM((u.val - c.m) * (u.val - c.m)) AS d2
+  FROM u JOIN c ON u.pos = c.pos
+  GROUP BY 1, 2, 3
+), best AS (
+  SELECT vec_id, sub, k
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d2, k) AS rn FROM d)
+  WHERE rn = 1
+)
+SELECT vec_id, STRING_AGG(CAST(k AS VARCHAR), ',' ORDER BY sub) AS codes
+FROM best GROUP BY vec_id
+"""
+
+
+@query("embedding_quantize_pq", oracle=_QUANT_PQ_ORACLE)
+def embedding_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the embedding column (Jégou et al. 2011
+    — the FAISS IVF-PQ compression path, the step beyond
+    ``embedding_quantize_int8``): 8 subspaces of 8 dims, 16-row
+    codebook per subspace, each vector encoded as 8 code indices —
+    32x smaller than float32 (8 x 4 bits vs 256 bytes). The codebook
+    is the deterministic hash-group quantizer (``vec_id % 16`` groups,
+    oracle-exact; production trains k-means per subspace with the
+    identical downstream shape — the ``centroid_matrix`` contract),
+    sliced per subspace from ONE full-dim training pass.
+
+    Scale shape: training is one explode + (group, dim)-key aggregate
+    (map-side combinable, 16 x 64 rows after shuffle); encoding is
+    MAP-ONLY — the (8, 16, 8) codebook rides the Arrow UDF closure,
+    per-subspace BLAS distance matmuls, no join, no shuffle, no
+    exchange at any corpus size (plan-asserted in
+    tests/test_operators.py). The oracle recomputes every codebook
+    coordinate, every subspace distance, and every argmin from raw
+    floats; distances order un-rounded with ties to the lower code on
+    both engines."""
+    from multiomix_aws_emr_spark.operators.similarity import (
+        centroid_matrix,
+        hash_group_centroids,
+        pq_encode,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cents = hash_group_centroids(e, id_col="vec_id", vec_col="emb", n_lists=16)
+    cmat = centroid_matrix(cents.collect())
+    return pq_encode(e, cmat, id_col="vec_id", vec_col="emb", n_sub=8)
+
+
 _EMB_COS_ORACLE = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

@@ -97,6 +97,126 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBSTRING_SPANS_ORACLE = """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS start,
+         array_to_string(w[i:i+4], ' ') AS gram
+  FROM d, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+  WHERE len(w) >= 5
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), occ AS (
+  SELECT g.doc_id, g.start, g.start + 4 AS e
+  FROM g JOIN dup USING (gram)
+), flagged AS (
+  SELECT doc_id, start, e,
+         CASE WHEN start > COALESCE(MAX(e) OVER (
+              PARTITION BY doc_id ORDER BY start
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS new_span
+  FROM occ
+), spans AS (
+  SELECT doc_id, start, e,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY start
+                             ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flagged
+)
+SELECT doc_id, CAST(MIN(start) AS BIGINT) AS span_start,
+       CAST(MAX(e) AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM spans GROUP BY doc_id, span_id
+"""
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=_SUBSTRING_SPANS_ORACLE,
+    sizing_hint=fact_bytes("documents", fanout=5.0),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499 —
+    their ExactSubstr pass, re-expressed relationally): find every
+    5-word gram that occurs in MORE THAN ONE document and emit, per
+    document, the MAXIMAL merged word spans covered by such grams —
+    ``(doc_id, span_start, span_end, n_grams)``, 1-based inclusive word
+    positions. These are the regions a training pipeline cuts (unlike
+    MinHash, which drops whole near-dup documents, this removes
+    boilerplate shared across otherwise-distinct pages: license
+    headers, navigation chrome, templated paragraphs).
+
+    The suffix-array the paper builds is a single-machine structure;
+    the Spark-first shape is the gram-inventory join: (1) per-doc gram
+    explode via one ``transform(sequence) -> slice`` projection (no
+    window, no self-join — row-local built-ins), (2) one hash-agg
+    finding grams with >= 2 distinct docs, (3) a semi-join back
+    (Catalyst picks broadcast when the dup-gram inventory is small —
+    at 100 TB the inventory is the (tiny) cross-doc-repeated tail, not
+    the corpus), (4) interval merge per doc as the classic
+    window-scan: running ``max(end)`` over starts, a new span opens
+    when ``start > prev_max + 1`` (overlap-or-touch merges), span ids
+    by running sum. Partitioned by doc — no skew key (a doc's gram
+    count is bounded by its length, and the merge window is per-doc).
+    The oracle recomputes grams, the dup inventory, and the merge from
+    raw text."""
+    from pyspark.sql.window import Window
+
+    k = 5
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    g = (
+        d.select("doc_id", words.alias("w"))
+        .filter(F.size("w") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.array_join(F.slice("w", i, k), " ").alias("gram"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.start", "s.gram")
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    occ = g.join(dup, "gram", "left_semi").select(
+        "doc_id", "start", (F.col("start") + (k - 1)).alias("e")
+    )
+    w = Window.partitionBy("doc_id").orderBy("start")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = occ.withColumn(
+        "new_span",
+        F.when(F.col("start") > F.coalesce(prev_max, F.lit(-1)) + 1, 1)
+        .otherwise(0),
+    )
+    spans = flagged.withColumn(
+        "span_id",
+        F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        spans.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("start").cast("long").alias("span_start"),
+            F.max("e").cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )
+
+
 @query(
     "text_token_count",
     oracle=(

@@ -124,3 +124,79 @@ def test_centroid_matrix_by_construction():
         centroid_matrix([Row(0, [1.0]), Row(2, [2.0])])  # gap at 1
     with pytest.raises(ValueError, match="misalign"):
         centroid_matrix([Row(0, [1.0]), Row(0, [2.0])])  # duplicate
+
+
+def test_pq_encode_map_only_and_matches_numpy(spark, sf_dir):
+    """embedding_quantize_pq's contract: exchange-free Arrow plan and
+    per-subspace argmin parity with a NumPy recompute from the same
+    full-dim centroid matrix."""
+    from multiomix_aws_emr_spark.operators.similarity import (
+        centroid_matrix,
+        hash_group_centroids,
+        pq_encode,
+    )
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cmat = centroid_matrix(
+        hash_group_centroids(e, id_col="vec_id", vec_col="emb", n_lists=16)
+        .collect()
+    )
+    df = pq_encode(e, cmat, id_col="vec_id", vec_col="emb", n_sub=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+
+    got = {r.vec_id: r.codes for r in df.collect()}
+    vecs = {r.vec_id: np.array(r.emb) for r in e.collect()}
+    cb = cmat.reshape(16, 8, 8).transpose(1, 0, 2)
+    for vid, v in vecs.items():
+        vs = v.reshape(8, 8)
+        want = ",".join(
+            str(int(((vs[m][None, :] - cb[m]) ** 2).sum(axis=1).argmin()))
+            for m in range(8)
+        )
+        assert got[vid] == want
+
+    with pytest.raises(ValueError, match="divisible"):
+        pq_encode(e, cmat, id_col="vec_id", vec_col="emb", n_sub=7)
+
+
+def test_substring_spans_cover_only_cross_doc_grams(spark, sf_dir):
+    """dedup_substring_spans' invariants beyond the oracle: spans are
+    disjoint and non-touching per doc after the merge, every span is at
+    least gram-width wide, and every emitted span's text region really
+    does contain a 5-gram that appears in another document."""
+    from collections import defaultdict
+
+    from multiomix_aws_emr_spark.queries import QUERIES
+
+    spans = QUERIES["dedup_substring_spans"](spark, sf_dir).collect()
+    by_doc = defaultdict(list)
+    for r in spans:
+        assert r.span_end - r.span_start >= 4  # at least one 5-gram
+        by_doc[r.doc_id].append((r.span_start, r.span_end))
+    for doc, ivs in by_doc.items():
+        ivs.sort()
+        for (s1, e1), (s2, e2) in zip(ivs, ivs[1:]):
+            assert s2 > e1 + 1, (doc, ivs)  # merged: disjoint, gap >= 1
+
+    texts = {
+        r.doc_id: [w for w in r.text.split(" ") if w]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    gram_docs = defaultdict(set)
+    for doc, ws in texts.items():
+        for i in range(len(ws) - 4):
+            gram_docs[" ".join(ws[i : i + 5])].add(doc)
+    for r in spans:
+        ws = texts[r.doc_id]
+        found = any(
+            len(gram_docs[" ".join(ws[i : i + 5])]) >= 2
+            for i in range(r.span_start - 1, r.span_end - 4)
+        )
+        assert found, (r.doc_id, r.span_start, r.span_end)
