@@ -200,3 +200,60 @@ def test_substring_spans_cover_only_cross_doc_grams(spark, sf_dir):
             for i in range(r.span_start - 1, r.span_end - 4)
         )
         assert found, (r.doc_id, r.span_start, r.span_end)
+
+
+def test_pq_adc_search_recall_and_plan(spark, sf_dir):
+    """pq_adc_topk (the search half of IVF-PQ): the scoring side is
+    map-only with a TakeOrdered top-k (no full sort, no shuffle before
+    the limit), and ADC recall@10 against exact squared-L2 search
+    clears 0.25 on the fixture corpus — deterministic (hash-group
+    codebook, no RNG), measured 0.3. The floor is deliberately modest:
+    isotropic random vectors are PQ's WORST case (hash-group codebook
+    rows are means of random groups, so the quantization residual is
+    nearly the whole vector); production embedding corpora cluster and
+    do far better. What the bound catches is a silently broken LUT or
+    code path, which scores chance recall ~k/N = 0.02."""
+    from multiomix_aws_emr_spark.operators.similarity import (
+        centroid_matrix,
+        hash_group_centroids,
+        pq_adc_topk,
+        pq_encode,
+    )
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cmat = centroid_matrix(
+        hash_group_centroids(e, id_col="vec_id", vec_col="emb", n_lists=16)
+        .collect()
+    )
+    codes = pq_encode(e, cmat, id_col="vec_id", vec_col="emb", n_sub=8)
+    qrow = e.filter("vec_id = 0").collect()[0]
+    corpus = codes.filter("vec_id <> 0")
+
+    top = pq_adc_topk(
+        corpus, cmat, qrow.emb, id_col="vec_id", n_sub=8, k=10
+    )
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+
+    got = [r.vec_id for r in top.collect()]
+    assert len(got) == 10
+
+    # exact ground truth in NumPy
+    q = np.array(qrow.emb)
+    vecs = {r.vec_id: np.array(r.emb) for r in e.collect() if r.vec_id != 0}
+    exact = sorted(vecs, key=lambda vid: ((vecs[vid] - q) ** 2).sum())[:10]
+    recall = len(set(got) & set(exact)) / 10
+    assert recall >= 0.25, recall
+
+    # ADC distances match the LUT decomposition recomputed in NumPy
+    code_map = {r.vec_id: [int(c) for c in r.codes.split(",")] for r in corpus.collect()}
+    cb = cmat.reshape(16, 8, 8).transpose(1, 0, 2)
+    qs = q.reshape(8, 8)
+    lut = ((qs[:, None, :] - cb) ** 2).sum(axis=-1)
+    for r in top.collect():
+        want = sum(lut[m][code_map[r.vec_id][m]] for m in range(8))
+        assert abs(r.adc_dist2 - round(float(want), 6)) < 1e-9
