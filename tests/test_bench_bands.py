@@ -1,0 +1,65 @@
+"""tools/bench_bands.py record/check contract: quiet-gated min-merge,
+margin math, and new-query handling — pure JSON, no Spark."""
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture
+def bands_mod(tmp_path, monkeypatch):
+    spec = importlib.util.spec_from_file_location(
+        "bench_bands", os.path.join(REPO, "tools", "bench_bands.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod, "BANDS_PATH", str(tmp_path / "BANDS.json"))
+    return mod
+
+
+def _run(tmp_path, name, queries, probe=1.0, sf=0.1):
+    p = tmp_path / name
+    p.write_text(
+        json.dumps({"queries": queries, "load_probe_sec": probe, "sf": sf})
+    )
+    return str(p)
+
+
+def test_record_min_merges_and_gates_on_probe(bands_mod, tmp_path, capsys):
+    r1 = _run(tmp_path, "r1.json", {"q1": 2.0, "q2": 0.5})
+    assert bands_mod.record(r1, probe_max=1.3) == 0
+    # a loaded run is refused outright
+    r2 = _run(tmp_path, "r2.json", {"q1": 1.0}, probe=2.5)
+    assert bands_mod.record(r2, probe_max=1.3) == 1
+    # a faster quiet run tightens only the improved query
+    r3 = _run(tmp_path, "r3.json", {"q1": 1.5, "q2": 0.9})
+    assert bands_mod.record(r3, probe_max=1.3) == 0
+    bands = json.load(open(bands_mod.BANDS_PATH))
+    assert bands["queries"] == {"q1": 1.5, "q2": 0.5}
+    assert bands["n_runs"] == 2
+    # sf mismatch refused (bands are per-SF floors)
+    r4 = _run(tmp_path, "r4.json", {"q1": 0.1}, sf=0.01)
+    assert bands_mod.record(r4, probe_max=1.3) == 1
+
+
+def test_check_flags_over_margin_and_reports_new(bands_mod, tmp_path, capsys):
+    base = _run(tmp_path, "base.json", {"q1": 1.0, "q2": 0.2})
+    bands_mod.record(base, probe_max=1.3)
+    capsys.readouterr()
+    # within margin (band*1.5+0.4): q1 at 1.8 passes, q2 jitter passes
+    ok = _run(tmp_path, "ok.json", {"q1": 1.8, "q2": 0.6, "qnew": 3.0})
+    assert bands_mod.check(ok) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["regressions"] == {}
+    assert out["new_unbanded"] == ["qnew"]
+    assert out["n_checked"] == 2
+    # a real regression flags and exits nonzero
+    bad = _run(tmp_path, "bad.json", {"q1": 2.1, "q2": 0.2})
+    assert bands_mod.check(bad) == 1
+    out = json.loads(capsys.readouterr().out)
+    assert set(out["regressions"]) == {"q1"}
