@@ -32,24 +32,24 @@ def _run(tmp_path, name, queries, probe=1.0, sf=0.1):
 
 def test_record_min_merges_and_gates_on_probe(bands_mod, tmp_path, capsys):
     r1 = _run(tmp_path, "r1.json", {"q1": 2.0, "q2": 0.5})
-    assert bands_mod.record(r1, probe_max=1.3) == 0
+    assert bands_mod.record(r1, probe_max=1.3, max_over_frac=0.2) == 0
     # a loaded run is refused outright
     r2 = _run(tmp_path, "r2.json", {"q1": 1.0}, probe=2.5)
-    assert bands_mod.record(r2, probe_max=1.3) == 1
+    assert bands_mod.record(r2, probe_max=1.3, max_over_frac=0.2) == 1
     # a faster quiet run tightens only the improved query
     r3 = _run(tmp_path, "r3.json", {"q1": 1.5, "q2": 0.9})
-    assert bands_mod.record(r3, probe_max=1.3) == 0
+    assert bands_mod.record(r3, probe_max=1.3, max_over_frac=0.2) == 0
     bands = json.load(open(bands_mod.BANDS_PATH))
     assert bands["queries"] == {"q1": 1.5, "q2": 0.5}
     assert bands["n_runs"] == 2
     # sf mismatch refused (bands are per-SF floors)
     r4 = _run(tmp_path, "r4.json", {"q1": 0.1}, sf=0.01)
-    assert bands_mod.record(r4, probe_max=1.3) == 1
+    assert bands_mod.record(r4, probe_max=1.3, max_over_frac=0.2) == 1
 
 
 def test_check_flags_over_margin_and_reports_new(bands_mod, tmp_path, capsys):
     base = _run(tmp_path, "base.json", {"q1": 1.0, "q2": 0.2})
-    bands_mod.record(base, probe_max=1.3)
+    bands_mod.record(base, probe_max=1.3, max_over_frac=0.2)
     capsys.readouterr()
     # within margin (band*1.5+0.4): q1 at 1.8 passes, q2 jitter passes
     ok = _run(tmp_path, "ok.json", {"q1": 1.8, "q2": 0.6, "qnew": 3.0})
@@ -63,3 +63,20 @@ def test_check_flags_over_margin_and_reports_new(bands_mod, tmp_path, capsys):
     assert bands_mod.check(bad) == 1
     out = json.loads(capsys.readouterr().out)
     assert set(out["regressions"]) == {"q1"}
+
+
+def test_record_refuses_mass_regression_window(bands_mod, tmp_path, capsys):
+    """The multicore-contention gate: a run where most banded queries
+    regress at once is the host, not the code — refused outright so new
+    queries never inherit loaded-window bands."""
+    base = _run(tmp_path, "b.json", {"q1": 1.0, "q2": 1.0, "q3": 1.0})
+    assert bands_mod.record(base, probe_max=1.3, max_over_frac=0.2) == 0
+    capsys.readouterr()
+    loaded = _run(
+        tmp_path, "l.json", {"q1": 3.0, "q2": 3.0, "q3": 1.0, "qnew": 9.9}
+    )
+    assert bands_mod.record(loaded, probe_max=1.3, max_over_frac=0.2) == 1
+    out = json.loads(capsys.readouterr().out)
+    assert "loaded window" in out["reason"]
+    bands = json.load(open(bands_mod.BANDS_PATH))
+    assert "qnew" not in bands["queries"]  # nothing from the loaded run

@@ -42,7 +42,7 @@ def _load(path: str) -> dict:
         return json.load(fh)
 
 
-def record(result_path: str, probe_max: float) -> int:
+def record(result_path: str, probe_max: float, max_over_frac: float) -> int:
     run = _load(result_path)
     probe = run.get("load_probe_sec")
     if probe is None or probe > probe_max:
@@ -62,6 +62,33 @@ def record(result_path: str, probe_max: float) -> int:
         "n_runs": 0,
         "queries": {},
     }
+    # Second quiet gate: the single-core probe misses MULTI-core
+    # noisy-neighbor contention (measured: a run at probe 1.26 walled
+    # 2.3x with 30% of queries over margin). If a large fraction of
+    # already-banded queries regress at once, that is the host, not 58
+    # simultaneous real regressions — refuse, so brand-new queries never
+    # get banded from a loaded window (min-merge already protects the
+    # existing bands either way).
+    banded = [
+        (sec, bands["queries"][qid])
+        for qid, sec in run.get("queries", {}).items()
+        if qid in bands["queries"]
+    ]
+    if banded:
+        over = sum(1 for sec, band in banded if sec > band * RATIO + SLACK)
+        frac = over / len(banded)
+        if frac > max_over_frac:
+            print(
+                json.dumps(
+                    {
+                        "recorded": False,
+                        "reason": f"{over}/{len(banded)} banded queries over "
+                        f"margin ({frac:.0%} > {max_over_frac:.0%}): loaded "
+                        "window the single-core probe missed",
+                    }
+                )
+            )
+            return 1
     if bands.get("sf") != run.get("sf"):
         print(
             json.dumps(
@@ -128,9 +155,12 @@ def main() -> None:
         "result", nargs="?", default=os.path.join(REPO, "bench_result.json")
     )
     ap.add_argument("--probe-max", type=float, default=1.3)
+    ap.add_argument("--max-over-frac", type=float, default=0.2)
     args = ap.parse_args()
     sys.exit(
-        record(args.result, args.probe_max) if args.record else check(args.result)
+        record(args.result, args.probe_max, args.max_over_frac)
+        if args.record
+        else check(args.result)
     )
 
 
