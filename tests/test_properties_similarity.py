@@ -62,3 +62,66 @@ def test_exact_topk_matches_numpy(spark, vecs, k):
         for rn, (cos, j) in enumerate(scored[:k], start=1):
             expected.append((qid, rn, j, cos))
     assert got == sorted(expected)
+
+
+@_settings
+@given(
+    vecs=st.lists(
+        st.tuples(st.integers(-3, 3), st.integers(-3, 3)),
+        min_size=2,
+        max_size=16,
+    ),
+    n_lists=st.integers(1, 3),
+    cap=st.integers(2, 20),
+    tile=st.integers(1, 7),
+)
+def test_semantic_survivors_properties(spark, vecs, n_lists, cap, tile):
+    """The capped SemDeDup prune over arbitrary integer vectors (exact
+    float64 arithmetic): (a) one verdict per id at any cap/tile; (b) a
+    cap no cluster exceeds reproduces the uncapped NumPy reference
+    exactly, at every tile size; (c) a binding cap yields a SUPERSET of
+    the uncapped survivors (sub-splitting only removes comparisons)."""
+    from multiomix_aws_emr_spark.operators.similarity import (
+        semantic_survivors,
+    )
+
+    rows = [
+        (i, [float(a), float(b), 1.0], i % n_lists)
+        for i, (a, b) in enumerate(vecs)
+    ]
+    df = spark.createDataFrame(
+        rows, "vid long, emb array<double>, lst int"
+    )
+
+    # uncapped reference (mirrors the operator's rounding convention)
+    by_list: dict = {}
+    for i, emb, lst in rows:
+        by_list.setdefault(lst, []).append((i, np.array(emb)))
+    want = set()
+    for lst, members in by_list.items():
+        members.sort(key=lambda t: t[0])
+        v = np.array([e for _, e in members])
+        nrm = np.sqrt((v * v).sum(axis=1))
+        c = (v @ v.T) / np.outer(nrm, nrm)
+        rr = np.sign(c) * np.floor(np.abs(c) * 1e5 + 0.5) / 1e5
+        drop = np.triu(rr >= 0.35, k=1).any(axis=0)
+        want |= {
+            (m[0], lst) for m, d in zip(members, drop) if not d
+        }
+
+    def run(max_cluster):
+        out = semantic_survivors(
+            df,
+            id_col="vid",
+            vec_col="emb",
+            list_col="lst",
+            threshold=0.35,
+            max_cluster=max_cluster,
+            tile=tile,
+        ).collect()
+        ids = [r.vid for r in out]
+        assert len(ids) == len(set(ids))  # (a) one verdict per id
+        return {(r.vid, r.lst) for r in out}
+
+    assert run(len(rows) + 1) == want  # (b) non-binding cap == reference
+    assert run(cap) >= want  # (c) binding cap only adds survivors
