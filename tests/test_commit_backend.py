@@ -54,17 +54,17 @@ def _index_set(df):
 
 def test_unregistered_object_store_root_still_refused():
     with pytest.raises(ValueError, match="conditional-put"):
-        backend_for("s3://bucket/store")
+        backend_for("obj://bucket/store")
 
 
 def test_registered_backend_governs_root():
     kv = InMemoryConditionalPut()
     be = ConditionalPutBackend(kv)
-    set_commit_backend("s3://bucket/store", be)
+    set_commit_backend("obj://bucket/store", be)
     try:
-        assert backend_for("s3://bucket/store/") is be
+        assert backend_for("obj://bucket/store/") is be
     finally:
-        set_commit_backend("s3://bucket/store", None)
+        set_commit_backend("obj://bucket/store", None)
 
 
 def test_ingest_and_read_over_conditional_put(spark, docs, kv_store):
