@@ -394,8 +394,11 @@ def _bound_class(base: type) -> type:
             ns[name] = _make_grouping(name, method)
 
     def _make_view(name: str, method):
-        def run(self, view_name, *args, **kwargs):
-            out = method(self, view_name, *args, **kwargs)
+        def run(self, *args, **kwargs):
+            out = method(self, *args, **kwargs)
+            view_name = args[0] if args else kwargs.get("name")
+            if not isinstance(view_name, str):
+                return out  # unexpected calling convention: stay unbound
             spark = self._maes_exec_conf[0]
             reg = getattr(spark, "_maes_view_confs", None)
             if reg is None:
