@@ -53,14 +53,14 @@ def test_check_flags_over_margin_and_reports_new(bands_mod, tmp_path, capsys):
     capsys.readouterr()
     # within margin (band*1.5+0.4): q1 at 1.8 passes, q2 jitter passes
     ok = _run(tmp_path, "ok.json", {"q1": 1.8, "q2": 0.6, "qnew": 3.0})
-    assert bands_mod.check(ok) == 0
+    assert bands_mod.check([ok]) == 0
     out = json.loads(capsys.readouterr().out)
     assert out["regressions"] == {}
     assert out["new_unbanded"] == ["qnew"]
     assert out["n_checked"] == 2
     # a real regression flags and exits nonzero
     bad = _run(tmp_path, "bad.json", {"q1": 2.1, "q2": 0.2})
-    assert bands_mod.check(bad) == 1
+    assert bands_mod.check([bad]) == 1
     out = json.loads(capsys.readouterr().out)
     assert set(out["regressions"]) == {"q1"}
 
@@ -80,3 +80,18 @@ def test_record_refuses_mass_regression_window(bands_mod, tmp_path, capsys):
     assert "loaded window" in out["reason"]
     bands = json.load(open(bands_mod.BANDS_PATH))
     assert "qnew" not in bands["queries"]  # nothing from the loaded run
+
+
+def test_check_min_over_runs_absorbs_variance(bands_mod, tmp_path, capsys):
+    """A query over margin in ONE run but inside it in another is
+    variance, not regression — the min across runs is what gates."""
+    base = _run(tmp_path, "b2.json", {"q1": 1.0})
+    bands_mod.record(base, probe_max=1.3, max_over_frac=0.2)
+    capsys.readouterr()
+    slow = _run(tmp_path, "s.json", {"q1": 2.5})
+    fast = _run(tmp_path, "f.json", {"q1": 1.2})
+    assert bands_mod.check([slow]) == 1
+    capsys.readouterr()
+    assert bands_mod.check([slow, fast]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["regressions"] == {} and out["n_runs"] == 2

@@ -125,11 +125,21 @@ def record(result_path: str, probe_max: float, max_over_frac: float) -> int:
     return 0
 
 
-def check(result_path: str) -> int:
-    run = _load(result_path)
+def check(result_paths: list[str]) -> int:
+    """Flag a query only when its MIN across the given runs exceeds the
+    margin — the per-query analog of the min-of-N-spaced-runs protocol
+    the suite wall always used. A single run can flag a high-variance
+    1-2 s query (measured: three unchanged agg queries swing 1.5-2x
+    between quiet runs); a query over margin in EVERY run is a
+    regression."""
+    runs = [_load(p) for p in result_paths]
     bands = _load(BANDS_PATH)
+    merged: dict = {}
+    for run in runs:
+        for qid, sec in run.get("queries", {}).items():
+            merged[qid] = min(sec, merged.get(qid, sec))
     over, new = {}, []
-    for qid, sec in run.get("queries", {}).items():
+    for qid, sec in merged.items():
         band = bands["queries"].get(qid)
         if band is None:
             new.append(qid)
@@ -137,10 +147,11 @@ def check(result_path: str) -> int:
             over[qid] = {"sec": sec, "band": band}
     out = {
         "regressions": over,
-        "n_checked": len(run.get("queries", {})) - len(new),
+        "n_checked": len(merged) - len(new),
+        "n_runs": len(runs),
         "new_unbanded": sorted(new),
-        "load_probe_sec": run.get("load_probe_sec"),
-        "margin": f"band*{RATIO}+{SLACK}s",
+        "load_probe_sec": [r.get("load_probe_sec") for r in runs],
+        "margin": f"min-over-runs > band*{RATIO}+{SLACK}s",
     }
     print(json.dumps(out, sort_keys=True))
     return 1 if over else 0
@@ -152,13 +163,15 @@ def main() -> None:
     mode.add_argument("--record", action="store_true")
     mode.add_argument("--check", action="store_true")
     ap.add_argument(
-        "result", nargs="?", default=os.path.join(REPO, "bench_result.json")
+        "result",
+        nargs="*",
+        default=[os.path.join(REPO, "bench_result.json")],
     )
     ap.add_argument("--probe-max", type=float, default=1.3)
     ap.add_argument("--max-over-frac", type=float, default=0.2)
     args = ap.parse_args()
     sys.exit(
-        record(args.result, args.probe_max, args.max_over_frac)
+        record(args.result[0], args.probe_max, args.max_over_frac)
         if args.record
         else check(args.result)
     )
