@@ -106,7 +106,7 @@ class PosixLinkBackend(CommitBackend):
             return []
         out = []
         for name in os.listdir(self._dir):
-            m = re.fullmatch(r"v(\d{6})\.json", name)
+            m = re.fullmatch(r"v(\d{6,})\.json", name)
             if m:
                 out.append(int(m.group(1)))
         return out
@@ -160,8 +160,13 @@ class ConditionalPutBackend(CommitBackend):
 
     def publish(self, version: int, manifest: dict) -> None:
         key = self._key(version)
+        # the token is what makes a lost-response retry distinguishable
+        # from a real race — a direct caller that didn't stamp one gets
+        # one here, so read-back can never misreport its own success
+        if not manifest.get("writer_token"):
+            manifest = {**manifest, "writer_token": uuid.uuid4().hex}
         payload = json.dumps(manifest)
-        token = manifest.get("writer_token")
+        token = manifest["writer_token"]
         for _ in range(self.MAX_ATTEMPTS):
             try:
                 if self._kv.put_if_absent(key, payload):
@@ -172,7 +177,7 @@ class ConditionalPutBackend(CommitBackend):
             if existing is None:
                 continue  # transient loss before the server applied it
             held = json.loads(existing).get("writer_token")
-            if token is not None and held == token:
+            if held == token:
                 return  # our earlier PUT landed; the retry is a no-op
             raise ConcurrentIngestError(
                 f"version {version} was committed by another writer while "
@@ -191,7 +196,7 @@ class ConditionalPutBackend(CommitBackend):
     def versions(self) -> list[int]:
         out = []
         for key in self._kv.keys():
-            m = re.fullmatch(r"manifest/v(\d{6})\.json", key)
+            m = re.fullmatch(r"manifest/v(\d{6,})\.json", key)
             if m:
                 out.append(int(m.group(1)))
         return out

@@ -74,7 +74,9 @@ from multiomix_aws_emr_spark.operators.dedup import (
     upsert_band_membership,
 )
 
-__all__ = ["ConcurrentIngestError", "CommitBackend"]  # re-exported API
+# ConcurrentIngestError and CommitBackend are re-exported here so store
+# consumers import everything from one module (no __all__: it would
+# narrow the star-import surface to just the re-exports).
 
 
 _DEFAULT_PARAMS = {

@@ -54,8 +54,10 @@ free). ``SPARK_GRAFT_SIZING_HINTS=0`` disables hints (the A/B lever).
 
 from __future__ import annotations
 
+import itertools
 import os
 import re
+import threading
 from collections.abc import Callable
 from contextlib import contextmanager
 from typing import Optional
@@ -250,6 +252,12 @@ _VIEW_METHODS = (
     "createOrReplaceGlobalTempView",
 )
 
+#: registration-order stamps + init lock for the per-session view
+#: registry (two threads registering a fresh session's first views must
+#: not each install a dict and drop the other's entry)
+_VIEW_REG_SEQ = itertools.count()
+_VIEW_REG_LOCK = threading.Lock()
+
 
 class _BoundBuilder:
     """Thin proxy over an intermediate builder (GroupedData) produced by a
@@ -400,19 +408,23 @@ def _bound_class(base: type) -> type:
             if not isinstance(view_name, str):
                 return out  # unexpected calling convention: stay unbound
             spark = self._maes_exec_conf[0]
-            reg = getattr(spark, "_maes_view_confs", None)
-            if reg is None:
-                reg = {}
-                try:
-                    spark._maes_view_confs = reg
-                except Exception:
-                    return out  # session double that refuses attributes
-            # SQL identifiers are case-insensitive; the registry key is
-            # folded so bound_sql's reference scan matches any casing
-            reg[view_name.lower()] = (
-                self._maes_exec_conf[1],
-                getattr(self, "_maes_extra_confs", None),
-            )
+            with _VIEW_REG_LOCK:  # two first-registrations must not race
+                reg = getattr(spark, "_maes_view_confs", None)
+                if reg is None:
+                    reg = {}
+                    try:
+                        spark._maes_view_confs = reg
+                    except Exception:
+                        return out  # session double refusing attributes
+                # SQL identifiers are case-insensitive; the registry key
+                # is folded so bound_sql's scan matches any casing. The
+                # seq stamps registration ORDER so conflicting extras
+                # resolve later-wins even when a name is re-registered.
+                reg[view_name.lower()] = (
+                    self._maes_exec_conf[1],
+                    getattr(self, "_maes_extra_confs", None),
+                    next(_VIEW_REG_SEQ),
+                )
             return out
 
         run.__name__ = name
@@ -512,24 +524,35 @@ def bound_sql(spark: SparkSession, sql: str) -> DataFrame:
 
     Reference detection is a conservative identifier scan (any word in
     the statement matching a registered view name, case-folded like SQL
-    identifiers); false positives only re-bind to a HIGHER count, never
-    drop a binding. Honest limits: raw ``spark.sql`` remains unbound
-    (the documented escape — remedy ``session.adaptive_sizing_conf``),
-    and a bound registration goes stale if the same name is later
-    re-registered by an UNBOUND frame (only bound frames can note
-    themselves; clear ``spark._maes_view_confs`` when recycling names
-    across binding regimes)."""
+    identifiers). Two guards keep false positives harmless: the bound
+    target is floored at the SESSION BASELINE (a statement whose only
+    "reference" is a column name coinciding with a small view's name can
+    never be re-bound BELOW the count it would have run at unbound), and
+    conflicting extras resolve by registration order, later wins.
+    Honest limits: raw ``spark.sql`` remains unbound (the documented
+    escape — remedy ``session.adaptive_sizing_conf``), and a bound
+    registration goes stale if the same name is later re-registered by
+    an UNBOUND frame (only bound frames can note themselves; clear
+    ``spark._maes_view_confs`` when recycling names across binding
+    regimes)."""
     df = spark.sql(sql)
     reg = getattr(spark, "_maes_view_confs", None)
     if not reg:
         return df
     idents = {m.lower() for m in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", sql)}
-    hits = [reg[n] for n in sorted(idents & set(reg))]
+    hits = sorted(
+        (reg[n] for n in idents & set(reg)), key=lambda h: h[2]
+    )  # registration order: later registrations win extras conflicts
     if not hits:
         return df
-    target = max((t for t, _ in hits), key=int)
+    baseline = getattr(
+        spark.sparkContext, "_maes_shuffle_baseline", None
+    ) or spark.conf.get(_SHUFFLE_CONF)
+    target = max((t for t, _, _ in hits), key=int)
+    if int(target) < int(baseline):
+        target = baseline
     extras: dict = {}
-    for _, e in hits:
+    for _, e, _ in hits:
         if e:
             extras.update(e)
     return _bind_execution_conf(df, spark, target, extras=extras or None)

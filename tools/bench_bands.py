@@ -62,6 +62,17 @@ def record(result_path: str, probe_max: float, max_over_frac: float) -> int:
         "n_runs": 0,
         "queries": {},
     }
+    if bands.get("sf") != run.get("sf"):
+        print(
+            json.dumps(
+                {
+                    "recorded": False,
+                    "reason": f"run sf {run.get('sf')} != bands sf "
+                    f"{bands.get('sf')}",
+                }
+            )
+        )
+        return 1
     # Second quiet gate: the single-core probe misses MULTI-core
     # noisy-neighbor contention (measured: a run at probe 1.26 walled
     # 2.3x with 30% of queries over margin). If a large fraction of
@@ -89,17 +100,6 @@ def record(result_path: str, probe_max: float, max_over_frac: float) -> int:
                 )
             )
             return 1
-    if bands.get("sf") != run.get("sf"):
-        print(
-            json.dumps(
-                {
-                    "recorded": False,
-                    "reason": f"run sf {run.get('sf')} != bands sf "
-                    f"{bands.get('sf')}",
-                }
-            )
-        )
-        return 1
     updated = 0
     for qid, sec in run.get("queries", {}).items():
         prev = bands["queries"].get(qid)
@@ -133,6 +133,17 @@ def check(result_paths: list[str]) -> int:
     between quiet runs); a query over margin in EVERY run is a
     regression."""
     runs = [_load(p) for p in result_paths]
+    if not os.path.exists(BANDS_PATH):
+        print(
+            json.dumps(
+                {
+                    "regressions": {},
+                    "error": f"no bands recorded yet ({BANDS_PATH} missing): "
+                    "run --record on a quiet run first",
+                }
+            )
+        )
+        return 1
     bands = _load(BANDS_PATH)
     merged: dict = {}
     for run in runs:
@@ -170,11 +181,14 @@ def main() -> None:
     ap.add_argument("--probe-max", type=float, default=1.3)
     ap.add_argument("--max-over-frac", type=float, default=0.2)
     args = ap.parse_args()
-    sys.exit(
-        record(args.result[0], args.probe_max, args.max_over_frac)
-        if args.record
-        else check(args.result)
-    )
+    if args.record:
+        sys.exit(
+            max(
+                record(path, args.probe_max, args.max_over_frac)
+                for path in args.result
+            )
+        )
+    sys.exit(check(args.result))
 
 
 if __name__ == "__main__":
