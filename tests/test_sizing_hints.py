@@ -390,3 +390,49 @@ def test_bound_view_registration_and_bound_sql(spark, sf_dir):
     spark.catalog.dropTempView("bound_view_t8")
     spark.catalog.dropTempView("bound_view_t8b")
     spark._maes_view_confs.clear()
+
+
+def test_bound_sql_false_positive_never_lowers_sizing(spark, sf_dir):
+    """A statement whose only 'reference' to a bound view is a column
+    name coincidence must not be re-bound BELOW the session baseline
+    (the identifier scan is conservative by design; the floor makes its
+    false positives harmless)."""
+    from multiomix_aws_emr_spark.queries.registry import (
+        _bind_execution_conf,
+        bound_sql,
+    )
+
+    base = _baseline(spark)
+    tiny = str(max(1, int(base) // 4))
+    df = _bind_execution_conf(spark.range(3).toDF("data"), spark, tiny)
+    df.createOrReplaceTempView("data")
+    spark.range(100).toDF("x").createOrReplaceTempView("big_table_t8c")
+    # 'data' here is a COLUMN of big_table? No — just a word collision:
+    out = bound_sql(spark, "SELECT x AS data FROM big_table_t8c")
+    assert getattr(out, "_maes_exec_conf", None) == (spark, base)  # floored
+    spark.catalog.dropTempView("data")
+    spark.catalog.dropTempView("big_table_t8c")
+    spark._maes_view_confs.clear()
+
+
+def test_bound_sql_extras_conflict_later_registration_wins(spark, sf_dir):
+    from multiomix_aws_emr_spark.queries.registry import (
+        _bind_execution_conf,
+        bound_sql,
+    )
+
+    base = _baseline(spark)
+    a = _bind_execution_conf(spark.range(2).toDF("x"), spark, base)
+    a._maes_extra_confs = {"spark.sql.maes.test.flag": "first"}
+    a.createOrReplaceTempView("zz_view_t8d")  # registered FIRST
+    b = _bind_execution_conf(spark.range(2).toDF("y"), spark, base)
+    b._maes_extra_confs = {"spark.sql.maes.test.flag": "second"}
+    b.createOrReplaceTempView("aa_view_t8d")  # registered LATER
+    out = bound_sql(
+        spark,
+        "SELECT a.x FROM zz_view_t8d a JOIN aa_view_t8d b ON a.x = b.y",
+    )
+    assert out._maes_extra_confs["spark.sql.maes.test.flag"] == "second"
+    spark.catalog.dropTempView("zz_view_t8d")
+    spark.catalog.dropTempView("aa_view_t8d")
+    spark._maes_view_confs.clear()
