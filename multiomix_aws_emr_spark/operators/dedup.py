@@ -406,3 +406,49 @@ def minhash_lsh_clusters(
         portable=portable,
     )
     return lsh_cluster_assign(banded, id_col=id_col)
+
+
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply exact-substring dedup spans to the corpus: remove every word
+    whose 1-based position falls inside any of the doc's ``(span_start,
+    span_end)`` intervals and re-join the survivors — the CUT half of
+    the ExactSubstr pass (Lee et al. 2022; the spans come from
+    ``dedup_substring_spans``'s pipeline). Emits ``(id_col, text_col)``
+    with the cleaned text; documents with no spans pass through
+    unchanged (left join + null-safe filter).
+
+    All JVM-side built-ins: spans aggregate to one array per doc
+    (struct list, never exploded back), and the cut is a single
+    ``filter(arrays_zip(sequence, split), pos NOT covered)`` projection
+    — whole-stage codegen, no Python, no second shuffle beyond the
+    spans' own per-doc collect_list (which is map-side combinable and
+    bounded by spans-per-doc, not corpus size). Note the paper's caveat
+    applies: removing a span can create NEW adjacencies across the cut
+    boundary, so one pass does not guarantee a fixpoint — iterate
+    span-detection + cut if the corpus needs it."""
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    d = docs.join(per_doc, id_col, "left")
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    kept = F.filter(
+        F.arrays_zip(
+            F.sequence(F.lit(1), F.size(words)).alias("pos"),
+            words.alias("w"),
+        ),
+        lambda z: ~F.exists(
+            F.coalesce(F.col("_spans"), F.array()),
+            lambda s: (z["pos"] >= s["span_start"])
+            & (z["pos"] <= s["span_end"]),
+        ),
+    )
+    return d.select(
+        id_col,
+        F.array_join(F.transform(kept, lambda z: z["w"]), " ").alias(text_col),
+    )

@@ -257,3 +257,41 @@ def test_pq_adc_search_recall_and_plan(spark, sf_dir):
     for r in top.collect():
         want = sum(lut[m][code_map[r.vec_id][m]] for m in range(8))
         assert abs(r.adc_dist2 - round(float(want), 6)) < 1e-9
+
+
+def test_cut_spans_removes_exactly_the_covered_words(spark, sf_dir):
+    """cut_spans (the consuming half of ExactSubstr): every word inside a
+    span is gone, every word outside survives in order, docs without
+    spans pass through byte-identical, and the plan stays JVM-side (no
+    Python eval)."""
+    from multiomix_aws_emr_spark.operators.dedup import cut_spans
+    from multiomix_aws_emr_spark.queries import QUERIES
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    spans = QUERIES["dedup_substring_spans"](spark, sf_dir).select(
+        "doc_id", "span_start", "span_end"
+    )
+    cleaned = cut_spans(docs, spans)
+    plan = cleaned._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan  # built-ins only
+
+    span_map: dict = {}
+    for r in spans.collect():
+        span_map.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    orig = {r.doc_id: r.text for r in docs.collect()}
+    got = {r.doc_id: r.text for r in cleaned.collect()}
+    assert set(got) == set(orig)
+    for doc, text in orig.items():
+        ws = [w for w in text.split(" ") if w]
+        ivs = span_map.get(doc, [])
+        want = " ".join(
+            w
+            for pos, w in enumerate(ws, start=1)
+            if not any(s <= pos <= e for s, e in ivs)
+        )
+        assert got[doc] == want, doc
+    # at least one doc was actually cut and at least one untouched
+    assert any(got[d] != orig[d] for d in orig)
+    assert any(d not in span_map and got[d] == orig[d] for d in orig)
