@@ -61,3 +61,93 @@ def test_exact_duplicates_never_split(spark, texts, portable):
         by_text.setdefault(t, set()).add(clusters[i])
     for t, reps in by_text.items():
         assert len(reps) == 1, f"exact duplicates split for {t!r}: {reps}"
+
+
+@given(
+    data=st.data(),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_substring_spans_match_python_reference(spark, data):
+    """dedup_substring_spans' full pipeline vs a direct Python
+    recompute on Hypothesis-generated corpora (tiny vocab forces heavy
+    cross-doc gram collisions; duplicated docs guarantee spans):
+    identical (doc, start, end, n_grams) sets, and cut_spans applied to
+    the result removes exactly the covered positions."""
+    from multiomix_aws_emr_spark.operators.dedup import cut_spans
+    from multiomix_aws_emr_spark.queries import QUERIES
+    import multiomix_aws_emr_spark.queries.textops as textops
+
+    vocab = ("a", "b", "c")
+    texts = data.draw(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=5, max_size=12).map(
+                " ".join
+            ),
+            min_size=2,
+            max_size=6,
+        )
+    )
+    texts = texts + texts[:1]  # ensure at least one exact dup pair
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # Python reference (k=5, overlap-or-touch merge)
+    k = 5
+    grams: dict = {}
+    for i, t in rows:
+        ws = t.split(" ")
+        for p in range(len(ws) - k + 1):
+            grams.setdefault(" ".join(ws[p : p + k]), set()).add(i)
+    dup = {g for g, ds in grams.items() if len(ds) >= 2}
+    want = set()
+    for i, t in rows:
+        ws = t.split(" ")
+        occ = sorted(
+            p + 1
+            for p in range(len(ws) - k + 1)
+            if " ".join(ws[p : p + k]) in dup
+        )
+        spans: list = []
+        for s in occ:
+            e = s + k - 1
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], e)
+                spans[-1][2] += 1
+            else:
+                spans.append([s, e, 1])
+        want |= {(i, s, e, n) for s, e, n in spans}
+
+    # run the declared pipeline body against this frame by monkey-shim:
+    # the query loads from parquet, so exercise the same operators via a
+    # temp dir write
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="prop_substr_")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got_rows = QUERIES["dedup_substring_spans"](spark, d).collect()
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams) for r in got_rows
+    }
+    assert got == want
+
+    spans_df = spark.createDataFrame(
+        [(i, s, e) for i, s, e, _ in want],
+        "doc_id long, span_start long, span_end long",
+    )
+    cleaned = {
+        r.doc_id: r.text for r in cut_spans(docs, spans_df).collect()
+    }
+    for i, t in rows:
+        ws = t.split(" ")
+        ivs = [(s, e) for d_, s, e, _ in want if d_ == i]
+        expect = " ".join(
+            w
+            for p, w in enumerate(ws, start=1)
+            if not any(s <= p <= e for s, e in ivs)
+        )
+        assert cleaned[i] == expect
