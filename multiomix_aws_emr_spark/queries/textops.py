@@ -161,7 +161,17 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     by running sum. Partitioned by doc — no skew key (a doc's gram
     count is bounded by its length, and the merge window is per-doc).
     The oracle recomputes grams, the dup inventory, and the merge from
-    raw text."""
+    raw text.
+
+    Key-form note (measured, BASELINE.md): a compact-fingerprint
+    variant (two seeded xxhash64 over the word-slice array as the
+    inventory key — the dedup_exact recipe) was A/B'd at 48M grams and
+    LOST by ~45% (13.6-16.4 s vs 19.9-21.1 s, identical counts): the
+    per-gram hash CPU exceeds the shuffle-byte saving when the gram is
+    a short 5-word string (unlike dedup_exact, where the key it
+    replaces is a whole document). On a network-shuffled cluster the
+    bytes matter more, so the fingerprint form is the documented
+    alternative when the exchange — not CPU — is the bottleneck."""
     from pyspark.sql.window import Window
 
     k = 5
