@@ -67,43 +67,45 @@ def _last_verified_round() -> dict[str, int]:
 # Queries whose newest driver evidence predates their current code or
 # oracle must land inside the driver's ~50-query budget regardless of
 # what the LRU sort alone would pick (the r5 convention: code-newer-
-# than-evidence is the worst staleness). Round 13 pins exactly this
+# than-evidence is the worst staleness). Round 14 pins exactly this
 # round's own edits:
 #
-# 1. queries/registry.py changed the bound-class machinery for EVERY
-#    declared query again (bound view registration + bound_sql) — on
-#    every declared path, so a breakage fails all 190 at once (the r9
-#    conf-assembly precedent): pins nothing by itself.
-# 2. dedup_semantic was rewritten (capped semantic_survivors operator:
-#    oversize-cluster re-split + tiled BLAS, r12 verdict task 1) — its
-#    r12 evidence predates the new code.
-# 3. operators/ingest.py's commit path now routes through the pluggable
-#    CommitBackend (commitbackend.py) — pipeline_incremental_ingest is
-#    the representative for the store family (stream_incremental_ingest
-#    / retract / time-travel / diff share the same commit path and have
-#    fresh r12 evidence besides).
-# 4. similarity_ivf_incremental swapped its assert for the
-#    by-construction centroid_matrix (ADVICE r12).
+# 1. queries/registry.py changed bound_sql again (literal/comment
+#    stripping before the identifier scan, ADVICE r13) — on every
+#    declared path via the registry import, so a breakage fails all
+#    193 at once (the r9 conf-assembly precedent): pins nothing by
+#    itself.
+# 2. operators/ingest.py (latest_manifest protocol error, ADVICE r13)
+#    and operators/commitbackend.py (publish tolerates torn read-back,
+#    found by the two-process race probe) both changed the store
+#    family's commit path — pipeline_incremental_ingest is the family
+#    representative (stream_incremental_ingest / retract / time-travel
+#    / diff share the path and have fresh r12/r13 evidence besides).
+# 3. dedup_substring_spans' body was factored into
+#    operators/dedup.substring_spans (so pipeline_substring_cut can
+#    compose the same operator) — code newer than its r13 evidence.
 #
-# That is 3 pinned + 2 new qids (embedding_quantize_pq and
-# dedup_substring_spans, never-verified, leading the LRU segment
+# That is 2 pinned + 2 new qids (similarity_ivfpq and
+# pipeline_substring_cut, never-verified, leading the LRU segment
 # automatically — the round's additions were capped at 2 precisely so
 # the stale cohort still fits); the LRU sort below fills the remaining
-# 45 of the driver's 50-qid budget with the ENTIRE 45-qid r9-stale
-# cohort (VERDICT r12 task 2 — rollup/cube/grouping-sets/approx,
-# window_moving_avg/range_frame, pivot_wide, the multimodal family,
-# similarity_ivf/ann_lsh, dedup_embedding_cosine/latest_version,
-# sample_hash_mod, the graph family, and the r5-era probe cohort),
-# leaving max staleness r10 after r13
+# 46 of the driver's 50-qid budget with the ENTIRE 46-qid r10-stale
+# cohort (VERDICT r13 task 1 — cast_types, the filter/join §2.2
+# families, flagship_revenue_by_region, the graph family,
+# ml_kmeans_embeddings, the multimodal decode family, the omics trio,
+# pipeline_curation_v3, project/scan families, ps_pandas_api_groupby,
+# quality_expectations, the sampling pair, secure_masked_view,
+# similarity_pairwise/topk, the sql pair, the stream interval joins,
+# join_range_binned/temporal_dim, dedup_exact/entity_fuzzy,
+# agg_collect_sorted/mode_per_group, scan_partitioned_pruned/
+# tsv_roundtrip), leaving max staleness r11 after r14
 # (tests/test_entry_contract.py::test_budget_composition asserts the
 # whole-cohort property generically).
 _STALE_PRIORITY = [
-    # (2) capped SemDeDup rewrite
-    "dedup_semantic",
-    # (3) CommitBackend commit-path representative for the store family
+    # (2) commit-path representative for the store family
     "pipeline_incremental_ingest",
-    # (4) centroid_matrix by-construction swap
-    "similarity_ivf_incremental",
+    # (3) span detection factored into operators/dedup.substring_spans
+    "dedup_substring_spans",
 ]
 
 

@@ -176,7 +176,16 @@ class ConditionalPutBackend(CommitBackend):
             existing = self._kv.get(key)
             if existing is None:
                 continue  # transient loss before the server applied it
-            held = json.loads(existing).get("writer_token")
+            try:
+                held = json.loads(existing).get("writer_token")
+            except ValueError:
+                # an unparseable read-back (torn/partial object) is a KV
+                # atomicity violation no S3-class store exhibits — but
+                # the two-process race probe (tools/condput_race_probe)
+                # produced exactly this against a naive create-then-write
+                # fake, so treat it like a transient and re-read rather
+                # than crash mid-commit; MAX_ATTEMPTS still bounds it
+                continue
             if held == token:
                 return  # our earlier PUT landed; the retry is a no-op
             raise ConcurrentIngestError(

@@ -408,20 +408,110 @@ def minhash_lsh_clusters(
     return lsh_cluster_assign(banded, id_col=id_col)
 
 
+def substring_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """EXACT-SUBSTRING dedup spans (Lee et al. 2022, arXiv:2107.06499 —
+    ExactSubstr re-expressed relationally; factored out of the declared
+    ``dedup_substring_spans`` query so the spans->cut->stats pipeline
+    composes from the same operator): every ``k``-word gram occurring in
+    >= ``min_docs`` distinct documents, merged per document into MAXIMAL
+    word spans — ``(id_col, span_start, span_end, n_grams)``, 1-based
+    inclusive positions.
+
+    Plan shape (the 100 TB argument, measured to 1000x in
+    tools/substring_probe.py): (1) row-local gram explode via one
+    ``transform(sequence) -> slice`` projection — no window, no
+    self-join; (2) one two-level hash-agg for the >= min_docs inventory
+    (map-side combinable, hot grams absorbed by partial aggregation);
+    (3) a semi-join back (Catalyst broadcasts the small dup-gram tail);
+    (4) per-doc interval merge as the classic window scan — running
+    ``max(end)`` over starts, a new span opens when
+    ``start > prev_max + 1``. Partitioned by doc, no skew key."""
+    from pyspark.sql.window import Window
+
+    d = docs.select(id_col, text_col)
+    words = F.filter(F.split(text_col, " "), lambda x: x != "")
+    g = (
+        d.select(id_col, words.alias("w"))
+        .filter(F.size("w") >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.array_join(F.slice("w", i, k), " ").alias("gram"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select(id_col, "s.start", "s.gram")
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    occ = g.join(dup, "gram", "left_semi").select(
+        id_col, "start", (F.col("start") + (k - 1)).alias("e")
+    )
+    w = Window.partitionBy(id_col).orderBy("start")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = occ.withColumn(
+        "new_span",
+        F.when(F.col("start") > F.coalesce(prev_max, F.lit(-1)) + 1, 1)
+        .otherwise(0),
+    )
+    spans = flagged.withColumn(
+        "span_id",
+        F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        spans.groupBy(id_col, "span_id")
+        .agg(
+            F.min("start").cast("long").alias("span_start"),
+            F.max("e").cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(id_col, "span_start", "span_end", "n_grams")
+    )
+
+
 def cut_spans(
     docs: DataFrame,
     spans: DataFrame,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    passthrough: tuple = (),
+    flag_col: str | None = None,
 ) -> DataFrame:
     """Apply exact-substring dedup spans to the corpus: remove every word
     whose 1-based position falls inside any of the doc's ``(span_start,
     span_end)`` intervals and re-join the survivors — the CUT half of
     the ExactSubstr pass (Lee et al. 2022; the spans come from
     ``dedup_substring_spans``'s pipeline). Emits ``(id_col, text_col)``
-    with the cleaned text; documents with no spans pass through
-    unchanged (left join + null-safe filter).
+    with the cleaned text. Documents with NO spans pass through
+    byte-identical (the left-join miss short-circuits to the original
+    column before any split). Documents that ARE cut re-join surviving
+    words with single spaces — whitespace normalization is inherent to
+    the word-position span model (positions count non-empty
+    whitespace-split words, so runs of spaces cannot round-trip); the
+    ADVICE r13 note pinned this contract and
+    tests/test_semantic_dedup.py asserts both halves.
+
+    ``passthrough`` columns of ``docs`` ride along unchanged (so a
+    downstream per-group aggregate needs no second join back to the
+    corpus), and ``flag_col`` (when set) emits a boolean marking the
+    documents that actually had spans.
 
     All JVM-side built-ins: spans aggregate to one array per doc
     (struct list, never exploded back), and the cut is a single
@@ -448,7 +538,15 @@ def cut_spans(
             & (z["pos"] <= s["span_end"]),
         ),
     )
+    cleaned = F.array_join(F.transform(kept, lambda z: z["w"]), " ")
+    extra = (
+        [F.col("_spans").isNotNull().alias(flag_col)] if flag_col else []
+    )
     return d.select(
         id_col,
-        F.array_join(F.transform(kept, lambda z: z["w"]), " ").alias(text_col),
+        *passthrough,
+        F.when(F.col("_spans").isNull(), F.col(text_col))
+        .otherwise(cleaned)
+        .alias(text_col),
+        *extra,
     )

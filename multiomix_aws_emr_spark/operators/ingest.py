@@ -102,7 +102,18 @@ def latest_manifest(root: str) -> tuple[int, dict]:
     if not versions:
         return 0, {"batches": {}}
     newest = max(versions)
-    return newest, backend.read(newest)
+    manifest = backend.read(newest)
+    if manifest is None:
+        # a backend that LISTS a version it cannot yet serve (eventual
+        # consistency, a caller-supplied KV) is a protocol violation —
+        # fail here with the store's words, not a downstream TypeError
+        # (ADVICE r13; mirrors manifest_at's explicit ValueError)
+        raise ValueError(
+            f"store {root}: listed version {newest} is unreadable "
+            "(backend.read returned None for a version backend.versions "
+            "reported committed)"
+        )
+    return newest, manifest
 
 
 def manifest_at(root: str, version: int) -> dict:

@@ -301,7 +301,9 @@ def embedding_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the FAISS IVF-PQ compression path, the step beyond
     ``embedding_quantize_int8``): 8 subspaces of 8 dims, 16-row
     codebook per subspace, each vector encoded as 8 code indices —
-    32x smaller than float32 (8 x 4 bits vs 256 bytes). The codebook
+    32 information bits per vector vs 256 float32 bytes (the full 32x
+    is realized by ``pq_pack_codes``' bigint form; the string emitted
+    here is the oracle-hashable surface, ~14x). The codebook
     is the deterministic hash-group quantizer (``vec_id % 16`` groups,
     oracle-exact; production trains k-means per subspace with the
     identical downstream shape — the ``centroid_matrix`` contract),
@@ -397,6 +399,12 @@ def _ivf_oracle() -> str:
     return _ANN_ORACLE_TMPL.format(ids="0, 1", k=5)
 
 
+def _ivfpq_oracle() -> str:
+    from multiomix_aws_emr_spark.queries.similarity import _ANN_ORACLE_TMPL
+
+    return _ANN_ORACLE_TMPL.format(ids="0, 1", k=5)
+
+
 @query("similarity_ivf", oracle=_ivf_oracle())
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: Voronoi-cell partition of the corpus under
@@ -443,6 +451,145 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = exact_topk(
         e, id_col="vec_id", vec_col="embedding", query_ids=[0, 1], k=5
+    )
+    return exact_with_recall_ok(approx, exact, 5, floor=0.6)
+
+
+@query("similarity_ivfpq", oracle=_ivfpq_oracle())
+def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed FAISS-style IVF-PQ search promoted to a declared
+    query (VERDICT r13 task 2): coarse quantize -> RESIDUAL product
+    quantization (Jégou et al. 2011 §IV — codes describe
+    ``x - coarse_centroid[cell]``, task 5's recall win wired in) ->
+    probe the 6 nearest of 8 cells (an ``isin`` predicate that reaches
+    PartitionFilters on a cell-partitioned codes table — plan-asserted
+    in tests/test_semantic_dedup.py) -> ADC-score the probed codes with
+    per-cell LUTs -> exact-cosine REFINE of the 192-row ADC shortlist
+    (the FAISS IVFPQR shape: full-precision vectors are read only for
+    the shortlist) -> top-5 per query.
+
+    Oracle-checked via the family's exact+bound pattern
+    (``similarity_ivf`` precedent): emitted rows are the exact
+    brute-force top-5 for queries {0, 1} — recomputed verbatim by the
+    DuckDB twin — plus a per-query ``recall_ok`` boolean asserting the
+    IVF-PQ tier reached recall@5 >= 0.6 against that ground truth.
+    Determinism: the coarse quantizer is the ``sample`` stand-in (8
+    lowest-id vectors — the layout-stability rationale recorded on
+    similarity_ivf), the PQ codebook is the hash-group quantizer over
+    residuals (16 codebook rows x 16 subspaces of 4 dims), and every
+    tie breaks to the lower id — measured recall 1.0 for both queries
+    at sf0.001/0.01/0.1 (floor 0.6 is the contract, the headroom is
+    deliberate: the isotropic fixture is PQ's worst case). Production
+    swaps trained quantizers (``kmeans_centroids`` + per-subspace
+    k-means) with the identical downstream shape, stores the codes
+    table partitioned by cell and packed to int64
+    (``pq_pack_codes``), and reuses this composition verbatim."""
+    import numpy as np
+
+    from multiomix_aws_emr_spark.operators.similarity import (
+        assign_to_centroids,
+        centroid_matrix,
+        exact_topk,
+        exact_with_recall_ok,
+        hash_group_centroids,
+        ivfpq_topk,
+        pq_encode_residual,
+    )
+
+    from multiomix_aws_emr_spark.operators.checkpointing import (
+        truncate_lineage,
+    )
+
+    e = scan_parallel(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    # deterministic sample coarse quantizer: the 8 lowest-id vectors
+    # (one bounded collect — the query vectors 0/1 ride along when they
+    # are among the 8 lowest, which every fixture satisfies)
+    cent_rows = sorted(
+        e.orderBy("vec_id").limit(8).collect(), key=lambda r: r.vec_id
+    )
+    cmat = np.array([r.emb for r in cent_rows], dtype=np.float64)
+    qvecs = {r.vec_id: r.emb for r in cent_rows if r.vec_id in (0, 1)}
+    for qid in (0, 1):
+        if qid not in qvecs:  # sparse id domain: one extra bounded read
+            qvecs[qid] = (
+                e.filter(F.col("vec_id") == qid).collect()[0].emb
+            )
+    assigned = assign_to_centroids(
+        e, cmat, id_col="vec_id", vec_col="emb"
+    ).select("vec_id", "list_id")
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in cmat[i]]) for i in range(len(cmat))],
+        "list_id int, cent array<double>",
+    )
+    # materialize the residual frame ONCE: the codebook-training collect,
+    # the encode, and both per-query shortlist subtrees all reuse it —
+    # without the cut, the final union's plan recomputes the assign UDF +
+    # two joins per query side (measured 16 s -> 4 s at sf0.001)
+    res = truncate_lineage(
+        assigned.join(e, "vec_id")
+        .join(F.broadcast(cdf), "list_id")
+        .select(
+            "vec_id",
+            "list_id",
+            "emb",
+            F.zip_with("emb", "cent", lambda x, y: x - y).alias("res"),
+        )
+    )
+    pmat = centroid_matrix(
+        hash_group_centroids(
+            res, id_col="vec_id", vec_col="res", n_lists=16
+        ).collect()
+    )
+    encoded = truncate_lineage(
+        pq_encode_residual(
+            res,
+            cmat,
+            pmat,
+            id_col="vec_id",
+            vec_col="emb",
+            cell_col="list_id",
+            n_sub=16,
+        )
+    )
+    from multiomix_aws_emr_spark.functions.vector import dot, l2_norm
+
+    tops = []
+    for qid in (0, 1):
+        short = ivfpq_topk(
+            encoded.filter(F.col("vec_id") != qid),
+            cmat,
+            pmat,
+            qvecs[qid],
+            id_col="vec_id",
+            n_sub=16,
+            k=192,
+            n_probe=6,
+            residual=True,
+        ).select("vec_id")
+        # exact-cosine refine of the shortlist: the query vector is a
+        # LITERAL array (no one-row crossJoin, no window — the recall
+        # join consumes only (query_id, id_b), so the refine just has
+        # to RANK deterministically: cosine desc, id asc, TakeOrdered)
+        qlit = F.array(*[F.lit(float(x)) for x in qvecs[qid]])
+        refined = (
+            e.join(short, "vec_id", "left_semi")
+            .select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.col("vec_id").alias("id_b"),
+                (
+                    dot(F.col("emb"), qlit)
+                    / (l2_norm("emb") * l2_norm(qlit))
+                ).alias("_cos"),
+            )
+            .orderBy(F.col("_cos").desc(), F.col("id_b").asc())
+            .limit(5)
+        )
+        tops.append(refined.select("query_id", "id_b"))
+    approx = tops[0].unionByName(tops[1])
+    exact = exact_topk(
+        e, id_col="vec_id", vec_col="emb", query_ids=[0, 1], k=5
     )
     return exact_with_recall_ok(approx, exact, 5, floor=0.6)
 

@@ -524,7 +524,11 @@ def bound_sql(spark: SparkSession, sql: str) -> DataFrame:
 
     Reference detection is a conservative identifier scan (any word in
     the statement matching a registered view name, case-folded like SQL
-    identifiers). Two guards keep false positives harmless: the bound
+    identifiers) — run AFTER stripping string literals and comments, so
+    a view name inside a ``'...'`` literal, ``-- line`` or ``/* block */``
+    comment can no longer raise the count or drag in an unrelated view's
+    extras (ADVICE r13). Column aliases coinciding with a view name can
+    still match; two guards keep such false positives harmless: the bound
     target is floored at the SESSION BASELINE (a statement whose only
     "reference" is a column name coinciding with a small view's name can
     never be re-bound BELOW the count it would have run at unbound), and
@@ -539,7 +543,16 @@ def bound_sql(spark: SparkSession, sql: str) -> DataFrame:
     reg = getattr(spark, "_maes_view_confs", None)
     if not reg:
         return df
-    idents = {m.lower() for m in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", sql)}
+    # scan identifiers on a literal/comment-stripped copy: '' escapes
+    # inside single-quoted literals are consumed by the literal branch
+    # (two adjacent quotes re-enter and exit), block comments are
+    # non-nesting like Spark's lexer
+    scrubbed = re.sub(
+        r"'(?:[^']|'')*'|--[^\n]*|/\*.*?\*/", " ", sql, flags=re.S
+    )
+    idents = {
+        m.lower() for m in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", scrubbed)
+    }
     hits = sorted(
         (reg[n] for n in idents & set(reg)), key=lambda h: h[2]
     )  # registration order: later registrations win extras conflicts

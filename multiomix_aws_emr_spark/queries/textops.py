@@ -171,59 +171,123 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     a short 5-word string (unlike dedup_exact, where the key it
     replaces is a whole document). On a network-shuffled cluster the
     bytes matter more, so the fingerprint form is the documented
-    alternative when the exchange — not CPU — is the bottleneck."""
-    from pyspark.sql.window import Window
+    alternative when the exchange — not CPU — is the bottleneck.
 
-    k = 5
+    The pipeline body lives in ``operators/dedup.substring_spans``
+    (factored in r14 so ``pipeline_substring_cut`` composes the same
+    operator); this declaration is the detection half's oracle gate."""
+    from multiomix_aws_emr_spark.operators.dedup import substring_spans
+
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    words = F.filter(F.split("text", " "), lambda x: x != "")
-    g = (
-        d.select("doc_id", words.alias("w"))
-        .filter(F.size("w") >= k)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - (k - 1)),
-                    lambda i: F.struct(
-                        i.alias("start"),
-                        F.array_join(F.slice("w", i, k), " ").alias("gram"),
-                    ),
-                )
-            ).alias("s"),
-        )
-        .select("doc_id", "s.start", "s.gram")
+    return substring_spans(d, id_col="doc_id", text_col="text", k=5)
+
+
+_SUBSTRING_CUT_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS start,
+         array_to_string(w[i:i+4], ' ') AS gram
+  FROM d, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+  WHERE len(w) >= 5
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), occ AS (
+  SELECT g.doc_id, g.start, g.start + 4 AS e
+  FROM g JOIN dup USING (gram)
+), flagged AS (
+  SELECT doc_id, start, e,
+         CASE WHEN start > COALESCE(MAX(e) OVER (
+              PARTITION BY doc_id ORDER BY start
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS new_span
+  FROM occ
+), spans AS (
+  SELECT doc_id, start, e,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY start
+                             ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flagged
+), merged AS (
+  SELECT doc_id, MIN(start) AS s, MAX(e) AS e
+  FROM spans GROUP BY doc_id, span_id
+), per_doc AS (
+  SELECT doc_id, list({'s': s, 'e': e}) AS ivs FROM merged GROUP BY doc_id
+), cleaned AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN p.doc_id IS NULL THEN d.text
+              ELSE array_to_string(
+                     list_filter(d.w, (x, i) ->
+                       NOT list_aggregate(
+                         list_transform(p.ivs,
+                                        sp -> i >= sp.s AND i <= sp.e),
+                         'bool_or')),
+                     ' ')
+         END AS text,
+         (p.doc_id IS NOT NULL) AS was_cut
+  FROM d LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN was_cut THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cut_docs,
+       CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+         AS BIGINT) AS tokens_total,
+       CAST(SUM(len(text)) AS BIGINT) AS chars_total
+FROM cleaned GROUP BY lang
+"""
+
+
+@query(
+    "pipeline_substring_cut",
+    oracle=_SUBSTRING_CUT_ORACLE,
+    sizing_hint=fact_bytes("documents", fanout=5.0),
+)
+def pipeline_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr CUT composed end-to-end as ONE plan (VERDICT r13
+    task 4 — the step a training pipeline actually runs): detect the
+    cross-document duplicate spans (``operators/dedup.substring_spans``,
+    the same operator ``dedup_substring_spans`` declares), REMOVE them
+    from the corpus (``operators/dedup.cut_spans`` — docs without spans
+    pass through byte-identical; cut docs re-join survivors
+    single-spaced, the word-position model's contract), and aggregate
+    the residual corpus per language: ``(lang, n_docs, n_cut_docs,
+    tokens_total, chars_total)``. The oracle recomputes the whole
+    chain from raw text — grams, dup inventory, interval merge, the cut
+    itself, and the post-cut token/char sums — so a wrong cut boundary
+    anywhere flips the hash.
+
+    Plan shape: the span half is the substring_spans shape (row-local
+    gram explode, one two-level hash-agg, semi-join back, per-doc
+    window merge); the cut half aggregates spans per doc (bounded by
+    spans-per-doc), LEFT-joins them onto the corpus on the doc key, and
+    cuts with built-in array HOFs — no Python anywhere; the final
+    per-lang aggregate is map-side combinable (5 langs). ``lang`` rides
+    the cut as a passthrough column, so the corpus is scanned twice
+    (once per join side) and joined ONCE — no third pass, no join back
+    for metadata."""
+    from multiomix_aws_emr_spark.operators.dedup import (
+        cut_spans,
+        substring_spans,
     )
-    dup = (
-        g.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram")
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    spans = substring_spans(d, id_col="doc_id", text_col="text", k=5)
+    cleaned = cut_spans(
+        d,
+        spans,
+        id_col="doc_id",
+        text_col="text",
+        passthrough=("lang",),
+        flag_col="was_cut",
     )
-    occ = g.join(dup, "gram", "left_semi").select(
-        "doc_id", "start", (F.col("start") + (k - 1)).alias("e")
-    )
-    w = Window.partitionBy("doc_id").orderBy("start")
-    prev_max = F.max("e").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = occ.withColumn(
-        "new_span",
-        F.when(F.col("start") > F.coalesce(prev_max, F.lit(-1)) + 1, 1)
-        .otherwise(0),
-    )
-    spans = flagged.withColumn(
-        "span_id",
-        F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return (
-        spans.groupBy("doc_id", "span_id")
-        .agg(
-            F.min("start").cast("long").alias("span_start"),
-            F.max("e").cast("long").alias("span_end"),
-            F.count(F.lit(1)).alias("n_grams"),
-        )
-        .select("doc_id", "span_start", "span_end", "n_grams")
+    toks = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    return cleaned.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("was_cut").cast("long")).alias("n_cut_docs"),
+        F.sum(toks.cast("long")).alias("tokens_total"),
+        F.sum(F.length("text").cast("long")).alias("chars_total"),
     )
 
 

@@ -189,3 +189,22 @@ def test_publish_gives_up_after_bounded_transient_failures(kv_store):
             _commit_manifest(root, 1, {"batches": {}})
     finally:
         set_commit_backend(root, None)
+
+
+def test_latest_manifest_refuses_listed_but_unreadable_version():
+    """ADVICE r13: a KV that LISTS a version it cannot yet serve
+    (eventual consistency / broken caller backend) is a protocol
+    violation — latest_manifest raises a named ValueError instead of
+    returning (version, None) into a downstream TypeError."""
+
+    class ListsMoreThanItServes(InMemoryConditionalPut):
+        def keys(self):
+            return super().keys() + ["manifest/v000007.json"]
+
+    root = "obj://bucket/phantom_store"
+    set_commit_backend(root, ConditionalPutBackend(ListsMoreThanItServes()))
+    try:
+        with pytest.raises(ValueError, match="listed version 7 is unreadable"):
+            latest_manifest(root)
+    finally:
+        set_commit_backend(root, None)

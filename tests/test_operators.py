@@ -565,3 +565,43 @@ def test_ann_query_contract_exact_rows_plus_recall_ok(spark, sf_dir):
         }
         got = {(r.query_id, r.id_b, r.cos_sim, r.rn) for r in rows}
         assert got == exact, qid
+
+
+def test_hash_group_centroids_wide_agg_parity_and_guard(spark):
+    """The opt-in wide_agg strategy must agree with the explode default
+    on a rectangular column (same per-(group, dim) AVG multisets), and
+    its one-row dim inference must refuse empty/degenerate input with a
+    sign-explicit guard (ADVICE r13: a truthiness check would let legacy
+    sizeOfNull's -1 through and emit an empty aggregate list)."""
+    import pytest
+
+    from multiomix_aws_emr_spark.operators.similarity import (
+        hash_group_centroids,
+    )
+
+    rows = [
+        (i, [float(i), float(i % 3), 1.0 + i * 0.25, -0.5 * i])
+        for i in range(48)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    a = {
+        r.list_id: r.cent
+        for r in hash_group_centroids(
+            df, id_col="vec_id", vec_col="emb", n_lists=4
+        ).collect()
+    }
+    b = {
+        r.list_id: r.cent
+        for r in hash_group_centroids(
+            df, id_col="vec_id", vec_col="emb", n_lists=4, wide_agg=True
+        ).collect()
+    }
+    assert set(a) == set(b) == {0, 1, 2, 3}
+    for lid in a:
+        assert a[lid] == pytest.approx(b[lid], abs=1e-12)
+
+    empty = spark.createDataFrame([], "vec_id long, emb array<double>")
+    with pytest.raises(ValueError, match="rectangular"):
+        hash_group_centroids(
+            empty, id_col="vec_id", vec_col="emb", n_lists=4, wide_agg=True
+        )

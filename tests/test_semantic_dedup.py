@@ -363,3 +363,239 @@ def test_ivfpq_search_prunes_cells_and_beats_chance(spark, sf_dir, tmp_path):
     exact = sorted(vecs, key=lambda v: ((vecs[v] - q) ** 2).sum())[:10]
     recall = len({g for g, _ in got} & set(exact)) / 10
     assert recall >= 0.2, recall
+
+
+def test_cut_spans_whitespace_contract(spark):
+    """ADVICE r13: documents with NO spans pass through byte-identical
+    even with irregular whitespace (the left-join miss short-circuits to
+    the original column), while documents that ARE cut re-join the
+    surviving words with single spaces — the word-position span model
+    cannot round-trip space runs, and says so."""
+    from multiomix_aws_emr_spark.operators.dedup import cut_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "  leading and   double  spaces \ttrailing  "),
+            (2, "a  b   c d e f"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(2, 2, 3)], "doc_id long, span_start long, span_end long"
+    )
+    got = {r.doc_id: r.text for r in cut_spans(docs, spans).collect()}
+    assert got[1] == "  leading and   double  spaces \ttrailing  "
+    # words of doc 2 are [a,b,c,d,e,f]; positions 2..3 (b,c) are cut and
+    # the survivors re-join single-spaced
+    assert got[2] == "a d e f"
+
+
+def test_pq_pack_roundtrip_and_plan(spark, sf_dir):
+    """pq_pack_codes / pq_unpack_codes (VERDICT r13 task 3): the packed
+    bigint is exactly sum(code_m << 4m), the round-trip reproduces the
+    string codes byte-for-byte on the whole fixture corpus, both
+    directions are pure codegen projections (no Python eval, no
+    exchange), and the lane-capacity guard refuses a packing that would
+    not fit a signed int64."""
+    import pytest
+
+    from multiomix_aws_emr_spark.operators.similarity import (
+        centroid_matrix,
+        hash_group_centroids,
+        pq_encode,
+        pq_pack_codes,
+        pq_unpack_codes,
+    )
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cmat = centroid_matrix(
+        hash_group_centroids(
+            e, id_col="vec_id", vec_col="emb", n_lists=16
+        ).collect()
+    )
+    codes = pq_encode(e, cmat, id_col="vec_id", vec_col="emb", n_sub=8)
+    packed = pq_pack_codes(codes, n_sub=8, bits=4)
+    rt = pq_unpack_codes(
+        packed.select("vec_id", "codes_packed"), n_sub=8, bits=4
+    )
+
+    # pack/unpack are projections over the codes frame: no Python, and
+    # the only Arrow eval is pq_encode's own
+    for frame in (packed, rt):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, plan
+        assert "Exchange" not in plan.split("Scan parquet")[0], plan
+
+    by_id = {r.vec_id: r for r in packed.collect()}
+    rt_by_id = {r.vec_id: r.codes for r in rt.collect()}
+    orig = {r.vec_id: r.codes for r in codes.collect()}
+    assert rt_by_id == orig
+    for vid, row in by_id.items():
+        lanes = [int(c) for c in orig[vid].split(",")]
+        assert row.codes_packed == sum(c << (4 * m) for m, c in enumerate(lanes))
+        assert 0 <= row.codes_packed < (1 << 32)  # 8 lanes x 4 bits
+
+    with pytest.raises(ValueError, match="exceed a signed int64"):
+        pq_pack_codes(codes, n_sub=16, bits=4)
+
+
+def test_pq_encode_residual_matches_numpy_and_is_map_only(spark, sf_dir):
+    """pq_encode_residual (VERDICT r13 task 5 — true FAISS IVFPQ): codes
+    equal a NumPy recompute of per-subspace argmin over x - coarse[cell],
+    and the encode plan is map-only (single Arrow eval, no exchange, no
+    join)."""
+    from multiomix_aws_emr_spark.operators.similarity import (
+        assign_to_centroids,
+        centroid_matrix,
+        hash_group_centroids,
+        pq_encode_residual,
+    )
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cmat = centroid_matrix(
+        hash_group_centroids(
+            e, id_col="vec_id", vec_col="emb", n_lists=8
+        ).collect()
+    )
+    assigned = assign_to_centroids(
+        e, cmat, id_col="vec_id", vec_col="emb"
+    ).select("vec_id", "list_id").join(e, "vec_id")
+    pmat = centroid_matrix(
+        hash_group_centroids(
+            e, id_col="vec_id", vec_col="emb", n_lists=16
+        ).collect()
+    )
+    enc = pq_encode_residual(
+        assigned.select("vec_id", "list_id", "emb").cache(),
+        cmat,
+        pmat,
+        id_col="vec_id",
+        vec_col="emb",
+        cell_col="list_id",
+        n_sub=16,
+    )
+    # map-only over its input: no exchange after the assignment join
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan
+
+    cells = {r.vec_id: r.list_id for r in assigned.select("vec_id", "list_id").collect()}
+    vecs = {r.vec_id: np.array(r.emb) for r in e.collect()}
+    cb = pmat.reshape(16, 16, 4).transpose(1, 0, 2)  # (n_sub, K, dsub)
+    got = {r.vec_id: [int(c) for c in r.codes.split(",")] for r in enc.collect()}
+    for vid in list(vecs)[:50]:
+        res = vecs[vid] - cmat[cells[vid]]
+        vs = res.reshape(16, 4)
+        want = [
+            int(((vs[m][None, :] - cb[m]) ** 2).sum(axis=-1).argmin())
+            for m in range(16)
+        ]
+        assert got[vid] == want, vid
+
+
+def test_ivfpq_residual_per_cell_luts_prune_and_match_numpy(spark, sf_dir, tmp_path):
+    """ivfpq_topk(residual=True) — the true FAISS IVFPQ search over
+    pq_encode_residual codes: the probe predicate still reaches the
+    partitioned scan as a PartitionFilter, and every emitted ADC
+    distance equals a NumPy recompute with the probed cell's OWN LUT
+    (built from q - coarse_centroid[cell])."""
+    from multiomix_aws_emr_spark.operators.similarity import (
+        assign_to_centroids,
+        centroid_matrix,
+        hash_group_centroids,
+        ivfpq_topk,
+        pq_encode_residual,
+    )
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    coarse = centroid_matrix(
+        hash_group_centroids(e, id_col="vec_id", vec_col="emb", n_lists=8)
+        .collect()
+    )
+    assigned = (
+        assign_to_centroids(e, coarse, id_col="vec_id", vec_col="emb")
+        .select("vec_id", "list_id")
+        .join(e, "vec_id")
+    )
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in coarse[i]]) for i in range(len(coarse))],
+        "list_id int, cent array<double>",
+    )
+    res = assigned.join(F.broadcast(cdf), "list_id").select(
+        "vec_id",
+        "list_id",
+        "emb",
+        F.zip_with("emb", "cent", lambda x, y: x - y).alias("res"),
+    )
+    pmat = centroid_matrix(
+        hash_group_centroids(
+            res, id_col="vec_id", vec_col="res", n_lists=16
+        ).collect()
+    )
+    enc = pq_encode_residual(
+        res, coarse, pmat,
+        id_col="vec_id", vec_col="emb", cell_col="list_id", n_sub=16,
+    )
+    path = str(tmp_path / "ivfpq_res")
+    enc.write.partitionBy("list_id").parquet(path)
+    table = spark.read.parquet(path).filter("vec_id <> 0")
+
+    qrow = e.filter("vec_id = 0").collect()[0]
+    q = np.array(qrow.emb)
+    top = ivfpq_topk(
+        table, coarse, pmat, qrow.emb,
+        id_col="vec_id", n_sub=16, k=10, n_probe=4, residual=True,
+    )
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "list_id" in pf and " IN " in pf.upper(), plan
+
+    probes = set(
+        int(c) for c in (((coarse - q[None, :]) ** 2).sum(axis=1)).argsort()[:4]
+    )
+    cells = {r.vec_id: r.list_id for r in table.select("vec_id", "list_id").collect()}
+    code_map = {
+        r.vec_id: [int(c) for c in r.codes.split(",")] for r in table.collect()
+    }
+    cb = pmat.reshape(16, 16, 4).transpose(1, 0, 2)  # (n_sub, K, dsub)
+    luts = {
+        c: (((q - coarse[c]).reshape(16, 4)[:, None, :] - cb) ** 2).sum(axis=-1)
+        for c in probes
+    }
+    got = top.collect()
+    assert len(got) == 10
+    for r in got:
+        cell = cells[r.vec_id]
+        assert cell in probes
+        want = sum(luts[cell][m][code_map[r.vec_id][m]] for m in range(16))
+        assert abs(r.adc_dist2 - round(float(want), 6)) < 1e-9
+
+
+def test_similarity_ivfpq_declared_query_recall_floor(spark, sf_dir):
+    """The declared similarity_ivfpq qid (VERDICT r13 task 2): rows are
+    the exact brute-force top-5 for queries {0, 1} and the composed
+    IVF-PQ tier (residual codes, per-cell LUTs, ADC shortlist + exact
+    refine) clears the recall floor — recall_ok true on every row."""
+    from multiomix_aws_emr_spark.operators.similarity import exact_topk
+    from multiomix_aws_emr_spark.queries import QUERIES
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["similarity_ivfpq"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r.recall_ok for r in rows)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    exact = exact_topk(
+        e, id_col="vec_id", vec_col="emb", query_ids=[0, 1], k=5
+    )
+    want = {(r.query_id, r.id_b, r.cos_sim, r.rn) for r in exact.collect()}
+    assert {(r.query_id, r.id_b, r.cos_sim, r.rn) for r in rows} == want

@@ -436,3 +436,36 @@ def test_bound_sql_extras_conflict_later_registration_wins(spark, sf_dir):
     spark.catalog.dropTempView("zz_view_t8d")
     spark.catalog.dropTempView("aa_view_t8d")
     spark._maes_view_confs.clear()
+
+
+def test_bound_sql_ignores_view_names_in_literals_and_comments(spark, sf_dir):
+    """ADVICE r13: a bound view's name appearing only inside a string
+    literal, line comment, or block comment is NOT a reference — the
+    statement must come back unbound (no raised count, no dragged-in
+    extras). A real FROM-position reference in the same statement still
+    binds, decoy comment and all."""
+    from multiomix_aws_emr_spark.queries.registry import (
+        _bind_execution_conf,
+        bound_sql,
+    )
+
+    base = _baseline(spark)
+    big = str(int(base) * 4)
+    df = _bind_execution_conf(spark.range(5).toDF("x"), spark, big)
+    df._maes_extra_confs = {"spark.sql.maes.test.flag": "owner"}
+    df.createOrReplaceTempView("ghost_view_t14")
+    for stmt in (
+        "SELECT 'ghost_view_t14' AS s",
+        "SELECT 1 AS one -- ghost_view_t14",
+        "SELECT /* ghost_view_t14 */ 1 AS one",
+        "SELECT 'it''s ghost_view_t14 quoted' AS s",
+    ):
+        out = bound_sql(spark, stmt)
+        assert not hasattr(out, "_maes_exec_conf"), stmt
+    out = bound_sql(
+        spark, "SELECT COUNT(*) AS n FROM ghost_view_t14 -- decoy"
+    )
+    assert getattr(out, "_maes_exec_conf", None) == (spark, big)
+    assert out._maes_extra_confs["spark.sql.maes.test.flag"] == "owner"
+    spark.catalog.dropTempView("ghost_view_t14")
+    spark._maes_view_confs.clear()
