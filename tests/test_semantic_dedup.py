@@ -599,3 +599,49 @@ def test_similarity_ivfpq_declared_query_recall_floor(spark, sf_dir):
     )
     want = {(r.query_id, r.id_b, r.cos_sim, r.rn) for r in exact.collect()}
     assert {(r.query_id, r.id_b, r.cos_sim, r.rn) for r in rows} == want
+
+
+def test_adc_over_packed_codes_equals_string_form(spark, sf_dir):
+    """The production composition — store PQ codes as one bigint
+    (pq_pack_codes), unpack with shift/mask built-ins at scan time, ADC
+    over the result — scores every vector identically to the string
+    form: the packed path changes the storage width, never a distance."""
+    from multiomix_aws_emr_spark.operators.similarity import (
+        centroid_matrix,
+        hash_group_centroids,
+        pq_adc_topk,
+        pq_encode,
+        pq_pack_codes,
+        pq_unpack_codes,
+    )
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cmat = centroid_matrix(
+        hash_group_centroids(
+            e, id_col="vec_id", vec_col="emb", n_lists=16
+        ).collect()
+    )
+    codes = pq_encode(e, cmat, id_col="vec_id", vec_col="emb", n_sub=8)
+    packed = pq_pack_codes(codes, n_sub=8, bits=4).select(
+        "vec_id", "codes_packed"
+    )
+    via_packed = pq_unpack_codes(packed, n_sub=8, bits=4)
+    qrow = e.filter("vec_id = 0").collect()[0]
+    want = [
+        (r.vec_id, r.adc_dist2, r.rn)
+        for r in pq_adc_topk(
+            codes.filter("vec_id <> 0"), cmat, qrow.emb,
+            id_col="vec_id", n_sub=8, k=10,
+        ).collect()
+    ]
+    got = [
+        (r.vec_id, r.adc_dist2, r.rn)
+        for r in pq_adc_topk(
+            via_packed.filter("vec_id <> 0"), cmat, qrow.emb,
+            id_col="vec_id", n_sub=8, k=10,
+        ).collect()
+    ]
+    assert got == want
