@@ -645,3 +645,151 @@ def test_adc_over_packed_codes_equals_string_form(spark, sf_dir):
         ).collect()
     ]
     assert got == want
+
+
+def test_packed_adc_codegen_has_no_python_stage_and_matches_arrow(
+    spark, sf_dir, tmp_path
+):
+    """pq_adc_topk_packed (r14): ADC over the int64-packed codes runs as
+    ONE codegen'd projection — the executed plan of the scoring frame has
+    NO ArrowEvalPython/BatchEvalPython stage at all (the string form pays
+    an Arrow hop per scan) — and ranks the fixture corpus identically to
+    the Arrow form (distances agree beyond the 1e-6 rounding grain)."""
+    from multiomix_aws_emr_spark.operators.similarity import (
+        centroid_matrix,
+        hash_group_centroids,
+        pq_adc_topk,
+        pq_adc_topk_packed,
+        pq_encode,
+        pq_pack_codes,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cmat = centroid_matrix(
+        hash_group_centroids(
+            e, id_col="vec_id", vec_col="emb", n_lists=16
+        ).collect()
+    )
+    codes = pq_encode(e, cmat, id_col="vec_id", vec_col="emb", n_sub=8)
+    path = str(tmp_path / "packed")
+    pq_pack_codes(codes, n_sub=8, bits=4).select(
+        "vec_id", "codes", "codes_packed"
+    ).write.parquet(path)
+    table = spark.read.parquet(path).filter("vec_id <> 0")
+
+    qrow = e.filter("vec_id = 0").collect()[0]
+    top_packed = pq_adc_topk_packed(
+        table, cmat, qrow.emb, id_col="vec_id", n_sub=8, bits=4, k=10
+    )
+    plan = top_packed._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    # the scoring is shift/mask + element_at in the projection itself
+    # (AQE prints isFinalPlan=false pre-execution, so the codegen marker
+    # is not in the string; absence of any *EvalPython stage is the
+    # contract) and the scan reads ONLY the two fixed-width columns
+    assert "shiftright" in plan and "element_at" in plan, plan[:2000]
+    assert "ReadSchema: struct<vec_id:bigint,codes_packed:bigint>" in plan
+
+    got = [(r.vec_id, r.adc_dist2, r.rn) for r in top_packed.collect()]
+    want = [
+        (r.vec_id, r.adc_dist2, r.rn)
+        for r in pq_adc_topk(
+            table, cmat, qrow.emb, id_col="vec_id", n_sub=8, k=10
+        ).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert all(abs(g[1] - w[1]) <= 2e-6 for g, w in zip(got, want))
+    assert [g[2] for g in got] == [w[2] for w in want]
+
+    with pytest.raises(ValueError, match="codebook rows"):
+        pq_adc_topk_packed(
+            table, np.zeros((17, 64)), qrow.emb,
+            id_col="vec_id", n_sub=8, bits=4,
+        )
+
+
+def test_ivfpq_topk_packed_prunes_partitions_and_matches_udf_form(
+    spark, sf_dir, tmp_path
+):
+    """ivfpq_topk_packed (r14, the full production storage form): codes
+    table partitioned by cell + ONE bigint codes column; the probe isin
+    still reaches PartitionFilters; the residual per-cell-LUT scoring is
+    a slab-indexed codegen expression with NO Python stage; results match
+    the string/Arrow residual form on the fixture."""
+    from multiomix_aws_emr_spark.operators.similarity import (
+        assign_to_centroids,
+        centroid_matrix,
+        hash_group_centroids,
+        ivfpq_topk,
+        ivfpq_topk_packed,
+        pq_encode_residual,
+        pq_pack_codes,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    coarse = centroid_matrix(
+        hash_group_centroids(e, id_col="vec_id", vec_col="emb", n_lists=8)
+        .collect()
+    )
+    assigned = assign_to_centroids(
+        e, coarse, id_col="vec_id", vec_col="emb"
+    ).select("vec_id", "list_id").join(e, "vec_id")
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in coarse[i]]) for i in range(len(coarse))],
+        "list_id int, cent array<double>",
+    )
+    res = assigned.join(F.broadcast(cdf), "list_id").select(
+        "vec_id",
+        "list_id",
+        "emb",
+        F.zip_with("emb", "cent", lambda x, y: x - y).alias("res"),
+    )
+    pmat = centroid_matrix(
+        hash_group_centroids(res, id_col="vec_id", vec_col="res", n_lists=16)
+        .collect()
+    )
+    enc = pq_encode_residual(
+        res, coarse, pmat, id_col="vec_id", vec_col="emb", n_sub=8
+    )
+    path = str(tmp_path / "ivfpq_packed")
+    pq_pack_codes(enc, n_sub=8, bits=4).write.partitionBy("list_id").parquet(
+        path
+    )
+    table = spark.read.parquet(path).filter("vec_id <> 0")
+
+    qrow = e.filter("vec_id = 0").collect()[0]
+    top = ivfpq_topk_packed(
+        table, coarse, pmat, qrow.emb,
+        id_col="vec_id", n_sub=8, bits=4, k=10, n_probe=4, residual=True,
+    )
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "list_id" in pf and " IN " in pf.upper(), plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+    got = [(r.vec_id, r.adc_dist2, r.rn) for r in top.collect()]
+    want = [
+        (r.vec_id, r.adc_dist2, r.rn)
+        for r in ivfpq_topk(
+            table, coarse, pmat, qrow.emb,
+            id_col="vec_id", n_sub=8, k=10, n_probe=4, residual=True,
+        ).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert all(abs(g[1] - w[1]) <= 2e-6 for g, w in zip(got, want))
+
+    # non-residual packed path agrees with its own single-LUT contract:
+    # scoring restricted to probed cells, same plan guarantees
+    flat = ivfpq_topk_packed(
+        table, coarse, pmat, qrow.emb,
+        id_col="vec_id", n_sub=8, bits=4, k=10, n_probe=4, residual=False,
+    )
+    fplan = flat._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in fplan, fplan
+    assert len(flat.collect()) == 10

@@ -254,6 +254,77 @@ def pack_ab(spark, n: int, dim: int, tmp: str):
     }
 
 
+def adc_ab(spark, n: int, dim: int, tmp: str, rounds: int = 3):
+    """Scoring-path A/B at corpus scale (r14): full-scan ADC top-10 over
+    the SAME codes, stored and scored two ways — (a) string codes +
+    Arrow-UDF LUT indexing (pq_adc_topk), (b) int64-packed codes +
+    whole-stage-codegen shift/mask/element_at (pq_adc_topk_packed). Both
+    read from parquet on disk, so the measured delta is the real scan
+    shape: bytes read + Python boundary vs none. min-over-rounds."""
+    from pyspark.sql import functions as F
+
+    from multiomix_aws_emr_spark.operators.similarity import (
+        centroid_matrix,
+        hash_group_centroids,
+        pq_adc_topk,
+        pq_adc_topk_packed,
+        pq_encode,
+        pq_pack_codes,
+    )
+
+    e = synth_uniform(spark, n, dim)
+    pmat = centroid_matrix(
+        hash_group_centroids(
+            e, id_col="vec_id", vec_col="emb", n_lists=16
+        ).collect()
+    )
+    codes = pq_encode(e, pmat, id_col="vec_id", vec_col="emb", n_sub=8)
+    both = pq_pack_codes(codes, n_sub=8, bits=4)
+    str_path = os.path.join(tmp, "adc_str")
+    int_path = os.path.join(tmp, "adc_packed")
+    both.select("vec_id", "codes").write.mode("overwrite").parquet(str_path)
+    both.select("vec_id", "codes_packed").write.mode("overwrite").parquet(
+        int_path
+    )
+    q = [r.emb for r in e.filter("vec_id = 0").collect()][0]
+    str_df = spark.read.parquet(str_path)
+    int_df = spark.read.parquet(int_path)
+
+    walls = {"string_arrow": [], "packed_codegen": []}
+    results = {}
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        results["string_arrow"] = [
+            (r.vec_id, r.adc_dist2)
+            for r in pq_adc_topk(
+                str_df, pmat, q, id_col="vec_id", n_sub=8, k=10
+            ).collect()
+        ]
+        walls["string_arrow"].append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        results["packed_codegen"] = [
+            (r.vec_id, r.adc_dist2)
+            for r in pq_adc_topk_packed(
+                int_df, pmat, q, id_col="vec_id", n_sub=8, bits=4, k=10
+            ).collect()
+        ]
+        walls["packed_codegen"].append(time.perf_counter() - t0)
+
+    same_ids = [x[0] for x in results["string_arrow"]] == [
+        x[0] for x in results["packed_codegen"]
+    ]
+    s = min(walls["string_arrow"])
+    p = min(walls["packed_codegen"])
+    return {
+        "n": n,
+        "rounds": rounds,
+        "string_arrow_scan_sec": round(s, 2),
+        "packed_codegen_scan_sec": round(p, 2),
+        "speedup": round(s / p, 2),
+        "topk_ids_identical": same_ids,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
@@ -264,6 +335,8 @@ def main() -> None:
     ap.add_argument("--pack-n", type=int, default=2_000_000)
     ap.add_argument("--skip-recall", action="store_true")
     ap.add_argument("--skip-pack", action="store_true")
+    ap.add_argument("--adc-ab", action="store_true")
+    ap.add_argument("--adc-n", type=int, default=2_000_000)
     args = ap.parse_args()
 
     from multiomix_aws_emr_spark.session import build_session
@@ -279,6 +352,9 @@ def main() -> None:
     if not args.skip_pack:
         with tempfile.TemporaryDirectory(prefix="pq_pack_") as tmp:
             report["pack_ab"] = pack_ab(spark, args.pack_n, args.dim, tmp)
+    if args.adc_ab:
+        with tempfile.TemporaryDirectory(prefix="pq_adc_") as tmp:
+            report["adc_ab"] = adc_ab(spark, args.adc_n, args.dim, tmp)
     print(json.dumps(report, indent=2))
 
 
