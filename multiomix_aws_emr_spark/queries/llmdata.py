@@ -526,14 +526,16 @@ def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the residual frame ONCE: the codebook-training collect,
     # the encode, and both per-query shortlist subtrees all reuse it —
     # without the cut, the final union's plan recomputes the assign UDF +
-    # two joins per query side (measured 16 s -> 4 s at sf0.001)
+    # two joins per query side (measured 16 s -> 4 s at sf0.001). Only
+    # (vec_id, list_id, res) is checkpointed: emb is re-derivable from
+    # the scan and neither training nor encode needs it once res exists,
+    # so the materialization is half the bytes (r14)
     res = truncate_lineage(
         assigned.join(e, "vec_id")
         .join(F.broadcast(cdf), "list_id")
         .select(
             "vec_id",
             "list_id",
-            "emb",
             F.zip_with("emb", "cent", lambda x, y: x - y).alias("res"),
         )
     )
@@ -542,13 +544,25 @@ def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             res, id_col="vec_id", vec_col="res", n_lists=16
         ).collect()
     )
+    # encode from the PRE-SUBTRACTED residuals: a zero coarse matrix
+    # makes pq_encode_residual's internal `x - coarse[cell]` the
+    # identity, so the codes are bit-identical to encoding emb against
+    # cmat — without re-reading emb into the checkpoint
+    # NOTE (r14 negative result, BASELINE.md): swapping this fixture
+    # composition onto the packed-codegen scorer (pq_pack_codes_wide +
+    # ivfpq_topk_packed) was ~1.5 s SLOWER at sf0.1 — at 100k rows the
+    # extra Janino classes (pack projection + two 16-term shift/mask
+    # scorers) cost more than the Arrow boundary they remove; the packed
+    # form's 2.2x-3.6x win starts at corpus scans (2M/20M probes). The
+    # declared fixture query keeps the Arrow ADC; production scans use
+    # the packed components.
     encoded = truncate_lineage(
         pq_encode_residual(
             res,
-            cmat,
+            np.zeros_like(cmat),
             pmat,
             id_col="vec_id",
-            vec_col="emb",
+            vec_col="res",
             cell_col="list_id",
             n_sub=16,
         )
@@ -587,9 +601,15 @@ def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(5)
         )
         tops.append(refined.select("query_id", "id_b"))
-    approx = tops[0].unionByName(tops[1])
-    exact = exact_topk(
-        e, id_col="vec_id", vec_col="emb", query_ids=[0, 1], k=5
+    # both sides are <= 10-row frames whose SUBTREES are expensive (two
+    # ADC+refine chains / a full-corpus exact scan), and
+    # exact_with_recall_ok references exact three times (hits semi-join,
+    # denominator, output spine) and approx twice — cutting lineage here
+    # evaluates each side ONCE (measured 4.4 s -> ~2.5 s for the final
+    # stage at sf0.1; r14)
+    approx = truncate_lineage(tops[0].unionByName(tops[1]))
+    exact = truncate_lineage(
+        exact_topk(e, id_col="vec_id", vec_col="emb", query_ids=[0, 1], k=5)
     )
     return exact_with_recall_ok(approx, exact, 5, floor=0.6)
 

@@ -793,3 +793,69 @@ def test_ivfpq_topk_packed_prunes_partitions_and_matches_udf_form(
     fplan = flat._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in fplan, fplan
     assert len(flat.collect()) == 10
+
+
+def test_pq_pack_wide_roundtrip_and_adc_parity(spark, sf_dir, tmp_path):
+    """pq_pack_codes_wide / pq_unpack_codes_wide (r14): shapes that
+    overflow one signed int64 (here 16 lanes x 4 bits = 64 bits) pack
+    into an array<bigint> of 63//bits-lane words; the round-trip is
+    byte-identical, both directions stay pure codegen, and
+    adc_dist2_packed scores the wide form identically to the
+    string/Arrow ADC (lanes_per_word wiring through the packed top-k)."""
+    from multiomix_aws_emr_spark.operators.similarity import (
+        centroid_matrix,
+        hash_group_centroids,
+        pq_adc_topk,
+        pq_adc_topk_packed,
+        pq_encode,
+        pq_pack_codes_wide,
+        pq_unpack_codes_wide,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cmat = centroid_matrix(
+        hash_group_centroids(
+            e, id_col="vec_id", vec_col="emb", n_lists=16
+        ).collect()
+    )
+    codes = pq_encode(e, cmat, id_col="vec_id", vec_col="emb", n_sub=16)
+    packed = pq_pack_codes_wide(codes, n_sub=16, bits=4)
+    rt = pq_unpack_codes_wide(
+        packed.select("vec_id", "codes_words"), n_sub=16, bits=4
+    )
+    for frame in (packed, rt):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, plan
+
+    orig = {r.vec_id: r.codes for r in codes.collect()}
+    assert {r.vec_id: r.codes for r in rt.collect()} == orig
+    # two words: lanes 0-14 little-endian in word 0, lane 15 in word 1
+    by_id = {r.vec_id: r.codes_words for r in packed.collect()}
+    for vid, lanes_str in list(orig.items())[:20]:
+        lanes = [int(c) for c in lanes_str.split(",")]
+        w0 = sum(c << (4 * m) for m, c in enumerate(lanes[:15]))
+        w1 = lanes[15]
+        assert by_id[vid] == [w0, w1], vid
+
+    path = str(tmp_path / "wide")
+    packed.select("vec_id", "codes_words").write.parquet(path)
+    table = spark.read.parquet(path).filter("vec_id <> 0")
+    qrow = e.filter("vec_id = 0").collect()[0]
+    top = pq_adc_topk_packed(
+        table, cmat, qrow.emb, id_col="vec_id",
+        packed_col="codes_words", n_sub=16, bits=4, k=10, lanes_per_word=15,
+    )
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    got = [(r.vec_id, r.adc_dist2) for r in top.collect()]
+    want = [
+        (r.vec_id, r.adc_dist2)
+        for r in pq_adc_topk(
+            codes.filter("vec_id <> 0"), cmat, qrow.emb,
+            id_col="vec_id", n_sub=16, k=10,
+        ).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert all(abs(g[1] - w[1]) <= 2e-6 for g, w in zip(got, want))
