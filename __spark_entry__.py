@@ -73,7 +73,7 @@ def _last_verified_round() -> dict[str, int]:
 # 1. queries/registry.py changed bound_sql again (literal/comment
 #    stripping before the identifier scan, ADVICE r13) — on every
 #    declared path via the registry import, so a breakage fails all
-#    193 at once (the r9 conf-assembly precedent): pins nothing by
+#    195 at once (the r9 conf-assembly precedent): pins nothing by
 #    itself.
 # 2. operators/ingest.py (latest_manifest protocol error, ADVICE r13)
 #    and operators/commitbackend.py (publish tolerates torn read-back,
@@ -82,13 +82,30 @@ def _last_verified_round() -> dict[str, int]:
 #    representative (stream_incremental_ingest / retract / time-travel
 #    / diff share the path and have fresh r12/r13 evidence besides).
 # 3. dedup_substring_spans' body was factored into
-#    operators/dedup.substring_spans (so pipeline_substring_cut can
-#    compose the same operator) — code newer than its r13 evidence.
+#    operators/dedup.substring_spans — code newer than its r13
+#    evidence, but NOT pinned: the never-verified pipeline_substring_cut
+#    (in-budget below) runs the SAME operator and its oracle recomputes
+#    the full span chain (grams, inventory, merge) from raw text, so
+#    the factored body gets fresh r14 driver evidence through it; the
+#    remaining declaration-only wrapper is three lines, and the
+#    parametrized pytest parity sweep re-verifies its own oracle at
+#    HEAD regardless. Pinning it too would push the 46-qid stale
+#    cohort to 51 entries and leave one r10 qid behind.
+# 4. operators/similarity.py gained the wide array<bigint> packing +
+#    LUT-literal binding (dd68db7) — every touched/added function
+#    (pq_pack_codes_wide, flat_lut_literal, adc_dist2_packed's new
+#    kwargs, the packed top-k pair) is consumed only by components and
+#    by similarity_ivfpq, itself a never-verified new qid that leads
+#    the LRU segment automatically: pins nothing.
+# 5. operators/dedup.ngram_contamination is consumed only by
+#    decontaminate_ngram, the round's third (and last) new qid —
+#    never-verified, leads the LRU segment automatically.
 #
-# That is 2 pinned + 2 new qids (similarity_ivfpq and
-# pipeline_substring_cut, never-verified, leading the LRU segment
-# automatically — the round's additions were capped at 2 precisely so
-# the stale cohort still fits); the LRU sort below fills the remaining
+# That is 1 pinned + 3 new qids (similarity_ivfpq,
+# pipeline_substring_cut, decontaminate_ngram — never-verified, leading
+# the LRU segment automatically; the round's additions were capped at 3,
+# the VERDICT r13 ceiling, precisely so the stale cohort still fits);
+# the LRU sort below fills the remaining
 # 46 of the driver's 50-qid budget with the ENTIRE 46-qid r10-stale
 # cohort (VERDICT r13 task 1 — cast_types, the filter/join §2.2
 # families, flagship_revenue_by_region, the graph family,
@@ -104,8 +121,6 @@ def _last_verified_round() -> dict[str, int]:
 _STALE_PRIORITY = [
     # (2) commit-path representative for the store family
     "pipeline_incremental_ingest",
-    # (3) span detection factored into operators/dedup.substring_spans
-    "dedup_substring_spans",
 ]
 
 

@@ -550,3 +550,85 @@ def cut_spans(
         .alias(text_col),
         *extra,
     )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    evalset: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination by exact n-gram overlap (Brown et al.
+    2020, "Language Models are Few-Shot Learners", Appendix C — 13-gram
+    collision against eval sets; Chowdhery et al. 2022 PaLM §8 uses the
+    same scheme at 8 grams): score every TRAINING document by how many
+    of its distinct ``k``-word grams also occur anywhere in the held-out
+    evaluation set, and flag any collision. Emits one row per training
+    document with at least ``k`` words: ``(id_col, n_grams,
+    n_hit_grams, hit_ratio, contaminated)`` where ``n_grams`` is the
+    doc's gram count, ``n_hit_grams`` the DISTINCT grams shared with the
+    eval inventory, ``hit_ratio`` their rounded quotient, and
+    ``contaminated`` the paper's any-collision rule (the ratio lets a
+    caller apply PaLM's >=70% rule instead without recomputing).
+    Documents shorter than ``k`` words have no grams and are excluded —
+    the gram model has nothing to say about them.
+
+    Plan shape (the 100 TB argument): ONE pass over the training corpus
+    — the gram explode is the row-local ``transform(sequence) -> slice``
+    projection (``substring_spans``'s recipe) carrying ``n_grams`` as a
+    sibling expression, so no second corpus scan for the per-doc spine
+    and no join back for totals. The eval inventory is distinct-reduced
+    and EXPLICITLY broadcast: evaluation suites are MB-scale next to a
+    training corpus, so the collision test is a map-side hash probe —
+    the only exchange in the plan is the final per-doc aggregate, and
+    its partial (map-side) phase collapses every non-hit to one null
+    cell per doc per partition, so shuffle volume is ~(hits + docs),
+    not grams."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n_grams = (F.size(words) - (k - 1)).alias("n_grams")
+
+    def grams(df: DataFrame, *extra) -> DataFrame:
+        w = words
+        return (
+            df.select(id_col, text_col)
+            .filter(F.size(w) >= k)
+            .select(
+                id_col,
+                *extra,
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - (k - 1)),
+                        lambda i: F.array_join(F.slice(w, i, k), " "),
+                    )
+                ).alias("gram"),
+            )
+        )
+
+    ev = (
+        grams(evalset)
+        .select("gram")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return (
+        grams(train, n_grams)
+        .join(F.broadcast(ev), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.count_distinct(
+                F.when(F.col("_hit"), F.col("gram"))
+            ).alias("n_hit_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_hit_grams",
+            F.round(
+                F.col("n_hit_grams") / F.col("n_grams").cast("double"), 4
+            ).alias("hit_ratio"),
+            (F.col("n_hit_grams") > 0).alias("contaminated"),
+        )
+    )

@@ -291,6 +291,69 @@ def pipeline_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECONTAMINATE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w,
+         doc_id % 20 = 0 AS is_eval
+  FROM documents
+), g AS (
+  SELECT doc_id, is_eval, len(w) - 7 AS n_grams,
+         array_to_string(w[i:i+7], ' ') AS gram
+  FROM d, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+  WHERE len(w) >= 8
+), ev AS (
+  SELECT DISTINCT gram FROM g WHERE is_eval
+)
+SELECT g.doc_id,
+       CAST(MAX(g.n_grams) AS INTEGER) AS n_grams,
+       CAST(COUNT(DISTINCT CASE WHEN ev.gram IS NOT NULL
+                                THEN g.gram END) AS BIGINT)
+         AS n_hit_grams,
+       ROUND(COUNT(DISTINCT CASE WHEN ev.gram IS NOT NULL
+                                 THEN g.gram END)
+             / CAST(MAX(g.n_grams) AS DOUBLE), 4) AS hit_ratio,
+       COUNT(DISTINCT CASE WHEN ev.gram IS NOT NULL THEN g.gram END) > 0
+         AS contaminated
+FROM g LEFT JOIN ev ON g.gram = ev.gram
+WHERE NOT g.is_eval
+GROUP BY g.doc_id
+"""
+
+
+@query(
+    "decontaminate_ngram",
+    oracle=_DECONTAMINATE_ORACLE,
+    sizing_hint=fact_bytes("documents", fanout=8.0),
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (Brown et al. 2020 Appendix C / PaLM
+    §8): flag training documents sharing any 8-word gram with the
+    held-out evaluation split, scored per doc so either decision rule
+    (GPT-3's any-collision or PaLM's >=70%) falls out of the same
+    output. The eval split stands in for a benchmark suite as the
+    deterministic ``doc_id % 20 = 0`` slice of `documents` (real
+    pipelines read a separate benchmark table — the plan is identical:
+    a tiny side, distinct-reduced and broadcast). Emits one row per
+    >=8-word training doc: ``(doc_id, n_grams, n_hit_grams, hit_ratio,
+    contaminated)``.
+
+    Plan (``operators/dedup.ngram_contamination``): ONE training-corpus
+    scan — row-local gram explode carrying the doc's gram count as a
+    sibling expression, map-side hash probe against the broadcast eval
+    inventory, and a single per-doc aggregate whose partial phase
+    collapses non-hits to one null cell per doc per partition (shuffle
+    ~ hits + docs, not grams). The oracle recomputes grams, the
+    inventory, and both scores from raw text."""
+    from multiomix_aws_emr_spark.operators.dedup import ngram_contamination
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    is_eval = F.col("doc_id") % 20 == 0
+    return ngram_contamination(
+        d.filter(~is_eval), d.filter(is_eval), id_col="doc_id",
+        text_col="text", k=8,
+    )
+
+
 @query(
     "text_token_count",
     oracle=(

@@ -570,3 +570,13 @@ def test_quantize_int8_is_map_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embedding_quantize_int8")
     assert "Exchange" not in plan, plan
     assert "FileScan parquet" in plan
+
+
+def test_decontaminate_eval_inventory_broadcasts(spark, sf_dir):
+    """decontaminate_ngram: the eval gram inventory must broadcast onto
+    the training-gram stream (map-side probe — never a shuffled join of
+    the corpus-sized explode), with the whole chain JVM-side."""
+    plan = _plan(spark, sf_dir, "decontaminate_ngram")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan

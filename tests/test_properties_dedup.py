@@ -151,3 +151,60 @@ def test_substring_spans_match_python_reference(spark, data):
             if not any(s <= p <= e for s, e in ivs)
         )
         assert cleaned[i] == expect
+
+
+@given(data=st.data())
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ngram_contamination_matches_python_reference(spark, data):
+    """ngram_contamination vs a direct Python recompute on Hypothesis
+    corpora (tiny vocab + duplicated docs force real gram collisions
+    between the train/eval split): identical per-doc (n_grams,
+    n_hit_grams, contaminated) maps, short docs excluded, eval docs
+    never in the output."""
+    from multiomix_aws_emr_spark.operators.dedup import ngram_contamination
+
+    k = data.draw(st.integers(min_value=2, max_value=3), label="k")
+    texts = data.draw(
+        st.lists(
+            st.lists(
+                st.sampled_from(_VOCAB[:3]), min_size=1, max_size=7
+            ).map(" ".join),
+            min_size=2,
+            max_size=6,
+        ),
+        label="texts",
+    )
+    rows = [(2 * i, t) for i, t in enumerate(texts)] + [
+        (2 * i + 1, t) for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    is_eval = lambda i: i % 3 == 0  # noqa: E731
+    got = {
+        r.doc_id: (r.n_grams, r.n_hit_grams, r.contaminated)
+        for r in ngram_contamination(
+            df.filter(f"doc_id % 3 <> 0"),
+            df.filter("doc_id % 3 = 0"),
+            id_col="doc_id",
+            text_col="text",
+            k=k,
+        ).collect()
+    }
+
+    def grams(t):
+        w = [x for x in t.split(" ") if x]
+        return [" ".join(w[i : i + k]) for i in range(len(w) - k + 1)]
+
+    ev = {g for i, t in rows if is_eval(i) for g in grams(t)}
+    want = {}
+    for i, t in rows:
+        if is_eval(i) or len([x for x in t.split(" ") if x]) < k:
+            continue
+        gs = grams(t)
+        hits = {g for g in gs if g in ev}
+        want[i] = (len(gs), len(hits), bool(hits))
+    assert got == want
