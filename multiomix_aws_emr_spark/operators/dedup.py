@@ -463,6 +463,20 @@ def substring_spans(
     occ = g.join(dup, "gram", "left_semi").select(
         id_col, "start", (F.col("start") + (k - 1)).alias("e")
     )
+    return merge_word_intervals(occ, id_col=id_col)
+
+
+def merge_word_intervals(occ: DataFrame, *, id_col: str) -> DataFrame:
+    """Merge per-document word intervals ``(id_col, start, e)`` (1-based
+    inclusive) into MAXIMAL spans — the classic window scan shared by
+    the ExactSubstr span detector and the contamination dirty-window
+    cut: running ``max(e)`` over ascending starts, a new span opens when
+    ``start > prev_max + 1`` (overlap-OR-TOUCH merges), span ids by
+    running sum. Emits ``(id_col, span_start, span_end, n_grams)`` in
+    :func:`cut_spans`'s expected schema (``n_grams`` = input intervals
+    merged into the span). Partitioned by doc — the window never sees
+    more rows than one document's intervals, so there is no skew key at
+    any corpus size."""
     w = Window.partitionBy(id_col).orderBy("start")
     prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     flagged = occ.withColumn(
@@ -632,3 +646,72 @@ def ngram_contamination(
             (F.col("n_hit_grams") > 0).alias("contaminated"),
         )
     )
+
+
+def contamination_spans(
+    train: DataFrame,
+    evalset: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 0,
+) -> DataFrame:
+    """The positions half of the GPT-3 decontamination CUT (Brown et al.
+    2020 Appendix C: on a 13-gram collision they remove the gram plus a
+    surrounding window and keep the rest of the document): per-training-
+    document MAXIMAL merged word spans covered by grams shared with the
+    evaluation set, each extended by ``window`` words on both sides
+    (clamped to the document). Emits ``(id_col, span_start, span_end,
+    n_grams)`` — :func:`cut_spans`'s exact input schema, so
+    ``cut_spans(train, contamination_spans(train, evalset))`` IS the
+    paper's surgical decontamination (drop the contaminated region, keep
+    the clean remainder), where :func:`ngram_contamination` is the
+    whole-document scorer for the drop-the-doc rule.
+
+    Same scale shape as the scorer: one training-corpus scan (gram
+    explode with start positions + the doc's word count as sibling
+    expressions), the eval inventory distinct-reduced and broadcast so
+    the collision test is a map-side semi-probe, and the merge windows
+    per document (:func:`merge_word_intervals` — bounded by one doc's
+    hit count, no skew key)."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+
+    def grams(df: DataFrame, with_pos: bool) -> DataFrame:
+        base = df.select(id_col, text_col).filter(F.size(words) >= k)
+        if not with_pos:
+            return base.select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(words) - (k - 1)),
+                        lambda i: F.array_join(F.slice(words, i, k), " "),
+                    )
+                ).alias("gram")
+            )
+        return base.select(
+            id_col,
+            F.size(words).alias("_nw"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.array_join(F.slice(words, i, k), " ").alias("gram"),
+                    ),
+                )
+            ).alias("s"),
+        ).select(id_col, "_nw", "s.start", "s.gram")
+
+    ev = grams(evalset, with_pos=False).distinct()
+    occ = (
+        grams(train, with_pos=True)
+        .join(F.broadcast(ev), "gram", "left_semi")
+        .select(
+            id_col,
+            F.greatest(F.lit(1), F.col("start") - window).alias("start"),
+            F.least(
+                F.col("_nw"), F.col("start") + (k - 1) + window
+            ).alias("e"),
+        )
+    )
+    return merge_word_intervals(occ, id_col=id_col)

@@ -208,3 +208,101 @@ def test_ngram_contamination_matches_python_reference(spark, data):
         hits = {g for g in gs if g in ev}
         want[i] = (len(gs), len(hits), bool(hits))
     assert got == want
+
+
+@given(data=st.data())
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_contamination_spans_and_cut_match_python_reference(spark, data):
+    """contamination_spans vs a direct Python recompute (hit-gram
+    intervals extended by the dirty window, clamped, merged), and
+    cut_spans applied to the result removes exactly the covered words —
+    the full GPT-3 surgical-decontamination composition."""
+    from multiomix_aws_emr_spark.operators.dedup import (
+        contamination_spans,
+        cut_spans,
+    )
+
+    k = data.draw(st.integers(min_value=2, max_value=3), label="k")
+    window = data.draw(st.integers(min_value=0, max_value=2), label="window")
+    texts = data.draw(
+        st.lists(
+            st.lists(
+                st.sampled_from(_VOCAB[:3]), min_size=1, max_size=8
+            ).map(" ".join),
+            min_size=2,
+            max_size=6,
+        ),
+        label="texts",
+    )
+    rows = [(2 * i, t) for i, t in enumerate(texts)] + [
+        (2 * i + 1, t) for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    train = df.filter("doc_id % 3 <> 0")
+    evalset = df.filter("doc_id % 3 = 0")
+    spans_df = contamination_spans(
+        train, evalset, id_col="doc_id", text_col="text", k=k, window=window
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in spans_df.collect()
+    }
+
+    def wordlist(t):
+        return [x for x in t.split(" ") if x]
+
+    def grams(t):
+        w = wordlist(t)
+        return [" ".join(w[i : i + k]) for i in range(len(w) - k + 1)]
+
+    ev = {g for i, t in rows if i % 3 == 0 for g in grams(t)}
+    want = set()
+    covered = {}  # doc_id -> set of covered 1-based positions
+    for i, t in rows:
+        if i % 3 == 0:
+            continue
+        w = wordlist(t)
+        ivs = [
+            (max(1, p + 1 - window), min(len(w), p + k + window))
+            for p, g in enumerate(grams(t))
+            if g in ev
+        ]
+        if not ivs:
+            continue
+        ivs.sort()
+        merged = [[ivs[0][0], ivs[0][1], 1]]
+        for s, e in ivs[1:]:
+            if s <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], e)
+                merged[-1][2] += 1
+            else:
+                merged.append([s, e, 1])
+        for s, e, n in merged:
+            want.add((i, s, e, n))
+        covered[i] = {p for s, e, _ in merged for p in range(s, e + 1)}
+    assert got == want
+
+    # the composition: cutting the spans removes exactly the covered words
+    cleaned = {
+        r.doc_id: r.text
+        for r in cut_spans(
+            train, spans_df, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    for i, t in rows:
+        if i % 3 == 0:
+            continue
+        w = wordlist(t)
+        keep = [
+            x for p, x in enumerate(w, start=1)
+            if p not in covered.get(i, set())
+        ]
+        if i in covered:
+            assert cleaned[i] == " ".join(keep), (i, cleaned[i], keep)
+        else:
+            assert cleaned[i] == t  # byte-identical passthrough
