@@ -573,6 +573,7 @@ def ngram_contamination(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    broadcast_inventory: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination by exact n-gram overlap (Brown et al.
     2020, "Language Models are Few-Shot Learners", Appendix C — 13-gram
@@ -599,7 +600,13 @@ def ngram_contamination(
     the only exchange in the plan is the final per-doc aggregate, and
     its partial (map-side) phase collapses every non-hit to one null
     cell per doc per partition, so shuffle volume is ~(hits + docs),
-    not grams."""
+    not grams.
+
+    ``broadcast_inventory=False`` drops the hint for the rare
+    inventory that outgrows what one executor should hold (a deep
+    many-benchmark union at small k) — Catalyst/AQE then picks the
+    join; expect a gram-keyed shuffle of the explode, which is the
+    honest cost of a non-broadcastable inventory."""
     words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     n_grams = (F.size(words) - (k - 1)).alias("n_grams")
 
@@ -626,9 +633,11 @@ def ngram_contamination(
         .distinct()
         .withColumn("_hit", F.lit(True))
     )
+    if broadcast_inventory:
+        ev = F.broadcast(ev)
     return (
         grams(train, n_grams)
-        .join(F.broadcast(ev), "gram", "left")
+        .join(ev, "gram", "left")
         .groupBy(id_col)
         .agg(
             F.max("n_grams").alias("n_grams"),
