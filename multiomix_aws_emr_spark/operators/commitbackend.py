@@ -199,8 +199,27 @@ class ConditionalPutBackend(CommitBackend):
         )
 
     def read(self, version: int) -> dict | None:
-        payload = self._kv.get(self._key(version))
-        return None if payload is None else json.loads(payload)
+        # the same torn/partial object publish() tolerates (a naive
+        # create-then-write KV read mid-write — found by the two-process
+        # race probe) can reach the READER path too: re-read a bounded
+        # number of times, then raise the protocol's words instead of
+        # letting a raw JSONDecodeError escape (r14; the read-side twin
+        # of publish()'s unparseable-read-back branch)
+        last_err: Exception | None = None
+        for _ in range(self.MAX_ATTEMPTS):
+            payload = self._kv.get(self._key(version))
+            if payload is None:
+                return None
+            try:
+                return json.loads(payload)
+            except ValueError as exc:
+                last_err = exc
+        raise ValueError(
+            f"manifest version {version} is unreadable: the object "
+            f"exists but stayed unparseable across {self.MAX_ATTEMPTS} "
+            "reads (torn write or real corruption — published manifests "
+            "are complete by protocol)"
+        ) from last_err
 
     def versions(self) -> list[int]:
         out = []

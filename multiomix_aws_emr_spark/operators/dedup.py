@@ -408,6 +408,68 @@ def minhash_lsh_clusters(
     return lsh_cluster_assign(banded, id_col=id_col)
 
 
+def gram_rows(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int,
+    with_pos: bool = False,
+    with_n_grams: bool = False,
+    with_nw: bool = False,
+) -> DataFrame:
+    """The shared ``k``-word-gram explode (one tokenization contract for
+    the whole dedup/decontamination family — substring spans, the
+    contamination scorer, the dirty-window cut): whitespace tokens with
+    empties dropped, grams as space-joined slices, documents shorter
+    than ``k`` words excluded. Row-local built-ins only — the word array
+    is projected ONCE and the explode is a single
+    ``transform(sequence) -> slice`` over it (no window, no self-join,
+    no re-split per sibling column).
+
+    Output: ``(id_col[, n_grams][, _nw][, start], gram)`` — ``start``
+    is the gram's 1-based word position (``with_pos``), ``n_grams`` the
+    doc's gram-position count, ``_nw`` the doc's word count (the span
+    clamp bound)."""
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = (
+        df.select(id_col, w.alias("w"))
+        .filter(F.size("w") >= k)
+    )
+    extras = []
+    if with_n_grams:
+        extras.append((F.size("w") - (k - 1)).alias("n_grams"))
+    if with_nw:
+        extras.append(F.size("w").alias("_nw"))
+    if not with_pos:
+        return base.select(
+            id_col,
+            *extras,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (k - 1)),
+                    lambda i: F.array_join(F.slice("w", i, k), " "),
+                )
+            ).alias("gram"),
+        )
+    kept = (["n_grams"] if with_n_grams else []) + (
+        ["_nw"] if with_nw else []
+    )
+    return base.select(
+        id_col,
+        *extras,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (k - 1)),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.array_join(F.slice("w", i, k), " ").alias("gram"),
+                ),
+            )
+        ).alias("s"),
+    ).select(id_col, *kept, "s.start", "s.gram")
+
+
 def substring_spans(
     docs: DataFrame,
     *,
@@ -433,27 +495,7 @@ def substring_spans(
     (4) per-doc interval merge as the classic window scan — running
     ``max(end)`` over starts, a new span opens when
     ``start > prev_max + 1``. Partitioned by doc, no skew key."""
-    from pyspark.sql.window import Window
-
-    d = docs.select(id_col, text_col)
-    words = F.filter(F.split(text_col, " "), lambda x: x != "")
-    g = (
-        d.select(id_col, words.alias("w"))
-        .filter(F.size("w") >= k)
-        .select(
-            id_col,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - (k - 1)),
-                    lambda i: F.struct(
-                        i.alias("start"),
-                        F.array_join(F.slice("w", i, k), " ").alias("gram"),
-                    ),
-                )
-            ).alias("s"),
-        )
-        .select(id_col, "s.start", "s.gram")
-    )
+    g = gram_rows(docs, id_col=id_col, text_col=text_col, k=k, with_pos=True)
     dup = (
         g.groupBy("gram")
         .agg(F.count_distinct(id_col).alias("nd"))
@@ -582,11 +624,15 @@ def ngram_contamination(
     of its distinct ``k``-word grams also occur anywhere in the held-out
     evaluation set, and flag any collision. Emits one row per training
     document with at least ``k`` words: ``(id_col, n_grams,
-    n_hit_grams, hit_ratio, contaminated)`` where ``n_grams`` is the
-    doc's gram count, ``n_hit_grams`` the DISTINCT grams shared with the
-    eval inventory, ``hit_ratio`` their rounded quotient, and
-    ``contaminated`` the paper's any-collision rule (the ratio lets a
-    caller apply PaLM's >=70% rule instead without recomputing).
+    n_hit_grams, hit_positions, hit_ratio, contaminated)`` where
+    ``n_grams`` is the doc's gram-position count, ``n_hit_grams`` the
+    DISTINCT grams shared with the eval inventory, ``hit_positions``
+    the gram POSITIONS whose gram is shared, ``hit_ratio`` the rounded
+    ``hit_positions / n_grams`` — PaLM's rule is defined over a doc's
+    gram occurrences, so a repetitive doc (one leaked sentence looped)
+    scores ~1.0 here even though it has one distinct hit gram — and
+    ``contaminated`` the paper's any-collision rule (so either decision
+    rule falls out without recomputing).
     Documents shorter than ``k`` words have no grams and are excluded —
     the gram model has nothing to say about them.
 
@@ -607,28 +653,8 @@ def ngram_contamination(
     many-benchmark union at small k) — Catalyst/AQE then picks the
     join; expect a gram-keyed shuffle of the explode, which is the
     honest cost of a non-broadcastable inventory."""
-    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    n_grams = (F.size(words) - (k - 1)).alias("n_grams")
-
-    def grams(df: DataFrame, *extra) -> DataFrame:
-        w = words
-        return (
-            df.select(id_col, text_col)
-            .filter(F.size(w) >= k)
-            .select(
-                id_col,
-                *extra,
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(w) - (k - 1)),
-                        lambda i: F.array_join(F.slice(w, i, k), " "),
-                    )
-                ).alias("gram"),
-            )
-        )
-
     ev = (
-        grams(evalset)
+        gram_rows(evalset, id_col=id_col, text_col=text_col, k=k)
         .select("gram")
         .distinct()
         .withColumn("_hit", F.lit(True))
@@ -636,7 +662,9 @@ def ngram_contamination(
     if broadcast_inventory:
         ev = F.broadcast(ev)
     return (
-        grams(train, n_grams)
+        gram_rows(
+            train, id_col=id_col, text_col=text_col, k=k, with_n_grams=True
+        )
         .join(ev, "gram", "left")
         .groupBy(id_col)
         .agg(
@@ -644,13 +672,17 @@ def ngram_contamination(
             F.count_distinct(
                 F.when(F.col("_hit"), F.col("gram"))
             ).alias("n_hit_grams"),
+            F.count(F.when(F.col("_hit"), F.lit(1))).alias(
+                "hit_positions"
+            ),
         )
         .select(
             id_col,
             "n_grams",
             "n_hit_grams",
+            "hit_positions",
             F.round(
-                F.col("n_hit_grams") / F.col("n_grams").cast("double"), 4
+                F.col("hit_positions") / F.col("n_grams").cast("double"), 4
             ).alias("hit_ratio"),
             (F.col("n_hit_grams") > 0).alias("contaminated"),
         )
@@ -684,36 +716,20 @@ def contamination_spans(
     the collision test is a map-side semi-probe, and the merge windows
     per document (:func:`merge_word_intervals` — bounded by one doc's
     hit count, no skew key)."""
-    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-
-    def grams(df: DataFrame, with_pos: bool) -> DataFrame:
-        base = df.select(id_col, text_col).filter(F.size(words) >= k)
-        if not with_pos:
-            return base.select(
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(words) - (k - 1)),
-                        lambda i: F.array_join(F.slice(words, i, k), " "),
-                    )
-                ).alias("gram")
-            )
-        return base.select(
-            id_col,
-            F.size(words).alias("_nw"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(words) - (k - 1)),
-                    lambda i: F.struct(
-                        i.alias("start"),
-                        F.array_join(F.slice(words, i, k), " ").alias("gram"),
-                    ),
-                )
-            ).alias("s"),
-        ).select(id_col, "_nw", "s.start", "s.gram")
-
-    ev = grams(evalset, with_pos=False).distinct()
+    ev = (
+        gram_rows(evalset, id_col=id_col, text_col=text_col, k=k)
+        .select("gram")
+        .distinct()
+    )
     occ = (
-        grams(train, with_pos=True)
+        gram_rows(
+            train,
+            id_col=id_col,
+            text_col=text_col,
+            k=k,
+            with_pos=True,
+            with_nw=True,
+        )
         .join(F.broadcast(ev), "gram", "left_semi")
         .select(
             id_col,

@@ -25,10 +25,12 @@ functions/ngrams.bigram_rows (whitespace split, empties dropped, case
 preserved) so LM scores compose with the other n-gram operators without
 a second tokenizer.
 
-At 100 TB: training is two map-side-combinable counts over one explode
-pass (the vocabulary and bigram-type tables are corpus-sublinear); the
-model stays a pair of DataFrames — joined, never collected — so nothing
-caps vocabulary size driver-side. Scoring touches the corpus once.
+At 100 TB: training is ONE map-side-combinable count over one explode
+pass — doc-final tokens ride as (w1, NULL) pair rows so unigram counts
+roll up from the bigram-TYPE table, which is corpus-sublinear, instead
+of re-tokenizing the corpus; the model stays a pair of DataFrames —
+joined, never collected — so nothing caps vocabulary size driver-side.
+Scoring touches the corpus once.
 """
 
 from __future__ import annotations
@@ -39,43 +41,60 @@ from pyspark.sql.window import Window
 
 
 def token_pair_rows(
-    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_last: bool = False,
 ) -> DataFrame:
     """(id_col, w1, w2) — one row per adjacent token pair per document.
 
     Same derivation shape as functions/ngrams.bigram_rows (posexplode +
     window lead: plain codegen, no per-run Janino HOF class) but keeps
-    the tokens as two columns so count joins don't re-split strings."""
+    the tokens as two columns so count joins don't re-split strings.
+    ``keep_last=True`` keeps each document's FINAL token as a row with
+    ``w2`` NULL — then every token occurrence appears as ``w1`` of
+    exactly one row, which is what lets training derive unigram counts
+    from the same pass (see :func:`train_bigram_lm`)."""
     w = Window.partitionBy(id_col).orderBy("pos")
     tok = df.select(
         id_col, F.posexplode(F.split(text_col, " ")).alias("pos", "tok")
     ).filter(F.col("tok") != "")
-    return (
-        tok.select(
-            id_col,
-            F.col("tok").alias("w1"),
-            F.lead("tok", 1).over(w).alias("w2"),
-        )
-        .filter(F.col("w2").isNotNull())
+    pairs = tok.select(
+        id_col,
+        F.col("tok").alias("w1"),
+        F.lead("tok", 1).over(w).alias("w2"),
     )
+    return pairs if keep_last else pairs.filter(F.col("w2").isNotNull())
 
 
 def train_bigram_lm(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> dict:
-    """Count model from a training corpus: two hash aggregations over one
-    tokenize pass. Returns ``{"bigrams": (w1, w2, c12), "unigrams":
-    (w, c1), "total": (total_tokens,)}`` — all DataFrames (the total is a
-    1-row frame broadcast into scoring, so the model never leaves the
-    cluster)."""
-    tok = docs.select(
-        id_col, F.posexplode(F.split(text_col, " ")).alias("pos", "tok")
-    ).filter(F.col("tok") != "")
-    unigrams = tok.groupBy(F.col("tok").alias("w")).agg(
-        F.count("*").alias("c1")
+    """Count model from a training corpus in ONE corpus-scale pass.
+    Returns ``{"bigrams": (w1, w2, c12), "unigrams": (w, c1), "total":
+    (total_tokens,)}`` — all DataFrames (the total is a 1-row frame
+    broadcast into scoring, so the model never leaves the cluster).
+
+    The single pass (r14 — the first form tokenized twice): pair rows
+    with doc-final tokens kept as ``(w1, NULL)`` put every token
+    occurrence in the ``w1`` seat of exactly one row, so ONE
+    ``(w1, w2)``-level count aggregation over the corpus yields the
+    bigram table directly AND the unigram counts as a roll-up over
+    bigram TYPES — ``c1(w) = sum of c12 over w's continuations
+    (NULL included)`` — a second aggregation that is corpus-SUBLINEAR
+    (it never sees token rows, only the type table)."""
+    pair_counts = (
+        token_pair_rows(
+            docs, id_col=id_col, text_col=text_col, keep_last=True
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
     )
-    pairs = token_pair_rows(docs, id_col=id_col, text_col=text_col)
-    bigrams = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    unigrams = pair_counts.groupBy(F.col("w1").alias("w")).agg(
+        F.sum("c12").alias("c1")
+    )
+    bigrams = pair_counts.filter(F.col("w2").isNotNull())
     total = unigrams.agg(F.sum("c1").cast("double").alias("total_tokens"))
     return {"bigrams": bigrams, "unigrams": unigrams, "total": total}
 

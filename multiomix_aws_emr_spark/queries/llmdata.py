@@ -394,12 +394,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_oracle() -> str:
-    from multiomix_aws_emr_spark.queries.similarity import _ANN_ORACLE_TMPL
-
-    return _ANN_ORACLE_TMPL.format(ids="0, 1", k=5)
-
-
-def _ivfpq_oracle() -> str:
+    # shared by similarity_ivf and similarity_ivfpq: both declare the
+    # same exact-twin + recall-floor contract over queries {0, 1}, k=5,
+    # so the oracle is one function, not a drifting copy
     from multiomix_aws_emr_spark.queries.similarity import _ANN_ORACLE_TMPL
 
     return _ANN_ORACLE_TMPL.format(ids="0, 1", k=5)
@@ -455,7 +452,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_with_recall_ok(approx, exact, 5, floor=0.6)
 
 
-@query("similarity_ivfpq", oracle=_ivfpq_oracle())
+@query("similarity_ivfpq", oracle=_ivf_oracle())
 def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed FAISS-style IVF-PQ search promoted to a declared
     query (VERDICT r13 task 2): coarse quantize -> RESIDUAL product

@@ -524,10 +524,13 @@ def bound_sql(spark: SparkSession, sql: str) -> DataFrame:
 
     Reference detection is a conservative identifier scan (any word in
     the statement matching a registered view name, case-folded like SQL
-    identifiers) — run AFTER stripping string literals and comments, so
-    a view name inside a ``'...'`` literal, ``-- line`` or ``/* block */``
-    comment can no longer raise the count or drag in an unrelated view's
-    extras (ADVICE r13). Column aliases coinciding with a view name can
+    identifiers) — run AFTER stripping string literals and comments
+    (single- and double-quoted, with ``\\``-escape and doubling per
+    Spark's default non-ANSI lexer), so a view name inside a literal,
+    ``-- line`` or ``/* block */`` comment can no longer raise the
+    count or drag in an unrelated view's extras, and an escaped quote
+    cannot open a phantom literal that swallows a real reference
+    (ADVICE r13; escape handling r14). Column aliases coinciding with a view name can
     still match; two guards keep such false positives harmless: the bound
     target is floored at the SESSION BASELINE (a statement whose only
     "reference" is a column name coinciding with a small view's name can
@@ -543,12 +546,20 @@ def bound_sql(spark: SparkSession, sql: str) -> DataFrame:
     reg = getattr(spark, "_maes_view_confs", None)
     if not reg:
         return df
-    # scan identifiers on a literal/comment-stripped copy: '' escapes
-    # inside single-quoted literals are consumed by the literal branch
-    # (two adjacent quotes re-enter and exit), block comments are
-    # non-nesting like Spark's lexer
+    # scan identifiers on a literal/comment-stripped copy, matching
+    # Spark's DEFAULT (non-ANSI) lexer: single- AND double-quoted
+    # strings are literals (quoted identifiers use backticks), a
+    # backslash escapes the next char inside either (so 'it\'s' does
+    # not terminate early and open a phantom literal that swallows real
+    # references), '' / "" doubling re-enters, block comments are
+    # non-nesting
     scrubbed = re.sub(
-        r"'(?:[^']|'')*'|--[^\n]*|/\*.*?\*/", " ", sql, flags=re.S
+        r"'(?:\\.|''|[^'\\])*'"
+        r"|\"(?:\\.|\"\"|[^\"\\])*\""
+        r"|--[^\n]*|/\*.*?\*/",
+        " ",
+        sql,
+        flags=re.S,
     )
     idents = {
         m.lower() for m in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", scrubbed)

@@ -309,8 +309,9 @@ SELECT g.doc_id,
        CAST(COUNT(DISTINCT CASE WHEN ev.gram IS NOT NULL
                                 THEN g.gram END) AS BIGINT)
          AS n_hit_grams,
-       ROUND(COUNT(DISTINCT CASE WHEN ev.gram IS NOT NULL
-                                 THEN g.gram END)
+       CAST(COUNT(CASE WHEN ev.gram IS NOT NULL THEN 1 END) AS BIGINT)
+         AS hit_positions,
+       ROUND(COUNT(CASE WHEN ev.gram IS NOT NULL THEN 1 END)
              / CAST(MAX(g.n_grams) AS DOUBLE), 4) AS hit_ratio,
        COUNT(DISTINCT CASE WHEN ev.gram IS NOT NULL THEN g.gram END) > 0
          AS contaminated
@@ -334,8 +335,11 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic ``doc_id % 20 = 0`` slice of `documents` (real
     pipelines read a separate benchmark table — the plan is identical:
     a tiny side, distinct-reduced and broadcast). Emits one row per
-    >=8-word training doc: ``(doc_id, n_grams, n_hit_grams, hit_ratio,
-    contaminated)``.
+    >=8-word training doc: ``(doc_id, n_grams, n_hit_grams,
+    hit_positions, hit_ratio, contaminated)`` — the ratio is
+    occurrence-based (PaLM defines its threshold over a doc's gram
+    positions), the distinct count rides along for dedup-style
+    diagnostics.
 
     Plan (``operators/dedup.ngram_contamination``): ONE training-corpus
     scan — row-local gram explode carrying the doc's gram count as a

@@ -208,3 +208,40 @@ def test_latest_manifest_refuses_listed_but_unreadable_version():
             latest_manifest(root)
     finally:
         set_commit_backend(root, None)
+
+
+def test_read_tolerates_transiently_torn_object_then_raises_protocol():
+    """r14 (the read-side twin of publish()'s unparseable-read-back
+    branch): a torn/partial manifest object reaching the READER path is
+    re-read — a naive create-then-write KV that completes the write
+    mid-retry resolves to the real manifest — and a PERSISTENTLY
+    unparseable object raises the protocol's words, never a raw
+    JSONDecodeError."""
+    import json as _json
+
+    class TornThenWhole(InMemoryConditionalPut):
+        def __init__(self, whole_after: int):
+            super().__init__()
+            self.gets = 0
+            self.whole_after = whole_after
+
+        def get(self, key):
+            payload = super().get(key)
+            if payload is None:
+                return None
+            self.gets += 1
+            return payload if self.gets > self.whole_after else payload[:5]
+
+    kv = TornThenWhole(whole_after=2)
+    backend = ConditionalPutBackend(kv)
+    backend.publish(1, {"batches": {"b": 1}})
+    got = backend.read(1)
+    assert got["batches"] == {"b": 1}  # healed within the retry budget
+
+    kv2 = TornThenWhole(whole_after=10**9)  # never heals
+    backend2 = ConditionalPutBackend(kv2)
+    backend2.publish(1, {"batches": {}})
+    with pytest.raises(ValueError, match="stayed unparseable"):
+        backend2.read(1)
+    # absent versions still read as None, not an error
+    assert backend2.read(99) is None

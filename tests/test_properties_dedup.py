@@ -185,7 +185,12 @@ def test_ngram_contamination_matches_python_reference(spark, data):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     is_eval = lambda i: i % 3 == 0  # noqa: E731
     got = {
-        r.doc_id: (r.n_grams, r.n_hit_grams, r.contaminated)
+        r.doc_id: (
+            r.n_grams,
+            r.n_hit_grams,
+            r.hit_positions,
+            r.contaminated,
+        )
         for r in ngram_contamination(
             df.filter(f"doc_id % 3 <> 0"),
             df.filter("doc_id % 3 = 0"),
@@ -206,7 +211,14 @@ def test_ngram_contamination_matches_python_reference(spark, data):
             continue
         gs = grams(t)
         hits = {g for g in gs if g in ev}
-        want[i] = (len(gs), len(hits), bool(hits))
+        # hit_positions counts OCCURRENCES (a repeated leaked gram
+        # scores every position), n_hit_grams counts distinct
+        want[i] = (
+            len(gs),
+            len(hits),
+            sum(1 for g in gs if g in ev),
+            bool(hits),
+        )
     assert got == want
 
 

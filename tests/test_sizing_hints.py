@@ -459,6 +459,11 @@ def test_bound_sql_ignores_view_names_in_literals_and_comments(spark, sf_dir):
         "SELECT 1 AS one -- ghost_view_t14",
         "SELECT /* ghost_view_t14 */ 1 AS one",
         "SELECT 'it''s ghost_view_t14 quoted' AS s",
+        # r14: double-quoted strings are literals in Spark's default
+        # (non-ANSI) lexer, and a backslash-escaped quote must not
+        # terminate the literal early
+        'SELECT "ghost_view_t14 mentioned" AS s',
+        r"SELECT 'it\'s ghost_view_t14 escaped' AS s",
     ):
         out = bound_sql(spark, stmt)
         assert not hasattr(out, "_maes_exec_conf"), stmt
@@ -467,5 +472,12 @@ def test_bound_sql_ignores_view_names_in_literals_and_comments(spark, sf_dir):
     )
     assert getattr(out, "_maes_exec_conf", None) == (spark, big)
     assert out._maes_extra_confs["spark.sql.maes.test.flag"] == "owner"
+    # r14 (the phantom-literal escape): an escaped quote inside one
+    # literal must not scrub away a REAL reference that follows it
+    out = bound_sql(
+        spark,
+        r"SELECT COUNT(*) AS n FROM ghost_view_t14 WHERE 'it\'s' <> 'y'",
+    )
+    assert getattr(out, "_maes_exec_conf", None) == (spark, big)
     spark.catalog.dropTempView("ghost_view_t14")
     spark._maes_view_confs.clear()
