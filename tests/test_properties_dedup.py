@@ -10,6 +10,7 @@ guarantee plus the cluster-shape invariants (rep is a real doc id, never
 exceeds its member, assignment is total)."""
 
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -318,3 +319,41 @@ def test_contamination_spans_and_cut_match_python_reference(spark, data):
             assert cleaned[i] == " ".join(keep), (i, cleaned[i], keep)
         else:
             assert cleaned[i] == t  # byte-identical passthrough
+
+
+def test_ngram_contamination_replication_linearity(spark, sf_dir):
+    """The decontam probe's volume witness at test scale: replicating
+    the TRAIN side text-unchanged (doc_id-shifted) against a FIXED eval
+    split scales contaminated docs and hit positions EXACTLY linearly —
+    every copy of a contaminated doc collides identically — while the
+    eval inventory is untouched. Pins the invariant the 1000x probe
+    measures (tools/decontam_probe.py, BASELINE.md)."""
+    from multiomix_aws_emr_spark.operators.dedup import ngram_contamination
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    evalset = d.filter("doc_id % 20 = 0")
+    train = d.filter("doc_id % 20 <> 0")
+
+    def totals(t):
+        r = (
+            ngram_contamination(
+                t, evalset, id_col="doc_id", text_col="text", k=8
+            )
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum(F.col("contaminated").cast("long")).alias("contam"),
+                F.sum("hit_positions").alias("hits"),
+            )
+            .collect()[0]
+        )
+        return r.docs, r.contam, r.hits
+
+    base = totals(train)
+    r = 3
+    train3 = train.selectExpr(
+        f"explode(sequence(0, {r - 1})) AS k", "doc_id", "text"
+    ).selectExpr(f"doc_id * {r} + k AS doc_id", "text")
+    assert totals(train3) == tuple(v * r for v in base)
+    assert base[1] > 0  # the fixture really contains collisions
