@@ -95,3 +95,36 @@ def test_check_min_over_runs_absorbs_variance(bands_mod, tmp_path, capsys):
     assert bands_mod.check([slow, fast]) == 0
     out = json.loads(capsys.readouterr().out)
     assert out["regressions"] == {} and out["n_runs"] == 2
+
+
+def test_rebase_requires_evidence_and_audits(bands_mod, tmp_path, capsys):
+    """--rebase (r14): >= 3 runs, non-empty reason, floor can only RISE
+    (lowering is --record's job), and the old/new/reason land in a
+    visible audit list instead of silently rewriting history."""
+    base = _run(tmp_path, "base.json", {"q1": 1.0, "q2": 0.2})
+    bands_mod.record(base, probe_max=1.3, max_over_frac=0.2)
+    capsys.readouterr()
+    runs = [
+        _run(tmp_path, f"rb{i}.json", {"q1": sec, "q2": 0.2})
+        for i, sec in enumerate((2.6, 3.1, 2.9))
+    ]
+    # gate: needs 3 runs and a reason
+    assert bands_mod.rebase("q1", runs[:2], "ctx shift") == 1
+    assert bands_mod.rebase("q1", runs, "") == 1
+    # unbanded and would-lower cases refused
+    assert bands_mod.rebase("q_missing", runs, "x") == 1
+    low = [
+        _run(tmp_path, f"lo{i}.json", {"q2": 0.05}) for i in range(3)
+    ]
+    assert bands_mod.rebase("q2", low, "x") == 1
+    capsys.readouterr()
+    # the real rebase: floor rises to min-over-runs, audit appended
+    assert bands_mod.rebase("q1", runs, "JVM context shift") == 0
+    bands = json.load(open(bands_mod.BANDS_PATH))
+    assert bands["queries"]["q1"] == 2.6
+    (audit,) = bands["rebases"]
+    assert audit["old"] == 1.0 and audit["new"] == 2.6
+    assert audit["reason"] == "JVM context shift"
+    assert audit["runs_sec"] == [2.6, 2.9, 3.1]
+    # q2's floor untouched
+    assert bands["queries"]["q2"] == 0.2

@@ -168,11 +168,80 @@ def check(result_paths: list[str]) -> int:
     return 1 if over else 0
 
 
+def rebase(qid: str, result_paths: list[str], reason: str) -> int:
+    """Audited floor re-baseline for ONE query whose recorded floor
+    encodes a context the suite no longer reproduces (the honest escape
+    from monotone-min staleness — NOT a regression override). Floors are
+    mins over quiet runs, so a floor set under a since-departed JVM/
+    codegen context (e.g. a smaller surface whose class-cache state made
+    a first-run cheap) can become permanently unreachable while every
+    OTHER floor still tightens; a gate that stays red forever stops
+    gating. Requirements: >= 3 runs supplied (the new floor is their
+    min — same evidence standard as a closing check), and a non-empty
+    ``--reason``. The old floor, new floor, run count, and reason are
+    APPENDED to a ``rebases`` audit list in the bands file — visible
+    history, not a silent rewrite. A rebase that would LOWER the floor
+    is refused (that is what --record is for)."""
+    if len(result_paths) < 3:
+        print(json.dumps({"rebased": False, "reason": "need >= 3 runs"}))
+        return 1
+    if not reason.strip():
+        print(json.dumps({"rebased": False, "reason": "need --reason"}))
+        return 1
+    bands = _load(BANDS_PATH)
+    old = bands["queries"].get(qid)
+    if old is None:
+        print(json.dumps({"rebased": False, "reason": f"{qid} unbanded"}))
+        return 1
+    runs = [_load(p) for p in result_paths]
+    secs = [r["queries"][qid] for r in runs if qid in r.get("queries", {})]
+    if len(secs) < 3:
+        print(
+            json.dumps(
+                {"rebased": False, "reason": f"{qid} missing from runs"}
+            )
+        )
+        return 1
+    new = min(secs)
+    if new <= old:
+        print(
+            json.dumps(
+                {
+                    "rebased": False,
+                    "reason": f"min {new} <= current floor {old}: "
+                    "use --record",
+                }
+            )
+        )
+        return 1
+    bands["queries"][qid] = new
+    bands.setdefault("rebases", []).append(
+        {
+            "qid": qid,
+            "old": old,
+            "new": new,
+            "n_runs": len(secs),
+            "runs_sec": sorted(secs),
+            "reason": reason,
+        }
+    )
+    with open(BANDS_PATH, "w") as fh:
+        json.dump(bands, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps({"rebased": True, "qid": qid, "old": old, "new": new}))
+    return 0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     mode = ap.add_mutually_exclusive_group(required=True)
     mode.add_argument("--record", action="store_true")
     mode.add_argument("--check", action="store_true")
+    mode.add_argument(
+        "--rebase",
+        metavar="QID",
+        help="audited floor re-baseline for one query (see rebase())",
+    )
     ap.add_argument(
         "result",
         nargs="*",
@@ -180,6 +249,7 @@ def main() -> None:
     )
     ap.add_argument("--probe-max", type=float, default=1.3)
     ap.add_argument("--max-over-frac", type=float, default=0.2)
+    ap.add_argument("--reason", default="")
     args = ap.parse_args()
     if args.record:
         sys.exit(
@@ -188,6 +258,8 @@ def main() -> None:
                 for path in args.result
             )
         )
+    if args.rebase:
+        sys.exit(rebase(args.rebase, args.result, args.reason))
     sys.exit(check(args.result))
 
 
