@@ -1009,7 +1009,16 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     EVAL shingles, and the eval side is tiny by construction, so it
     BROADCASTS — the corpus is scanned once and never shuffled for the
     probe, at any corpus size. Output: contaminated doc, how many
-    distinct 5-grams leaked, and the first eval doc hit."""
+    distinct 5-grams leaked, and the first eval doc hit.
+
+    This is the HASHED-shingle, hits-only variant (it reuses the
+    session-shared 5-gram-hash sketch, emits only leaked docs, and
+    tracks which eval doc leaked). Its r14 sibling
+    ``decontaminate_ngram`` (queries/textops.py) is the raw-gram SCORED
+    decision surface — every training doc with occurrence-based
+    hit_ratio, supporting both GPT-3's any-collision and PaLM's >=70%
+    rules, with the dirty-window surgical cut available as
+    ``operators/dedup.contamination_spans`` + ``cut_spans``."""
     from multiomix_aws_emr_spark.plans.sketchcache import fivegram_hashes
 
     # shared per-doc 5-gram-hash index (plans/sketchcache.py) — also

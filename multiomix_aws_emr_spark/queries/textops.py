@@ -339,7 +339,10 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit_positions, hit_ratio, contaminated)`` — the ratio is
     occurrence-based (PaLM defines its threshold over a doc's gram
     positions), the distinct count rides along for dedup-style
-    diagnostics.
+    diagnostics. Sibling of the hits-only hashed variant
+    ``text_decontaminate`` (queries/llmdata.py), which reuses the
+    shared 5-gram-hash sketch and reports which eval doc leaked; this
+    query is the full scored decision surface over raw grams.
 
     Plan (``operators/dedup.ngram_contamination``): ONE training-corpus
     scan — row-local gram explode carrying the doc's gram count as a
