@@ -580,3 +580,29 @@ def test_decontaminate_eval_inventory_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_contamination_spans_probe_is_broadcast_semi(spark, sf_dir):
+    """contamination_spans: the eval-inventory probe must be a broadcast
+    LEFT SEMI hash join over the positional gram explode — never a
+    shuffled join of the corpus side — and the merge must be the only
+    window, with no Python anywhere."""
+    from multiomix_aws_emr_spark.operators.dedup import contamination_spans
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    spans = contamination_spans(
+        d.filter("doc_id % 20 <> 0"),
+        d.filter("doc_id % 20 = 0"),
+        id_col="doc_id",
+        text_col="text",
+        k=8,
+        window=2,
+    )
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+    assert spans.count() > 0

@@ -859,3 +859,35 @@ def test_pq_pack_wide_roundtrip_and_adc_parity(spark, sf_dir, tmp_path):
     ]
     assert [g[0] for g in got] == [w[0] for w in want]
     assert all(abs(g[1] - w[1]) <= 2e-6 for g, w in zip(got, want))
+
+
+def test_pq_pack_wide_8x8_faiss_shape_roundtrip(spark):
+    """The FAISS-classic 8 subspaces x 8 bits (64-bit) shape through the
+    wide packer: 63//8 = 7 lanes per word -> 2 words, lane values up to
+    255, round-trip byte-identical, both directions codegen-only."""
+    from multiomix_aws_emr_spark.operators.similarity import (
+        pq_pack_codes_wide,
+        pq_unpack_codes_wide,
+    )
+
+    rows = [
+        (0, "0,255,17,128,64,3,99,200"),
+        (1, "255,255,255,255,255,255,255,255"),
+        (2, "0,0,0,0,0,0,0,0"),
+        (3, "1,2,3,4,5,6,7,8"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, codes string")
+    packed = pq_pack_codes_wide(df, n_sub=8, bits=8)
+    rt = pq_unpack_codes_wide(
+        packed.select("vec_id", "codes_words"), n_sub=8, bits=8
+    )
+    for frame in (packed, rt):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, plan
+    assert {r.vec_id: r.codes for r in rt.collect()} == dict(rows)
+    by_id = {r.vec_id: r.codes_words for r in packed.collect()}
+    for vid, s in rows:
+        lanes = [int(c) for c in s.split(",")]
+        w0 = sum(c << (8 * m) for m, c in enumerate(lanes[:7]))
+        w1 = lanes[7]
+        assert by_id[vid] == [w0, w1], vid
