@@ -357,3 +357,33 @@ def test_ngram_contamination_replication_linearity(spark, sf_dir):
     ).selectExpr(f"doc_id * {r} + k AS doc_id", "text")
     assert totals(train3) == tuple(v * r for v in base)
     assert base[1] > 0  # the fixture really contains collisions
+
+
+def test_ngram_contamination_empty_eval_inventory(spark):
+    """Edge: an eval split with NO scorable grams (all docs shorter than
+    k) yields an empty broadcast inventory — every training doc must
+    come back uncontaminated with zero hits, and contamination_spans
+    must return no spans (so cut_spans passes everything through)."""
+    from multiomix_aws_emr_spark.operators.dedup import (
+        contamination_spans,
+        ngram_contamination,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "b c d e f")], "doc_id long, text string"
+    )
+    evalset = spark.createDataFrame(
+        [(0, "a b")], "doc_id long, text string"
+    )
+    rows = ngram_contamination(
+        train, evalset, id_col="doc_id", text_col="text", k=3
+    ).collect()
+    assert {r.doc_id: (r.n_hit_grams, r.hit_positions, r.contaminated)
+            for r in rows} == {1: (0, 0, False), 2: (0, 0, False)}
+    assert all(r.n_grams == 3 for r in rows)
+    assert (
+        contamination_spans(
+            train, evalset, id_col="doc_id", text_col="text", k=3
+        ).count()
+        == 0
+    )
