@@ -198,3 +198,51 @@ def repetition_signals(
         .join(paras, id_col, "left")
         .join(grams, id_col, "left")
     )
+
+
+def unigram_rarity(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-document mean inverse unigram probability — the corpus-scale
+    production shape of the declared ``text_unigram_rarity`` query:
+    ``(id_col, n_tokens bigint, rarity double)``, value-identical to the
+    query (contract-tested, tests/test_quality.py).
+
+    ONE corpus tokenize pass: a (doc, token)-keyed count aggregation is
+    the only operator that sees token rows; the corpus frequency table
+    rolls up over token TYPES per doc (corpus-sublinear), the total rolls
+    up over the vocabulary, and the scoring join carries distinct
+    (doc, token) pairs re-weighted by their occurrence count ``c`` —
+    every downstream consumer derives from the same exchanged subtree,
+    so Spark's runtime exchange reuse materializes the tokenize once
+    (the train_bigram_lm mechanism, operators/lm.py).
+
+    Use this for corpus-scale scans where executors are busy and total
+    work dominates; the declared query keeps three independent subtrees
+    because at fixture scale the redundant scans are free on idle cores
+    and the critical path is shorter — the measured A/B is in BASELINE.md
+    (r15) and tools/rarity_shape_probe.py."""
+    tok = docs.select(id_col, F.explode(_tokens(text_col)).alias("tok"))
+    per_doc = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    freq = per_doc.groupBy("tok").agg(F.sum("c").alias("n_tok"))
+    total = freq.agg(F.sum("n_tok").cast("double").alias("n_total"))
+    return (
+        per_doc.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            # coalesce with a literal keeps the column NOT NULL, matching
+            # the declared query's count() (sum() is nullable by type even
+            # though c never is)
+            F.coalesce(F.sum("c"), F.lit(0).cast("long")).alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * (F.col("n_total") / F.col("n_tok")))
+                / F.sum("c"),
+                round_digits,
+            ).alias("rarity"),
+        )
+    )

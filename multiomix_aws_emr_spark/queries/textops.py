@@ -839,16 +839,28 @@ def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-exact per token (no log), so the rounded mean hashes
     cross-engine.
 
-    Scale shape: the token stream is exploded ONCE into a cached single
-    pass: unigram counts are one hash agg over it; the corpus total is a
-    1-row broadcast; the per-doc score joins tokens to the frequency
-    table on the token key (shuffle equi-join — at 100 TB the frequency
-    table is Zipf-headed, so AQE's skew-join split handles the stopword
-    keys) and re-aggregates on doc_id."""
+    Scale shape: the token stream explodes in three INDEPENDENT
+    subtrees (frequency counts, corpus total, scoring join) that run
+    concurrently — at fixture scale the redundant scans land on idle
+    cores and the critical path (scan → freq exchange → broadcast total
+    → join) stays as short as possible. The r15 single-pass rewrite
+    (derive freq/total/score from one (doc, tok) type-table exchange,
+    the mechanism that cut score_bigram_lm 29%) was MEASURED AND
+    REJECTED here: min-of-N sf0.1 walls 0.667 s (this shape) vs 1.018 s
+    (full type-table) vs 0.822 s (total-from-freq hybrid) — unlike the
+    LM case the saved pass is a cheap count scan, and chaining it
+    behind the freq exchange lengthens the broadcast dependency
+    (BASELINE.md r15 A/B; tools/rarity_shape_probe.py holds the volume
+    regime where the type-table shape wins). The production component
+    for corpus-scale scans is :func:`multiomix_aws_emr_spark.operators.
+    quality.unigram_rarity` (single-pass type table, contract-tested
+    identical). At 100 TB the frequency side is Zipf-headed; AQE's
+    skew-join split handles the stopword keys (same note as
+    operators/lm.py)."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_tokens()).alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
-    total = tok.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    total = freq.agg(F.sum("n_tok").cast("double").alias("n_total"))
     return (
         tok.join(freq, "tok")
         .crossJoin(F.broadcast(total))

@@ -144,3 +144,35 @@ def test_repetition_signals_panel_shape_plan_and_fixture(spark, sf_dir, frame):
         | (F.col("dup_5_gram_char_frac") < 0)
     )
     assert bad.count() == 0
+
+
+def test_unigram_rarity_single_pass_identical_contract(spark, sf_dir):
+    """The production type-table shape (operators/quality.unigram_rarity)
+    must be value-identical to the declared text_unigram_rarity query on
+    the fixture corpus — same schema, same rows, same rounded values
+    (the kmeans_quantizer_swap precedent: a production swap earns its
+    keep by matching the declared contract bit-for-bit)."""
+    from multiomix_aws_emr_spark.operators.quality import unigram_rarity
+    from multiomix_aws_emr_spark.queries import QUERIES
+    from multiomix_aws_emr_spark.sources.tables import load
+
+    declared = QUERIES["text_unigram_rarity"](spark, sf_dir)
+    component = unigram_rarity(load(spark, sf_dir, "documents"))
+    assert component.schema == declared.schema
+    a = sorted(declared.collect())
+    b = sorted(component.collect())
+    assert a == b and len(a) > 0
+
+
+def test_unigram_rarity_single_pass_reuses_exchange(spark, sf_dir):
+    """The component's point is ONE tokenize pass: after execution the
+    final adaptive plan must contain ReusedExchange nodes standing in
+    for the repeated (doc, tok) aggregation subtree."""
+    from multiomix_aws_emr_spark.operators.quality import unigram_rarity
+    from multiomix_aws_emr_spark.sources.tables import load
+
+    df = unigram_rarity(load(spark, sf_dir, "documents"))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
