@@ -67,61 +67,44 @@ def _last_verified_round() -> dict[str, int]:
 # Queries whose newest driver evidence predates their current code or
 # oracle must land inside the driver's ~50-query budget regardless of
 # what the LRU sort alone would pick (the r5 convention: code-newer-
-# than-evidence is the worst staleness). Round 14 pins exactly this
-# round's own edits:
+# than-evidence is the worst staleness). Round 15's budget composition
+# (VERDICT r14 tasks 1-2, the r14 note's math honored exactly):
 #
-# 1. queries/registry.py changed bound_sql again (literal/comment
-#    stripping before the identifier scan, ADVICE r13) — on every
-#    declared path via the registry import, so a breakage fails all
-#    195 at once (the r9 conf-assembly precedent): pins nothing by
-#    itself.
-# 2. operators/ingest.py (latest_manifest protocol error, ADVICE r13)
-#    and operators/commitbackend.py (publish tolerates torn read-back,
-#    found by the two-process race probe) both changed the store
-#    family's commit path — pipeline_incremental_ingest is the family
-#    representative (stream_incremental_ingest / retract / time-travel
-#    / diff share the path and have fresh r12/r13 evidence besides).
-# 3. dedup_substring_spans' body was factored into
-#    operators/dedup.substring_spans — code newer than its r13
-#    evidence, but NOT pinned: the never-verified pipeline_substring_cut
-#    (in-budget below) runs the SAME operator and its oracle recomputes
-#    the full span chain (grams, inventory, merge) from raw text, so
-#    the factored body gets fresh r14 driver evidence through it; the
-#    remaining declaration-only wrapper is three lines, and the
-#    parametrized pytest parity sweep re-verifies its own oracle at
-#    HEAD regardless. Pinning it too would push the 46-qid stale
-#    cohort to 51 entries and leave one r10 qid behind.
-# 4. operators/similarity.py gained the wide array<bigint> packing +
-#    LUT-literal binding (dd68db7) — every touched/added function
-#    (pq_pack_codes_wide, flat_lut_literal, adc_dist2_packed's new
-#    kwargs, the packed top-k pair) is consumed only by components and
-#    by similarity_ivfpq, itself a never-verified new qid that leads
-#    the LRU segment automatically: pins nothing.
-# 5. operators/dedup.ngram_contamination is consumed only by
-#    decontaminate_ngram, the round's third (and last) new qid —
-#    never-verified, leads the LRU segment automatically.
+# 1. ZERO pins. The round's only declared-path edits are (a)
+#    text_unigram_rarity's docstring (the single-pass rewrite was
+#    MEASURED AND REJECTED — the code shape is byte-identical to its
+#    banded r11 form; the rewrite ships as the separate component
+#    operators/quality.unigram_rarity, contract-tested against the
+#    declared query), and text_unigram_rarity sits inside the r11
+#    cohort below anyway, so it gets fresh driver evidence regardless;
+#    (b) operators/similarity.py's packed-lane guard (ADVICE r14) —
+#    consumed only by components and by similarity_ivfpq's
+#    plan-asserted path, whose r14 evidence postdates nothing (the
+#    guard raises on inputs the declared query never passes, and
+#    tests/test_similarity_packed.py re-verifies the scoring contract
+#    at HEAD).
+# 2. ONE new qid: pipeline_decontaminate_cut — the r14 promotion
+#    candidate (contamination_spans + cut_spans + residual per-lang
+#    stats, the pipeline_substring_cut oracle shape; components tested
+#    + 100x-probed in r14, driver-hash-checked for the first time this
+#    round). Never-verified, so it leads the LRU segment automatically.
 #
-# That is 1 pinned + 3 new qids (similarity_ivfpq,
-# pipeline_substring_cut, decontaminate_ngram — never-verified, leading
-# the LRU segment automatically; the round's additions were capped at 3,
-# the VERDICT r13 ceiling, precisely so the stale cohort still fits);
-# the LRU sort below fills the remaining
-# 46 of the driver's 50-qid budget with the ENTIRE 46-qid r10-stale
-# cohort (VERDICT r13 task 1 — cast_types, the filter/join §2.2
-# families, flagship_revenue_by_region, the graph family,
-# ml_kmeans_embeddings, the multimodal decode family, the omics trio,
-# pipeline_curation_v3, project/scan families, ps_pandas_api_groupby,
-# quality_expectations, the sampling pair, secure_masked_view,
-# similarity_pairwise/topk, the sql pair, the stream interval joins,
-# join_range_binned/temporal_dim, dedup_exact/entity_fuzzy,
-# agg_collect_sorted/mode_per_group, scan_partitioned_pruned/
-# tsv_roundtrip), leaving max staleness r11 after r14
+# 1 new qid + the ENTIRE 49-qid r11-stale cohort = exactly the 50-qid
+# budget (agg_global, the set family incl. union_by_name_evolution and
+# the *_all pair, the sql TPC-H block incl. recursive_chain /
+# correlated_scalar / lateral_topk, the dedup gram/minhash/simhash
+# family, text_wordcount/stats/lang_id/quality_score/fingerprint/
+# token_count(_bpe)/chunk_windows/redact_pii/unigram_rarity,
+# scalar_string/date/array, array_explode/aggregate, graph_pagerank,
+# join_bucketed_colocated/full_outer/null_safe/salted_skew,
+# pipeline_pack_sequences, sample_topk_hash, sort_limit_topk,
+# source_python_stream, stream_rollup_upsert, udtf_expand,
+# unpivot_long), leaving max staleness r12 after r15
 # (tests/test_entry_contract.py::test_budget_composition asserts the
-# whole-cohort property generically).
-_STALE_PRIORITY = [
-    # (2) commit-path representative for the store family
-    "pipeline_incremental_ingest",
-]
+# whole-cohort property generically; text_lm_score stays the r16-first
+# promotion — no second free slot this round, decision dated in
+# SURVEY §7).
+_STALE_PRIORITY: list[str] = []
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 import uuid
 
 
@@ -150,6 +151,13 @@ class ConditionalPutBackend(CommitBackend):
     a token match is always a loss — conditional put never tears."""
 
     MAX_ATTEMPTS = 4
+    # pause between torn-object re-reads (ADVICE r15): against a real KV
+    # a mid-write torn object is almost certainly still torn microseconds
+    # later, so an immediate re-read mostly satisfies test doubles — a
+    # small fixed delay gives the bounded retry a realistic chance of
+    # observing the completed write. Tests that inject torn objects set
+    # this to 0 to stay fast.
+    RETRY_SLEEP_SEC = 0.02
 
     def __init__(self, kv):
         self._kv = kv
@@ -167,7 +175,9 @@ class ConditionalPutBackend(CommitBackend):
             manifest = {**manifest, "writer_token": uuid.uuid4().hex}
         payload = json.dumps(manifest)
         token = manifest["writer_token"]
-        for _ in range(self.MAX_ATTEMPTS):
+        for attempt in range(self.MAX_ATTEMPTS):
+            if attempt and self.RETRY_SLEEP_SEC:
+                time.sleep(self.RETRY_SLEEP_SEC)
             try:
                 if self._kv.put_if_absent(key, payload):
                     return
@@ -206,7 +216,9 @@ class ConditionalPutBackend(CommitBackend):
         # letting a raw JSONDecodeError escape (r14; the read-side twin
         # of publish()'s unparseable-read-back branch)
         last_err: Exception | None = None
-        for _ in range(self.MAX_ATTEMPTS):
+        for attempt in range(self.MAX_ATTEMPTS):
+            if attempt and self.RETRY_SLEEP_SEC:
+                time.sleep(self.RETRY_SLEEP_SEC)
             payload = self._kv.get(self._key(version))
             if payload is None:
                 return None

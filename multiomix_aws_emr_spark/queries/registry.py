@@ -546,21 +546,29 @@ def bound_sql(spark: SparkSession, sql: str) -> DataFrame:
     reg = getattr(spark, "_maes_view_confs", None)
     if not reg:
         return df
-    # scan identifiers on a literal/comment-stripped copy, matching
-    # Spark's DEFAULT (non-ANSI) lexer: single- AND double-quoted
-    # strings are literals (quoted identifiers use backticks), a
-    # backslash escapes the next char inside either (so 'it\'s' does
-    # not terminate early and open a phantom literal that swallows real
-    # references), '' / "" doubling re-enters, block comments are
-    # non-nesting
-    scrubbed = re.sub(
-        r"'(?:\\.|''|[^'\\])*'"
-        r"|\"(?:\\.|\"\"|[^\"\\])*\""
-        r"|--[^\n]*|/\*.*?\*/",
-        " ",
-        sql,
-        flags=re.S,
+    # scan identifiers on a literal/comment-stripped copy, matching the
+    # SESSION's lexer: single-quoted strings are always literals, a
+    # backslash escapes the next char inside either quote form (so
+    # 'it\'s' does not terminate early and open a phantom literal that
+    # swallows real references), '' / "" doubling re-enters, block
+    # comments are non-nesting. Double-quoted segments are literals
+    # under Spark's default lexer (quoted identifiers use backticks),
+    # but under spark.sql.ansi.doubleQuotedIdentifiers=true they are
+    # IDENTIFIERS — a view referenced as "view_name" must then keep its
+    # bound confs, so the scrub consults the live conf instead of
+    # assuming the default (ADVICE r15; escape handling r14)
+    dq_idents = (
+        str(
+            spark.conf.get("spark.sql.ansi.doubleQuotedIdentifiers", "false")
+        ).lower()
+        == "true"
     )
+    scrub_re = (
+        r"'(?:\\.|''|[^'\\])*'"
+        + ("" if dq_idents else r"|\"(?:\\.|\"\"|[^\"\\])*\"")
+        + r"|--[^\n]*|/\*.*?\*/"
+    )
+    scrubbed = re.sub(scrub_re, " ", sql, flags=re.S)
     idents = {
         m.lower() for m in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", scrubbed)
     }

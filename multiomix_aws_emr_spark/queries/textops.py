@@ -361,6 +361,134 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECONTAMINATE_CUT_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w,
+         doc_id % 20 = 0 AS is_eval
+  FROM documents
+), g AS (
+  SELECT doc_id, is_eval, len(w) AS nw, CAST(i AS INTEGER) AS start,
+         array_to_string(w[i:i+7], ' ') AS gram
+  FROM d, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+  WHERE len(w) >= 8
+), ev AS (
+  SELECT DISTINCT gram FROM g WHERE is_eval
+), occ AS (
+  SELECT g.doc_id, GREATEST(1, g.start - 5) AS start,
+         LEAST(g.nw, g.start + 7 + 5) AS e
+  FROM g JOIN ev USING (gram)
+  WHERE NOT g.is_eval
+), flagged AS (
+  SELECT doc_id, start, e,
+         CASE WHEN start > COALESCE(MAX(e) OVER (
+              PARTITION BY doc_id ORDER BY start
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS new_span
+  FROM occ
+), spans AS (
+  SELECT doc_id, start, e,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY start
+                             ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flagged
+), merged AS (
+  SELECT doc_id, MIN(start) AS s, MAX(e) AS e
+  FROM spans GROUP BY doc_id, span_id
+), per_doc AS (
+  SELECT doc_id, list({'s': s, 'e': e}) AS ivs FROM merged GROUP BY doc_id
+), cleaned AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN p.doc_id IS NULL THEN d.text
+              ELSE array_to_string(
+                     list_filter(d.w, (x, i) ->
+                       NOT list_aggregate(
+                         list_transform(p.ivs,
+                                        sp -> i >= sp.s AND i <= sp.e),
+                         'bool_or')),
+                     ' ')
+         END AS text,
+         (p.doc_id IS NOT NULL) AS was_cut
+  FROM d LEFT JOIN per_doc p USING (doc_id)
+  WHERE NOT d.is_eval
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN was_cut THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cut_docs,
+       CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+         AS BIGINT) AS tokens_total,
+       CAST(SUM(len(text)) AS BIGINT) AS chars_total
+FROM cleaned GROUP BY lang
+"""
+
+
+@query(
+    "pipeline_decontaminate_cut",
+    oracle=_DECONTAMINATE_CUT_ORACLE,
+    sizing_hint=fact_bytes("documents", fanout=8.0),
+)
+def pipeline_decontaminate_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GPT-3 SURGICAL decontamination composed end-to-end as ONE plan
+    (Brown et al. 2020 Appendix C: on an eval-set gram collision, remove
+    the colliding gram plus a surrounding dirty window and KEEP the rest
+    of the document — the document-preserving alternative to the
+    drop-the-doc rule ``decontaminate_ngram`` scores): detect per-doc
+    contaminated word spans (``operators/dedup.contamination_spans`` —
+    8-word grams against the held-out ``doc_id % 20 = 0`` eval slice,
+    dirty window ±5 words, clamped and merged), cut them
+    (``operators/dedup.cut_spans`` — clean docs pass through
+    byte-identical), and aggregate the residual training corpus per
+    language: ``(lang, n_docs, n_cut_docs, tokens_total, chars_total)``.
+    The oracle recomputes the whole chain from raw text — grams,
+    inventory, window extension, interval merge, the cut, and the
+    residual sums — so a wrong span boundary anywhere flips the hash.
+    Promoted r15 from the r14-tested components (the
+    ``pipeline_substring_cut`` oracle shape, VERDICT r14 task 2).
+
+    Plan shape: one training-corpus gram explode (row-local
+    ``transform(sequence) -> slice``), map-side semi-probe against the
+    distinct-reduced BROADCAST eval inventory (benchmark suites are
+    MB-scale next to a training corpus), per-doc window merge (bounded
+    by one doc's hit count — no skew key), spans aggregated to one
+    array per doc and LEFT-joined back onto the corpus on the doc key,
+    the cut itself all JVM array HOFs, and a map-side-combinable
+    5-group final aggregate. ``lang`` rides the cut as a passthrough
+    column — no metadata join-back. Shuffle volume ~ (hits + cut docs),
+    never grams; probed at 100x corpus replication at 1.43x wall with
+    exact volume witnesses (BASELINE.md r14)."""
+    from multiomix_aws_emr_spark.operators.dedup import (
+        contamination_spans,
+        cut_spans,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    is_eval = F.col("doc_id") % 20 == 0
+    train = d.filter(~is_eval)
+    spans = contamination_spans(
+        train.select("doc_id", "text"),
+        d.filter(is_eval).select("doc_id", "text"),
+        id_col="doc_id",
+        text_col="text",
+        k=8,
+        window=5,
+    )
+    cleaned = cut_spans(
+        train,
+        spans,
+        id_col="doc_id",
+        text_col="text",
+        passthrough=("lang",),
+        flag_col="was_cut",
+    )
+    toks = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    return cleaned.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("was_cut").cast("long")).alias("n_cut_docs"),
+        F.sum(toks.cast("long")).alias("tokens_total"),
+        F.sum(F.length("text").cast("long")).alias("chars_total"),
+    )
+
+
 @query(
     "text_token_count",
     oracle=(

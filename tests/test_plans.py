@@ -606,3 +606,15 @@ def test_contamination_spans_probe_is_broadcast_semi(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
     assert spans.count() > 0
+
+
+def test_pipeline_decontaminate_cut_plan(spark, sf_dir):
+    """pipeline_decontaminate_cut: the eval-inventory probe must stay a
+    broadcast semi-join (never a shuffled join of the corpus-sized gram
+    explode), the span->corpus join must be on the doc key with the
+    whole cut in JVM expressions (no Python stage), and the final
+    per-lang aggregate must have a map-side partial."""
+    plan = _plan(spark, sf_dir, "pipeline_decontaminate_cut")
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

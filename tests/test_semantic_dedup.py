@@ -891,3 +891,127 @@ def test_pq_pack_wide_8x8_faiss_shape_roundtrip(spark):
         w0 = sum(c << (8 * m) for m, c in enumerate(lanes[:7]))
         w1 = lanes[7]
         assert by_id[vid] == [w0, w1], vid
+
+
+def test_adc_packed_lane_capacity_guard():
+    """ADVICE r15: the packed ADC scorer must refuse a single-word read
+    of a >63-bit shape (Java long shifts wrap mod 64 — without the guard
+    n_sub=16, bits=4 silently reads wrong lanes and returns wrong
+    distances), mirroring pq_pack_codes' write-side guard; the same
+    shape with lanes_per_word set (the array<bigint> wide form) is
+    legal."""
+    import numpy as np
+    import pytest
+
+    from multiomix_aws_emr_spark.operators.similarity import (
+        adc_dist2_packed,
+    )
+
+    lut = np.zeros((16, 16), dtype=np.float64)  # (n_sub=16, K=16)
+    with pytest.raises(ValueError, match="63 usable bits"):
+        adc_dist2_packed(lut, packed_col="codes_packed", bits=4)
+    # wide form: 15 lanes/word at 4 bits -> legal, returns a Column
+    col = adc_dist2_packed(
+        lut, packed_col="codes_packed", bits=4, lanes_per_word=15
+    )
+    assert col is not None
+
+
+def test_pq_kmeans_codebook_swap_in_identical_contract(spark, sf_dir):
+    """VERDICT r14 task 4: the 'production swaps per-subspace k-means
+    PQ codebooks' claim, test-backed (the kmeans_quantizer_swap
+    precedent). Train pq_train_codebooks_kmeans on the SAME residual
+    frame the declared similarity_ivfpq composition builds, feed it to
+    the SAME pq_encode_residual pass: the downstream contract must be
+    identical — matrix layout, output schema, map-only Arrow plan, and
+    per-subspace argmin-by-squared-L2 semantics verified against a
+    NumPy recomputation from the trained codebooks (the code VALUES
+    legitimately differ from the hash-group quantizer's; the CONTRACT
+    must not)."""
+    import numpy as np
+
+    from multiomix_aws_emr_spark.operators.similarity import (
+        assign_to_centroids,
+        centroid_matrix,
+        hash_group_centroids,
+        pq_encode_residual,
+        pq_train_codebooks_kmeans,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cent_rows = sorted(
+        e.orderBy("vec_id").limit(8).collect(), key=lambda r: r.vec_id
+    )
+    cmat = np.array([r.emb for r in cent_rows], dtype=np.float64)
+    assigned = assign_to_centroids(
+        e, cmat, id_col="vec_id", vec_col="emb"
+    ).select("vec_id", "list_id")
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in cmat[i]]) for i in range(len(cmat))],
+        "list_id int, cent array<double>",
+    )
+    res = (
+        assigned.join(e, "vec_id")
+        .join(F.broadcast(cdf), "list_id")
+        .select(
+            "vec_id",
+            "list_id",
+            F.zip_with("emb", "cent", lambda x, y: x - y).alias("res"),
+        )
+        .persist()
+    )
+    n_sub, k = 16, 16
+    pmat_km = pq_train_codebooks_kmeans(
+        res, vec_col="res", n_sub=n_sub, k=k, seed=42
+    )
+    pmat_hash = centroid_matrix(
+        hash_group_centroids(
+            res, id_col="vec_id", vec_col="res", n_lists=k
+        ).collect()
+    )
+    # identical matrix layout: same shape, consumable by the same encoder
+    assert pmat_km.shape == pmat_hash.shape
+
+    enc_km = pq_encode_residual(
+        res,
+        np.zeros_like(cmat),
+        pmat_km,
+        id_col="vec_id",
+        vec_col="res",
+        cell_col="list_id",
+        n_sub=n_sub,
+    )
+    enc_hash = pq_encode_residual(
+        res,
+        np.zeros_like(cmat),
+        pmat_hash,
+        id_col="vec_id",
+        vec_col="res",
+        cell_col="list_id",
+        n_sub=n_sub,
+    )
+    # identical schema and plan shape: Arrow UDF, no extra exchange
+    assert enc_km.schema == enc_hash.schema
+    plan = enc_km._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+    # per-subspace argmin semantics against the TRAINED codebooks
+    dim = pmat_km.shape[1]
+    dsub = dim // n_sub
+    cb = pmat_km.reshape(k, n_sub, dsub).transpose(1, 0, 2)
+    got = {r.vec_id: r.codes for r in enc_km.collect()}
+    resvecs = {
+        r.vec_id: np.array(r.res, dtype=np.float64) for r in res.collect()
+    }
+    assert set(got) == set(resvecs) and len(got) > 0
+    for vid, codes in got.items():
+        v = resvecs[vid].reshape(n_sub, dsub)
+        want = [
+            int(((v[m][None, :] - cb[m]) ** 2).sum(axis=1).argmin())
+            for m in range(n_sub)
+        ]
+        assert codes == ",".join(map(str, want)), vid
+    res.unpersist()

@@ -481,3 +481,40 @@ def test_bound_sql_ignores_view_names_in_literals_and_comments(spark, sf_dir):
     assert getattr(out, "_maes_exec_conf", None) == (spark, big)
     spark.catalog.dropTempView("ghost_view_t14")
     spark._maes_view_confs.clear()
+
+
+def test_bound_sql_double_quoted_identifiers_conf(spark, sf_dir):
+    """ADVICE r15: under spark.sql.ansi.doubleQuotedIdentifiers=true a
+    double-quoted segment is an IDENTIFIER, so a view referenced as
+    "view_name" must keep its bound confs (the scrub consults the live
+    conf instead of assuming the default lexer); under the default the
+    same statement stays unbound."""
+    from multiomix_aws_emr_spark.queries.registry import (
+        _bind_execution_conf,
+        bound_sql,
+    )
+
+    base = _baseline(spark)
+    big = str(int(base) * 4)
+    df = _bind_execution_conf(spark.range(5).toDF("x"), spark, big)
+    df.createOrReplaceTempView("dqid_view_t15")
+    stmt = 'SELECT COUNT(*) AS n FROM dqid_view_t15 WHERE \'x\' <> "dqid_view_t15"'
+    # default lexer: the double-quoted segment is a literal -> the only
+    # scannable reference is the FROM position (still binds)
+    out = bound_sql(spark, stmt)
+    assert getattr(out, "_maes_exec_conf", None) == (spark, big)
+    # a statement whose ONLY mention is quoted stays unbound by default
+    out = bound_sql(spark, "SELECT 'dqid_view_t15' AS s")
+    assert not hasattr(out, "_maes_exec_conf")
+    spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        out = bound_sql(
+            spark, "SELECT COUNT(*) AS n FROM \"dqid_view_t15\""
+        )
+        assert getattr(out, "_maes_exec_conf", None) == (spark, big)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "false")
+        spark.catalog.dropTempView("dqid_view_t15")
+        spark._maes_view_confs.clear()

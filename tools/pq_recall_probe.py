@@ -92,6 +92,7 @@ def recall_ab(spark, n: int, dim: int, cells: int, n_sub: int, queries: int):
         ivfpq_topk,
         pq_encode,
         pq_encode_residual,
+        pq_train_codebooks_kmeans,
     )
 
     e = synth_blobs(spark, n, dim, blobs=cells * 4).cache()
