@@ -740,3 +740,71 @@ def contamination_spans(
         )
     )
     return merge_word_intervals(occ, id_col=id_col)
+
+
+def substring_cut_fixpoint(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+    max_rounds: int = 8,
+    passthrough: tuple = (),
+) -> tuple[DataFrame, list]:
+    """Iterated ExactSubstr to a FIXPOINT — closes :func:`cut_spans`'s
+    documented caveat (Lee et al. 2022 §4: removing a span can create
+    NEW adjacencies across the cut boundary, so one detect+cut pass does
+    not guarantee the output is duplicate-free): re-run
+    :func:`substring_spans` + :func:`cut_spans` until a round finds zero
+    cross-document duplicate ``k``-grams or ``max_rounds`` is hit.
+    Returns ``(cleaned_docs, rounds)`` where ``rounds`` is a list of
+    per-round dicts ``{"round", "docs_cut", "spans"}`` — the audit trail
+    a pipeline logs.
+
+    Termination is structural: every cutting round strictly removes >= k
+    words from every doc it touches, so total corpus length strictly
+    decreases and the loop cannot cycle; ``max_rounds`` only bounds the
+    pathological corpus (mutually-regenerating templates). The strict
+    postcondition (NO duplicated k-gram across surviving docs) is what
+    the fixpoint buys over the declared single-pass
+    ``pipeline_substring_cut``; tests assert it directly.
+
+    Scale shape: the driver loop holds only round counters (two bounded
+    scalars per round — the span count and cut-doc count the round
+    needs anyway to decide termination); each round's frame is
+    lineage-truncated (:func:`multiomix_aws_emr_spark.operators.
+    checkpointing.truncate_lineage`, the transitive-components recipe)
+    so the plan does not grow by one full detect+cut tree per round.
+    Rounds after the first run on an already-shrunk corpus, and real
+    corpora converge in 1-2 rounds (the probe's replicated corpus
+    converges in 2)."""
+    from multiomix_aws_emr_spark.operators.checkpointing import (
+        truncate_lineage,
+    )
+
+    cur = docs.select(id_col, *passthrough, text_col)
+    rounds: list = []
+    for rnd in range(1, max_rounds + 1):
+        spans = substring_spans(
+            cur, id_col=id_col, text_col=text_col, k=k, min_docs=min_docs
+        )
+        agg = spans.agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count_distinct(id_col).alias("n_docs"),
+        ).collect()[0]
+        if not agg.n_spans:
+            break
+        cur = truncate_lineage(
+            cut_spans(
+                cur,
+                spans,
+                id_col=id_col,
+                text_col=text_col,
+                passthrough=passthrough,
+            )
+        )
+        rounds.append(
+            {"round": rnd, "docs_cut": agg.n_docs, "spans": agg.n_spans}
+        )
+    return cur, rounds

@@ -1015,3 +1015,64 @@ def test_pq_kmeans_codebook_swap_in_identical_contract(spark, sf_dir):
         ]
         assert codes == ",".join(map(str, want)), vid
     res.unpersist()
+
+
+def test_substring_cut_fixpoint_catches_cut_created_duplicates(spark):
+    """substring_cut_fixpoint (r15 — closes cut_spans' documented Lee
+    2022 caveat): a corpus where round 1's cut creates a NEW cross-doc
+    duplicate adjacency must take exactly two cutting rounds, and the
+    fixpoint output must satisfy the strict postcondition — zero
+    k-grams shared across surviving documents (which one pass provably
+    does not deliver here)."""
+    from multiomix_aws_emr_spark.operators.dedup import (
+        gram_rows,
+        substring_cut_fixpoint,
+        substring_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 d1 d2 d3 a3 a4"),
+            (2, "b1 b2 d1 d2 d3 b3 b4"),
+            # shares "a1 a2 a3" with doc 1 ONLY AFTER the d-span is cut
+            (3, "c1 c2 a1 a2 a3 c3"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def cross_doc_dups(frame):
+        g = gram_rows(frame, id_col="doc_id", text_col="text", k=3)
+        return (
+            g.groupBy("gram")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .filter("nd >= 2")
+            .count()
+        )
+
+    # one pass is NOT enough on this corpus (the caveat is real here)
+    spans1 = substring_spans(docs, id_col="doc_id", text_col="text", k=3)
+    from multiomix_aws_emr_spark.operators.dedup import cut_spans
+
+    once = cut_spans(docs, spans1, id_col="doc_id", text_col="text")
+    assert cross_doc_dups(once) > 0
+
+    cleaned, rounds = substring_cut_fixpoint(
+        docs, id_col="doc_id", text_col="text", k=3
+    )
+    assert [r["round"] for r in rounds] == [1, 2]
+    assert rounds[0]["docs_cut"] == 2 and rounds[1]["docs_cut"] == 2
+    got = {r.doc_id: r.text for r in cleaned.collect()}
+    assert got == {1: "a4", 2: "b1 b2 b3 b4", 3: "c1 c2 c3"}
+    assert cross_doc_dups(cleaned) == 0
+
+    # already-clean corpus: zero rounds, frame passes through unchanged
+    clean = spark.createDataFrame(
+        [(1, "p q r s"), (2, "t u v w")], "doc_id long, text string"
+    )
+    out, rr = substring_cut_fixpoint(
+        clean, id_col="doc_id", text_col="text", k=3
+    )
+    assert rr == []
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, clean.collect())
+    )

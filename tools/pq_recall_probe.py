@@ -119,6 +119,7 @@ def recall_ab(spark, n: int, dim: int, cells: int, n_sub: int, queries: int):
         "emb",
         F.zip_with("emb", "cent", lambda x, y: x - y).alias("res"),
     )
+    res = res.persist()
     pmat_res = centroid_matrix(
         hash_group_centroids(
             res, id_col="vec_id", vec_col="res", n_lists=16
@@ -129,8 +130,19 @@ def recall_ab(spark, n: int, dim: int, cells: int, n_sub: int, queries: int):
             e, id_col="vec_id", vec_col="emb", n_lists=16
         ).collect()
     )
+    # r15 (VERDICT r14 task 4): TRAINED per-subspace k-means codebooks
+    # over the same residual frame — the production quantizer swap
+    t0 = time.perf_counter()
+    pmat_km = pq_train_codebooks_kmeans(
+        res, vec_col="res", n_sub=n_sub, k=16, seed=42
+    )
+    train_km_wall = round(time.perf_counter() - t0, 2)
     enc_res = pq_encode_residual(
         res, cmat, pmat_res,
+        id_col="vec_id", vec_col="emb", cell_col="list_id", n_sub=n_sub,
+    ).cache()
+    enc_km = pq_encode_residual(
+        res, cmat, pmat_km,
         id_col="vec_id", vec_col="emb", cell_col="list_id", n_sub=n_sub,
     ).cache()
     enc_raw = (
@@ -139,7 +151,7 @@ def recall_ab(spark, n: int, dim: int, cells: int, n_sub: int, queries: int):
         .select("vec_id", "list_id", "codes")
         .cache()
     )
-    enc_res.count(), enc_raw.count()
+    enc_res.count(), enc_km.count(), enc_raw.count()
 
     qids = [int(i * (n // queries) + 17) for i in range(queries)]
     qvecs = {
@@ -152,9 +164,10 @@ def recall_ab(spark, n: int, dim: int, cells: int, n_sub: int, queries: int):
     for r in exact.collect():
         exact_map.setdefault(r.query_id, set()).add(r.id_b)
 
-    out = {}
+    out = {"kmeans_train_wall_sec": train_km_wall}
     for name, enc, pmat, residual in (
         ("residual", enc_res, pmat_res, True),
+        ("residual_kmeans", enc_km, pmat_km, True),
         ("raw", enc_raw, pmat_raw, False),
     ):
         t0 = time.perf_counter()
@@ -193,7 +206,8 @@ def recall_ab(spark, n: int, dim: int, cells: int, n_sub: int, queries: int):
             "recall_at_5": round(hits / tot, 4),
             "search_wall_sec": round(time.perf_counter() - t0, 2),
         }
-    e.unpersist(), enc_res.unpersist(), enc_raw.unpersist()
+    for frame in (e, res, enc_res, enc_km, enc_raw):
+        frame.unpersist()
     return out
 
 
