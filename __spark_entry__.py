@@ -81,8 +81,12 @@ def _last_verified_round() -> dict[str, int]:
 #    consumed only by components and by similarity_ivfpq's
 #    plan-asserted path, whose r14 evidence postdates nothing (the
 #    guard raises on inputs the declared query never passes, and
-#    tests/test_similarity_packed.py re-verifies the scoring contract
-#    at HEAD).
+#    tests/test_semantic_dedup.py re-verifies the scoring contract at
+#    HEAD); (c) operators/dedup.contamination_spans gained the optional
+#    eval_grams parameter (the fixpoint loop's reuse seam; default path
+#    byte-equivalent) — its only declared consumer is
+#    pipeline_decontaminate_cut, the round's new qid, which
+#    driver-verifies the changed path itself.
 # 2. ONE new qid: pipeline_decontaminate_cut — the r14 promotion
 #    candidate (contamination_spans + cut_spans + residual per-lang
 #    stats, the pipeline_substring_cut oracle shape; components tested

@@ -691,12 +691,13 @@ def ngram_contamination(
 
 def contamination_spans(
     train: DataFrame,
-    evalset: DataFrame,
+    evalset: DataFrame | None,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
     window: int = 0,
+    eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """The positions half of the GPT-3 decontamination CUT (Brown et al.
     2020 Appendix C: on a 13-gram collision they remove the gram plus a
@@ -715,12 +716,21 @@ def contamination_spans(
     expressions), the eval inventory distinct-reduced and broadcast so
     the collision test is a map-side semi-probe, and the merge windows
     per document (:func:`merge_word_intervals` — bounded by one doc's
-    hit count, no skew key)."""
-    ev = (
-        gram_rows(evalset, id_col=id_col, text_col=text_col, k=k)
-        .select("gram")
-        .distinct()
-    )
+    hit count, no skew key).
+
+    ``eval_grams``: a pre-built single-column ``(gram)`` inventory frame
+    to probe instead of deriving one from ``evalset`` (which may then be
+    None) — :func:`decontaminate_cut_fixpoint` builds the inventory ONCE
+    and persists it across rounds; the eval set is fixed, so re-deriving
+    it per round would re-scan the eval corpus for nothing (r15)."""
+    if eval_grams is not None:
+        ev = eval_grams.select("gram")
+    else:
+        ev = (
+            gram_rows(evalset, id_col=id_col, text_col=text_col, k=k)
+            .select("gram")
+            .distinct()
+        )
     occ = (
         gram_rows(
             train,
@@ -807,4 +817,80 @@ def substring_cut_fixpoint(
         rounds.append(
             {"round": rnd, "docs_cut": agg.n_docs, "spans": agg.n_spans}
         )
+    return cur, rounds
+
+
+def decontaminate_cut_fixpoint(
+    train: DataFrame,
+    evalset: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 0,
+    max_rounds: int = 8,
+    passthrough: tuple = (),
+) -> tuple[DataFrame, list]:
+    """Iterated surgical decontamination to a FIXPOINT — the
+    :func:`substring_cut_fixpoint` twin for the GPT-3 cut: removing a
+    contaminated span can create a NEW adjacency across the cut
+    boundary that itself matches an eval gram, so one
+    ``contamination_spans`` + ``cut_spans`` pass does not guarantee the
+    output is collision-free. Loop until a round finds zero
+    contaminated spans (or ``max_rounds``); returns
+    ``(cleaned_train, rounds)`` with the same per-round audit dicts.
+    The strict postcondition — NO surviving training doc shares any
+    ``k``-gram with the eval set — is what a leakage auditor actually
+    certifies; tests assert it directly.
+
+    The eval inventory is FIXED across rounds: built once
+    (distinct-reduced), persisted, and re-probed each round via
+    ``contamination_spans(eval_grams=...)`` — rounds re-scan only the
+    (shrinking) training corpus, never the eval side. Same termination
+    structure as the substring fixpoint: every cutting round strictly
+    removes >= k words from every doc it touches."""
+    from multiomix_aws_emr_spark.operators.checkpointing import (
+        truncate_lineage,
+    )
+
+    ev = (
+        gram_rows(evalset, id_col=id_col, text_col=text_col, k=k)
+        .select("gram")
+        .distinct()
+        .persist()
+    )
+    ev.count()
+    cur = train.select(id_col, *passthrough, text_col)
+    rounds: list = []
+    try:
+        for rnd in range(1, max_rounds + 1):
+            spans = contamination_spans(
+                cur,
+                None,
+                id_col=id_col,
+                text_col=text_col,
+                k=k,
+                window=window,
+                eval_grams=ev,
+            )
+            agg = spans.agg(
+                F.count(F.lit(1)).alias("n_spans"),
+                F.count_distinct(id_col).alias("n_docs"),
+            ).collect()[0]
+            if not agg.n_spans:
+                break
+            cur = truncate_lineage(
+                cut_spans(
+                    cur,
+                    spans,
+                    id_col=id_col,
+                    text_col=text_col,
+                    passthrough=passthrough,
+                )
+            )
+            rounds.append(
+                {"round": rnd, "docs_cut": agg.n_docs, "spans": agg.n_spans}
+            )
+    finally:
+        ev.unpersist()
     return cur, rounds

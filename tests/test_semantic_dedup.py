@@ -1076,3 +1076,51 @@ def test_substring_cut_fixpoint_catches_cut_created_duplicates(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, clean.collect())
     )
+
+
+def test_decontaminate_cut_fixpoint_strict_postcondition(spark):
+    """decontaminate_cut_fixpoint (r15): cutting a contaminated span can
+    create a NEW adjacency that itself matches an eval gram — the loop
+    must take a second round and deliver the strict postcondition (zero
+    k-grams shared with the eval set), which the single pass provably
+    does not on this corpus. The eval inventory is fixed across rounds
+    (built once, persisted)."""
+    from multiomix_aws_emr_spark.operators.dedup import (
+        contamination_spans,
+        cut_spans,
+        decontaminate_cut_fixpoint,
+        gram_rows,
+    )
+
+    evalset = spark.createDataFrame(
+        [(100, "e1 e2 e3 y"), (101, "z x1 x2 x3")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        # cutting "e1 e2 e3" makes "x1 x2 x3" adjacent -> a NEW eval hit
+        [(1, "x1 x2 e1 e2 e3 x3 tt"), (2, "clean words only here")],
+        "doc_id long, text string",
+    )
+
+    def shared_with_eval(frame):
+        g = gram_rows(frame, id_col="doc_id", text_col="text", k=3)
+        ev = (
+            gram_rows(evalset, id_col="doc_id", text_col="text", k=3)
+            .select("gram")
+            .distinct()
+        )
+        return g.join(ev, "gram", "left_semi").count()
+
+    spans1 = contamination_spans(
+        train, evalset, id_col="doc_id", text_col="text", k=3
+    )
+    once = cut_spans(train, spans1, id_col="doc_id", text_col="text")
+    assert shared_with_eval(once) > 0  # the caveat is real here
+
+    cleaned, rounds = decontaminate_cut_fixpoint(
+        train, evalset, id_col="doc_id", text_col="text", k=3
+    )
+    assert [r["round"] for r in rounds] == [1, 2]
+    got = {r.doc_id: r.text for r in cleaned.collect()}
+    assert got == {1: "tt", 2: "clean words only here"}
+    assert shared_with_eval(cleaned) == 0
