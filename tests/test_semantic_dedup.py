@@ -1124,3 +1124,39 @@ def test_decontaminate_cut_fixpoint_strict_postcondition(spark):
     got = {r.doc_id: r.text for r in cleaned.collect()}
     assert got == {1: "tt", 2: "clean words only here"}
     assert shared_with_eval(cleaned) == 0
+
+
+def test_pq_kmeans_codebook_sampled_training(spark, sf_dir):
+    """sample_fraction trains on a seeded subset but must return the
+    same (K, D) layout; out-of-range fractions raise."""
+    import numpy as np
+    import pytest
+
+    from multiomix_aws_emr_spark.operators.similarity import (
+        pq_train_codebooks_kmeans,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    full = pq_train_codebooks_kmeans(e, vec_col="emb", n_sub=4, k=4, seed=7)
+    sampled = pq_train_codebooks_kmeans(
+        e, vec_col="emb", n_sub=4, k=4, seed=7, sample_fraction=0.5
+    )
+    assert sampled.shape == full.shape
+    assert np.isfinite(sampled).all()
+    # the sampled codebook must actually be trained on DIFFERENT data —
+    # catches sample_fraction being silently ignored (seeded + fixed
+    # fixture, so this is deterministic, not flaky)
+    assert not np.array_equal(sampled, full)
+    # fraction 1.0 short-circuits to full training: bit-identical result
+    assert np.array_equal(
+        pq_train_codebooks_kmeans(
+            e, vec_col="emb", n_sub=4, k=4, seed=7, sample_fraction=1.0
+        ),
+        full,
+    )
+    with pytest.raises(ValueError, match="sample_fraction"):
+        pq_train_codebooks_kmeans(
+            e, vec_col="emb", n_sub=4, k=4, sample_fraction=0.0
+        )

@@ -137,6 +137,20 @@ def recall_ab(spark, n: int, dim: int, cells: int, n_sub: int, queries: int):
         res, vec_col="res", n_sub=n_sub, k=16, seed=42
     )
     train_km_wall = round(time.perf_counter() - t0, 2)
+    # FAISS-style sampled training: codebooks saturate at ~1e5 vectors.
+    # At n <= 100k the fraction is 1.0 — no sampling would occur, so the
+    # arm is skipped rather than recording a no-op A/B that reads as
+    # "sampling loses zero recall" (code-review r15)
+    frac = 100_000 / max(n, 1)
+    pmat_km_s = None
+    train_km_sampled_wall = None
+    if frac < 1.0:
+        t0 = time.perf_counter()
+        pmat_km_s = pq_train_codebooks_kmeans(
+            res, vec_col="res", n_sub=n_sub, k=16, seed=42,
+            sample_fraction=frac,
+        )
+        train_km_sampled_wall = round(time.perf_counter() - t0, 2)
     enc_res = pq_encode_residual(
         res, cmat, pmat_res,
         id_col="vec_id", vec_col="emb", cell_col="list_id", n_sub=n_sub,
@@ -145,13 +159,21 @@ def recall_ab(spark, n: int, dim: int, cells: int, n_sub: int, queries: int):
         res, cmat, pmat_km,
         id_col="vec_id", vec_col="emb", cell_col="list_id", n_sub=n_sub,
     ).cache()
+    enc_km_s = None
+    if pmat_km_s is not None:
+        enc_km_s = pq_encode_residual(
+            res, cmat, pmat_km_s,
+            id_col="vec_id", vec_col="emb", cell_col="list_id", n_sub=n_sub,
+        ).cache()
     enc_raw = (
         pq_encode(m, pmat_raw, id_col="vec_id", vec_col="emb", n_sub=n_sub)
         .join(assigned, "vec_id")
         .select("vec_id", "list_id", "codes")
         .cache()
     )
-    enc_res.count(), enc_km.count(), enc_raw.count()
+    for frame in (enc_res, enc_km, enc_km_s, enc_raw):
+        if frame is not None:
+            frame.count()
 
     qids = [int(i * (n // queries) + 17) for i in range(queries)]
     qvecs = {
@@ -164,12 +186,19 @@ def recall_ab(spark, n: int, dim: int, cells: int, n_sub: int, queries: int):
     for r in exact.collect():
         exact_map.setdefault(r.query_id, set()).add(r.id_b)
 
-    out = {"kmeans_train_wall_sec": train_km_wall}
-    for name, enc, pmat, residual in (
+    out = {
+        "kmeans_train_wall_sec": train_km_wall,
+        "kmeans_sampled_train_wall_sec": train_km_sampled_wall,
+        "kmeans_sample_fraction": round(frac, 4) if frac < 1.0 else None,
+    }
+    arms = [
         ("residual", enc_res, pmat_res, True),
         ("residual_kmeans", enc_km, pmat_km, True),
         ("raw", enc_raw, pmat_raw, False),
-    ):
+    ]
+    if enc_km_s is not None:
+        arms.insert(2, ("residual_kmeans_sampled", enc_km_s, pmat_km_s, True))
+    for name, enc, pmat, residual in arms:
         t0 = time.perf_counter()
         hits = tot = 0
         for qid in qids:
@@ -206,8 +235,9 @@ def recall_ab(spark, n: int, dim: int, cells: int, n_sub: int, queries: int):
             "recall_at_5": round(hits / tot, 4),
             "search_wall_sec": round(time.perf_counter() - t0, 2),
         }
-    for frame in (e, res, enc_res, enc_km, enc_raw):
-        frame.unpersist()
+    for frame in (e, res, enc_res, enc_km, enc_km_s, enc_raw):
+        if frame is not None:
+            frame.unpersist()
     return out
 
 
