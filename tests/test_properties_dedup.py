@@ -387,3 +387,120 @@ def test_ngram_contamination_empty_eval_inventory(spark):
         ).count()
         == 0
     )
+
+
+@_settings
+@given(data=st.data())
+def test_substring_cut_fixpoint_postcondition_property(spark, data):
+    """substring_cut_fixpoint's strict postcondition on Hypothesis
+    corpora (3-letter vocab at k=3 forces heavy collisions AND
+    cut-created adjacencies): the output has ZERO k-grams shared across
+    distinct surviving documents, every doc id survives (possibly with
+    empty text), and rounds are strictly monotone in total corpus
+    length (termination witness)."""
+    from multiomix_aws_emr_spark.operators.dedup import (
+        gram_rows,
+        substring_cut_fixpoint,
+    )
+
+    vocab = ("a", "b", "c")
+    texts = data.draw(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=3, max_size=10).map(
+                " ".join
+            ),
+            min_size=2,
+            max_size=5,
+        )
+    )
+    texts = texts + texts[:1]  # at least one exact dup pair
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cleaned, rounds = substring_cut_fixpoint(
+        docs, id_col="doc_id", text_col="text", k=3, max_rounds=12
+    )
+    out = {r.doc_id: r.text for r in cleaned.collect()}
+    assert set(out) == {i for i, _ in rows}  # no doc dropped
+    # strict postcondition: no k-gram occurs in >= 2 distinct docs
+    shared = (
+        gram_rows(cleaned, id_col="doc_id", text_col="text", k=3)
+        .groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter("nd >= 2")
+        .count()
+    )
+    assert shared == 0, out
+    # every cutting round removed at least one span from some doc
+    assert all(r["spans"] >= 1 and r["docs_cut"] >= 1 for r in rounds)
+    assert len(rounds) < 12  # converged, not capped
+
+
+@_settings
+@given(data=st.data())
+def test_decontaminate_cut_fixpoint_postcondition_property(spark, data):
+    """decontaminate_cut_fixpoint's strict postcondition on Hypothesis
+    corpora: NO surviving training doc shares any k-gram with the eval
+    set — including grams spliced into existence by earlier cuts — and
+    eval-clean training docs pass through byte-identical."""
+    from multiomix_aws_emr_spark.operators.dedup import (
+        decontaminate_cut_fixpoint,
+        gram_rows,
+    )
+
+    vocab = ("a", "b", "c")
+    mk = st.lists(st.sampled_from(vocab), min_size=3, max_size=10).map(
+        " ".join
+    )
+    ev_texts = data.draw(st.lists(mk, min_size=1, max_size=3))
+    tr_texts = data.draw(st.lists(mk, min_size=2, max_size=5))
+    # guarantee at least one contaminated training doc
+    tr_texts = tr_texts + [ev_texts[0]]
+    evalset = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(ev_texts)],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tr_texts)],
+        "doc_id long, text string",
+    )
+
+    cleaned, rounds = decontaminate_cut_fixpoint(
+        train, evalset, id_col="doc_id", text_col="text", k=3,
+        max_rounds=12,
+    )
+    out = {r.doc_id: r.text for r in cleaned.collect()}
+    assert set(out) == set(range(len(tr_texts)))
+    ev_grams = (
+        gram_rows(evalset, id_col="doc_id", text_col="text", k=3)
+        .select("gram")
+        .distinct()
+    )
+    leaked = (
+        gram_rows(cleaned, id_col="doc_id", text_col="text", k=3)
+        .join(ev_grams, "gram", "left_semi")
+        .count()
+    )
+    assert leaked == 0, out
+    assert len(rounds) < 12
+    # clean docs pass through byte-identical: recompute which originals
+    # never matched an eval gram at ANY round — sufficient check: docs
+    # whose final text equals their original must be the ones never cut
+    ev_set = set()
+    for t in ev_texts:
+        ws = t.split(" ")
+        ev_set |= {
+            " ".join(ws[p : p + 3]) for p in range(len(ws) - 2)
+        }
+    for i, t in enumerate(tr_texts):
+        ws = t.split(" ")
+        dirty = any(
+            " ".join(ws[p : p + 3]) in ev_set for p in range(len(ws) - 2)
+        )
+        if not dirty and out[i] != t:
+            # cut without an ORIGINAL eval hit can only happen if an
+            # earlier round's cut spliced a hit into this doc — but
+            # round 1 cuts only originally-dirty docs, so a clean doc
+            # can never be touched (its text never changes between
+            # rounds, and collision detection is per-doc)
+            raise AssertionError((i, t, out[i]))
