@@ -1160,3 +1160,7 @@ def test_pq_kmeans_codebook_sampled_training(spark, sf_dir):
         pq_train_codebooks_kmeans(
             e, vec_col="emb", n_sub=4, k=4, sample_fraction=0.0
         )
+    with pytest.raises(ValueError, match="empty vector frame"):
+        pq_train_codebooks_kmeans(
+            e.filter("vec_id < 0"), vec_col="emb", n_sub=4, k=4
+        )
