@@ -139,3 +139,86 @@ def test_bigram_lm_plan_and_degenerate_docs(spark):
     assert all(
         r.avg_log2_s <= 0 for r in by_id.values() if r.avg_log2_s is not None
     )
+
+
+# The validated DuckDB oracle for the r16 `text_lm_score` promotion
+# (drafted and hash-verified r15 at sf0.001/0.01 — SURVEY §7 round-15
+# extension): train the stupid-backoff bigram LM on the doc_id % 20 != 0
+# split, score ALL documents, emit (doc_id, n_bigrams, avg_log2_s)
+# rounded to 5. The test below keeps the draft from rotting; promotion
+# is: declare the query with exactly this SQL and this composition.
+LM_SCORE_ORACLE_DRAFT = """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w,
+         doc_id % 20 != 0 AS is_train
+  FROM documents
+), pairs AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM d, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+), tpairs AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM (
+    SELECT w[i] AS w1, w[i+1] AS w2
+    FROM d, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+    WHERE is_train AND len(w) >= 2
+  ) GROUP BY w1, w2
+), tuni AS (
+  SELECT tok AS w, COUNT(*) AS c1 FROM (
+    SELECT UNNEST(w) AS tok FROM d WHERE is_train
+  ) GROUP BY tok
+), tot AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n FROM tuni),
+s AS (
+  SELECT p.doc_id,
+         CASE WHEN b.c12 IS NOT NULL AND u1.c1 IS NOT NULL
+              THEN CAST(b.c12 AS DOUBLE) / u1.c1
+              ELSE 0.4 * (COALESCE(CAST(u2.c1 AS DOUBLE), 0.4) / tot.n)
+         END AS sc
+  FROM pairs p
+  LEFT JOIN tpairs b USING (w1, w2)
+  LEFT JOIN tuni u1 ON p.w1 = u1.w
+  LEFT JOIN tuni u2 ON p.w2 = u2.w, tot
+)
+SELECT d.doc_id,
+       CAST(COALESCE(q.cnt, 0) AS BIGINT) AS n_bigrams,
+       ROUND(q.avg_log2, 5) AS avg_log2_s
+FROM (SELECT doc_id FROM d) d
+LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS cnt, AVG(log2(sc)) AS avg_log2
+  FROM s GROUP BY doc_id
+) q USING (doc_id)
+"""
+
+
+def test_lm_score_oracle_draft_parity(spark, sf_dir):
+    """The r16 promotion artifact: train on the % 20 != 0 split, score
+    everything — the Spark composition must hash-match the DuckDB draft
+    oracle exactly (rows, names, rounded values), including the backoff
+    branch the eval-slice docs exercise. Keeping this green means the
+    r16 declaration is a mechanical move."""
+    import duckdb
+    import pandas as pd
+
+    d = _docs(spark, sf_dir)
+    model = train_bigram_lm(d.filter("doc_id % 20 != 0"))
+    got = (
+        score_bigram_lm(d, model)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = (
+        con.execute(LM_SCORE_ORACLE_DRAFT)
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns], want, check_dtype=False
+    )
+    # the split actually exercises backoff: some scored pair is unseen
+    assert (got["avg_log2_s"].dropna() < 0).any()
