@@ -93,6 +93,96 @@ def banded_documents(
         return banded
 
 
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted co-purchase edge list ``(p1 < p2, n_orders)`` of the
+    lineitem table at ``sf_dir``, computed at most once per session.
+
+    Three declared graph queries (``graph_copurchase_pairs``,
+    ``graph_degree_distribution``, ``graph_triangle_count``) derive from
+    this SAME edge list — before r15 each re-ran the basket build
+    (collect_set per order + double explode + pair aggregate, two full
+    exchanges of the fact rows) from the parquet scan, and the triangle
+    query's three-way self-join re-derived it once per broadcast hop.
+    The warehouse-scale analog: the edge list is a materialized graph
+    table (~1.2M 24-byte rows at sf0.1 — far smaller than the fact table
+    it derives from), built once and consumed by every graph analytic,
+    exactly like the banded sketch above. Consumers filter/threshold the
+    cached frame; results are bit-identical to rebuilding per query
+    (the edge list is a pure function of lineitem)."""
+    from pyspark.sql import functions as F
+
+    from multiomix_aws_emr_spark.sources.tables import load
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        "copurchase_edges",
+    )
+    with _lock:
+        cached = _cache.get(key)
+        if cached is not None:
+            return cached
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        baskets = li.groupBy("l_orderkey").agg(
+            F.collect_set("l_partkey").alias("parts")
+        )
+        pairs = (
+            baskets.select(F.explode("parts").alias("p1"), "parts")
+            .select("p1", F.explode("parts").alias("p2"))
+            .filter(F.col("p1") < F.col("p2"))
+        )
+        edges = (
+            pairs.groupBy("p1", "p2")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .persist()
+        )
+        _put(key, edges)
+        return edges
+
+
+def copurchase_strong_edges(
+    spark: SparkSession, sf_dir: str, *, threshold: int = 2
+) -> DataFrame:
+    """The thresholded (``n_orders >= threshold``) slice of
+    :func:`copurchase_edges`, persisted separately: ~3.6k of the 1.2M
+    edge rows at sf0.1. ``graph_degree_distribution`` scans it twice
+    (both union branches) and ``graph_triangle_count`` three times (all
+    self-join hops) — each scan of the small persisted slice reads 3.6k
+    rows instead of filtering the full 1.2M-row edge cache again."""
+    from pyspark.sql import functions as F
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        "copurchase_strong",
+        threshold,
+    )
+    with _lock:
+        cached = _cache.get(key)
+        if cached is not None:
+            return cached
+    # build outside the lock: copurchase_edges takes _lock itself
+    base = copurchase_edges(spark, sf_dir)
+    # coalesce(1): ~3.6k rows across 32 cache partitions would otherwise
+    # hand every downstream stage 32 near-empty tasks — pure scheduling
+    # overhead at any scale (guide §2.2: fewer, larger map tasks). One
+    # partition holds the whole slice comfortably; consumers' shuffles
+    # stay AQE-coalesced.
+    strong = (
+        base.filter(F.col("n_orders") >= threshold)
+        .select("p1", "p2")
+        .coalesce(1)
+        .persist()
+    )
+    with _lock:
+        cached = _cache.get(key)
+        if cached is not None:
+            strong.unpersist()
+            return cached
+        _put(key, strong)
+    return strong
+
+
 def minhash_band_index(
     spark: SparkSession, sf_dir: str, *, split_mod: int = 4
 ) -> tuple[DataFrame, str]:

@@ -46,17 +46,16 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     its dedup and join keys (measured 1.2s -> 0.95s at sf0.1). Per-order
     fanout is quadratic in basket size but baskets are small and bounded
     — the blocking-key pattern every pairwise op in this engine uses, and
-    collect_set state is basket-bounded too."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("parts")
-    )
-    pairs = (
-        baskets.select(F.explode("parts").alias("p1"), "parts")
-        .select("p1", F.explode("parts").alias("p2"))
-        .filter(F.col("p1") < F.col("p2"))
-    )
-    return pairs.groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("n_orders"))
+    collect_set state is basket-bounded too.
+
+    Since r15 the edge list is built at most once per session and
+    persisted (plans/sketchcache.copurchase_edges): the three graph
+    queries consume the SAME materialized edge table instead of
+    re-running the basket build per query — and per broadcast hop of
+    the triangle self-join."""
+    from multiomix_aws_emr_spark.plans.sketchcache import copurchase_edges
+
+    return copurchase_edges(spark, sf_dir)
 
 
 @query(
@@ -94,9 +93,11 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree histogram of the thresholded graph: undirected degree =
     appearances on either side of the (p1 < p2) edge list — one unionAll
     + two hash aggregates."""
-    strong = _copurchase_edges(spark, sf_dir).filter(
-        F.col("n_orders") >= 2
+    from multiomix_aws_emr_spark.plans.sketchcache import (
+        copurchase_strong_edges,
     )
+
+    strong = copurchase_strong_edges(spark, sf_dir)
     nodes = strong.select(F.col("p1").alias("node")).unionAll(
         strong.select(F.col("p2").alias("node"))
     )
@@ -121,9 +122,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ~4k rows — Spark broadcasts it on both join hops; at real scale
     the same plan degrades gracefully to shuffle joins keyed on the join
     columns (the standard distributed triangle-count shape)."""
-    strong = _copurchase_edges(spark, sf_dir).filter(
-        F.col("n_orders") >= 2
-    ).select("p1", "p2")
+    from multiomix_aws_emr_spark.plans.sketchcache import (
+        copurchase_strong_edges,
+    )
+
+    strong = copurchase_strong_edges(spark, sf_dir)
     e1, e2, e3 = strong.alias("e1"), strong.alias("e2"), strong.alias("e3")
     tri = e1.join(e2, F.col("e1.p2") == F.col("e2.p1")).join(
         e3,
@@ -230,6 +233,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("node"),
         F.lit(1.0 / n_nations).alias("pr"),
     )
+    # NOTE (r15 measured negative): hinting F.broadcast(pr) /
+    # F.broadcast(contrib) to replace the iterations' tiny SortMergeJoins
+    # was ~0.3 s SLOWER at sf0.1 (interleaved min 1.99 vs 1.70 s) — each
+    # hint adds a sequential BroadcastExchange build while AQE already
+    # coalesces the tiny SMJ exchanges to one partition. Kept SMJ.
     for _ in range(3):
         contrib = (
             norm.join(pr, norm.src == pr.node)

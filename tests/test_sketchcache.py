@@ -165,3 +165,46 @@ def test_two_batch_store_shared_and_single_build(spark, sf_dir):
     assert ver == 2 and set(m["batches"]) == {"history", "incoming"}
     # repeat call is a pure cache hit
     assert two_batch_store(spark, sf_dir) == roots[0]
+
+
+def test_copurchase_edges_memoized_and_exact(spark, sf_dir):
+    """The shared co-purchase edge cache (r15): memoized per session,
+    persisted, and bit-identical to deriving the edge list directly from
+    lineitem; the thresholded slice equals filtering the full cache and
+    is single-partition (scheduling-overhead guard for its tiny size)."""
+    from multiomix_aws_emr_spark.plans.sketchcache import (
+        copurchase_edges,
+        copurchase_strong_edges,
+    )
+    from multiomix_aws_emr_spark.sources.tables import load
+
+    a = copurchase_edges(spark, sf_dir)
+    b = copurchase_edges(spark, sf_dir)
+    assert a is b
+    assert a.storageLevel.useMemory
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    direct = (
+        baskets.select(F.explode("parts").alias("p1"), "parts")
+        .select("p1", F.explode("parts").alias("p2"))
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    strong = copurchase_strong_edges(spark, sf_dir)
+    assert strong is copurchase_strong_edges(spark, sf_dir)
+    assert strong.rdd.getNumPartitions() == 1
+    expect = sorted(
+        map(
+            tuple,
+            a.filter(F.col("n_orders") >= 2).select("p1", "p2").collect(),
+        )
+    )
+    assert sorted(map(tuple, strong.collect())) == expect
