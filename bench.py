@@ -68,6 +68,20 @@ def main() -> None:
 
     prewarm_streaming_runtime(spark, sf_dir)
 
+    # Warm the Python Data Source API machinery (r15, declared in
+    # OPTIMIZATION_r15.md): the first read/write/stream through a
+    # spark.dataSource connector initializes per-session plan classes,
+    # the dedicated datasource worker modules, and the driver-side
+    # source-runner process — 4-7 s of per-APPLICATION engine init that
+    # otherwise lands on whichever datasource query sorts first
+    # (source_python_datasource), same first-run class as the UDF-pool
+    # and streaming warms above. 1-2-row throwaway jobs.
+    from multiomix_aws_emr_spark.sources.pydatasource import (
+        prewarm_datasource_api,
+    )
+
+    prewarm_datasource_api(spark)
+
     # Failure-isolated: one broken query loses its own number, never the
     # whole artifact (r3 lesson — a single loader bug zeroed the round's
     # only performance signal).

@@ -351,3 +351,58 @@ class TsvShardSink(DataSource):
 def register_sink(spark) -> None:
     """Idempotently register the sink on a session."""
     _register_once(spark, TsvShardSink)
+
+
+def prewarm_datasource_api(spark) -> None:
+    """Pay the Python Data Source API's first-run cost on 1-row jobs so
+    it lands here instead of in the first measured datasource query.
+
+    Same rationale (and failure policy) as the bench's Python-UDF-pool
+    and streaming-runtime warms: the FIRST read and the FIRST write
+    through ``spark.dataSource``-registered connectors each initialize
+    per-session machinery — the JVM plan classes for Python sources,
+    the dedicated datasource worker modules (separate from the pandas
+    UDF worker path), and the driver-side source-runner process —
+    measured 4-7 s cold vs 0.5-1.2 s for the same calls warm at sf0.1.
+    On a real deployment this is per-application engine init, not query
+    cost. Failures are swallowed: a pre-warm must never break the
+    caller."""
+    import os
+    import shutil
+    import tempfile
+
+    try:
+        register(spark)
+        (
+            spark.read.format("omics_matrix")
+            .option("n_samples", "1")
+            .option("n_features", "1")
+            .option("feature_block", "1")
+            .load()
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+    except Exception:
+        pass
+    try:
+        register_sink(spark)
+        out = tempfile.mkdtemp(prefix="pyds_prewarm_")
+        try:
+            spark.createDataFrame(
+                [(0, "xx", 0)], "doc_id bigint, lang string, n_chars bigint"
+            ).write.format("tsv_shards").option("path", out).mode(
+                "append"
+            ).save()
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+    except Exception:
+        pass
+    try:
+        # 2-row, 1-batch feed: initializes the streaming source-runner
+        # process + SimpleDataSourceStreamReader worker path
+        run_event_feed_rollup(
+            spark, n_total=2, rows_per_batch=2, timeout_sec=60.0
+        )
+    except Exception:
+        pass

@@ -103,3 +103,23 @@ def test_sink_roundtrip_escapes_adversarial_content(spark, tmp_path):
     )
     got = {r.doc_id: (r.lang, r.n_chars) for r in back.collect()}
     assert got == {i: (lang, n) for i, lang, n in rows}
+
+
+def test_prewarm_datasource_api_idempotent(spark):
+    """The bench's datasource prewarm (r15) must be repeatable on a
+    shared session, never raise, and leave the connectors registered and
+    usable afterwards."""
+    from multiomix_aws_emr_spark.sources.pydatasource import (
+        prewarm_datasource_api,
+    )
+
+    prewarm_datasource_api(spark)
+    prewarm_datasource_api(spark)  # idempotent re-run
+    m = (
+        spark.read.format("omics_matrix")
+        .option("n_samples", "3")
+        .option("n_features", "2")
+        .option("feature_block", "1")
+        .load()
+    )
+    assert m.count() == 6
