@@ -462,35 +462,47 @@ def fivegram_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Like the banded sketch, each row is a function of its own document
     only, so consumers restrict by filter/semi-join exactly."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
-    from multiomix_aws_emr_spark.sources.tables import load
+    from multiomix_aws_emr_spark.sources.tables import load, scan_parallel
 
     key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir), "5gram")
     with _lock:
         cached = _cache.get(key)
         if cached is not None:
             return cached
-        d = load(spark, sf_dir, "documents")
-        w = Window.partitionBy("doc_id").orderBy("pos")
-        n_parts = max(
-            spark.sparkContext.defaultParallelism, d.rdd.getNumPartitions()
-        )
-        tok = (
-            d.repartition(n_parts, "doc_id")
+        d = scan_parallel(load(spark, sf_dir, "documents"))
+        # Row-local build (r15): the gram hash is a pure function of one
+        # document, so the whole (doc_id, s) set is computable as a
+        # projection — per-doc hashes via ``transform(sequence) -> slice``
+        # over the filtered word array, per-doc dedup via array_distinct,
+        # one explode. The previous shape (repartition by doc_id ->
+        # posexplode -> 4x lead window -> dropDuplicates) paid one full
+        # exchange of the corpus plus a per-partition sort for the same
+        # rows; this one computes and dedups grams inside the scan stage
+        # (guide §2.4 — the only exchange left is scan_parallel's
+        # conditional small-fixture spread, a no-op at production input
+        # widths). Hash equivalence: xxhash64(concat_ws(' ', tok, lead1..4))
+        # == xxhash64(array_join(slice(w, i, 5), ' ')) — identical string,
+        # identical seed. Docs with < 5 non-empty words emit nothing in
+        # both shapes (lead4 null there / size guard here).
+        w = F.filter(F.split("text", " "), lambda x: x != "")
+        sh = (
+            d.select("doc_id", w.alias("w"))
+            .filter(F.size("w") >= 5)
             .select(
-                "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+                "doc_id",
+                F.explode(
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("w") - 4),
+                            lambda i: F.xxhash64(
+                                F.array_join(F.slice("w", i, 5), " ")
+                            ),
+                        )
+                    )
+                ).alias("s"),
             )
-            .filter(F.col("tok") != "")
+            .persist()
         )
-        leads = [F.lead("tok", j).over(w) for j in range(1, 5)]
-        gram = tok.select(
-            "doc_id",
-            leads[-1].alias("_last"),
-            F.xxhash64(F.concat_ws(" ", "tok", *leads)).alias("s"),
-        ).filter(F.col("_last").isNotNull())
-        # doc_id partitioning satisfies the (doc_id, s) clustered
-        # distribution, so the dedup aggregates without a new shuffle
-        sh = gram.dropDuplicates(["doc_id", "s"]).select("doc_id", "s").persist()
         _put(key, sh)
         return sh
