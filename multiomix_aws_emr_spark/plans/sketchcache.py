@@ -183,6 +183,45 @@ def copurchase_strong_edges(
     return strong
 
 
+def substring_spans_cached(
+    spark: SparkSession, sf_dir: str, *, k: int = 5
+) -> DataFrame:
+    """The persisted ExactSubstr duplicate-span table of ``documents`` —
+    ``(doc_id, span_start, span_end, n_grams)`` per maximal cross-document
+    duplicated word span (operators/dedup.substring_spans), computed at
+    most once per session + corpus (r15).
+
+    Two declared queries consume the IDENTICAL operator output:
+    ``dedup_substring_spans`` (the detection half — emits the spans frame
+    itself) and ``pipeline_substring_cut`` (the cut half — feeds the same
+    spans into ``cut_spans``). Before r15 each re-ran the whole gram
+    explode -> dup-gram inventory agg -> semi-join -> interval-merge
+    pipeline from the parquet scan. The spans table is tiny next to the
+    corpus it derives from (one row per duplicated span, bounded by hits,
+    not grams), which is exactly the warehouse-scale shape: ExactSubstr
+    span detection is materialized once per corpus snapshot and both the
+    audit surface and the cut pipeline read the materialization."""
+    from multiomix_aws_emr_spark.operators.dedup import substring_spans
+    from multiomix_aws_emr_spark.sources.tables import load
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        "substrspans",
+        k,
+    )
+    with _lock:
+        cached = _cache.get(key)
+        if cached is not None:
+            return cached
+        d = load(spark, sf_dir, "documents").select("doc_id", "text")
+        spans = substring_spans(
+            d, id_col="doc_id", text_col="text", k=k
+        ).persist()
+        _put(key, spans)
+        return spans
+
+
 def minhash_band_index(
     spark: SparkSession, sf_dir: str, *, split_mod: int = 4
 ) -> tuple[DataFrame, str]:

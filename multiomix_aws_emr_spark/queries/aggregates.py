@@ -514,9 +514,16 @@ def agg_winsorize_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group); at extreme group cardinality swap approx_percentile —
     same plan shape."""
     li = load(spark, sf_dir, "lineitem")
+    # one percentile aggregate with an array of fractions (r15): the
+    # two-expression form buffered every group's values TWICE (Percentile
+    # is a buffering TypedImperativeAggregate); the array form sorts one
+    # buffer and reads both fractions from it — same exact values.
     bounds = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        F.expr("percentile(l_extendedprice, array(0.01, 0.99))").alias("p")
+    ).select(
+        "l_returnflag",
+        F.col("p")[0].alias("p01"),
+        F.col("p")[1].alias("p99"),
     )
     return (
         li.join(F.broadcast(bounds), "l_returnflag")

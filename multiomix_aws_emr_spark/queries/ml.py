@@ -55,11 +55,21 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    e = scan_parallel(load(spark, sf_dir, "embeddings")).select(
-        "vec_id",
-        array_to_vector(
-            F.transform("embedding", lambda x: x.cast("double"))
-        ).alias("features"),
+    # persist the vectorized frame (r15): the k-means fit (~10 internal
+    # aggregate jobs), the transform, the per-cluster WSS branch and the
+    # TSS branch otherwise EACH replay scan -> cast -> array_to_vector —
+    # four-plus evaluations of the same subtree. CacheManager keys on the
+    # canonicalized plan, so repeated builds of this query in one session
+    # share a single cache entry rather than stacking copies.
+    e = (
+        scan_parallel(load(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            array_to_vector(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("features"),
+        )
+        .persist()
     )
     model = KMeans(k=8, seed=42, maxIter=10).fit(e)
     assigned = model.transform(e)

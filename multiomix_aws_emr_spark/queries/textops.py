@@ -175,11 +175,16 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The pipeline body lives in ``operators/dedup.substring_spans``
     (factored in r14 so ``pipeline_substring_cut`` composes the same
-    operator); this declaration is the detection half's oracle gate."""
-    from multiomix_aws_emr_spark.operators.dedup import substring_spans
+    operator); this declaration is the detection half's oracle gate.
+    The spans frame is session-shared with ``pipeline_substring_cut``
+    (plans/sketchcache.substring_spans_cached, r15): both queries consume
+    the identical operator output, so one build serves both — the
+    materialized-span-table shape a production corpus runs."""
+    from multiomix_aws_emr_spark.plans.sketchcache import (
+        substring_spans_cached,
+    )
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return substring_spans(d, id_col="doc_id", text_col="text", k=5)
+    return substring_spans_cached(spark, sf_dir, k=5)
 
 
 _SUBSTRING_CUT_ORACLE = """
@@ -267,13 +272,15 @@ def pipeline_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cut as a passthrough column, so the corpus is scanned twice
     (once per join side) and joined ONCE — no third pass, no join back
     for metadata."""
-    from multiomix_aws_emr_spark.operators.dedup import (
-        cut_spans,
-        substring_spans,
+    from multiomix_aws_emr_spark.operators.dedup import cut_spans
+    from multiomix_aws_emr_spark.plans.sketchcache import (
+        substring_spans_cached,
     )
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    spans = substring_spans(d, id_col="doc_id", text_col="text", k=5)
+    # session-shared with dedup_substring_spans (identical operator
+    # output over the identical input — one span build serves both, r15)
+    spans = substring_spans_cached(spark, sf_dir, k=5)
     cleaned = cut_spans(
         d,
         spans,
