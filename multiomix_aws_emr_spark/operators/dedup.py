@@ -36,13 +36,23 @@ from pyspark.sql.window import Window
 
 
 def shingle_rows(
-    df: DataFrame, *, id_col: str, text_col: str, shingle_words: int = 3
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
     """(id, shingle) rows: distinct word n-grams of a text column.
 
     Documents shorter than ``shingle_words`` tokens contribute their full
     token string as a single shingle; documents with no tokens contribute
     nothing.
+
+    ``distinct=False`` skips the per-doc dedup aggregate and may emit a
+    shingle more than once per document — for duplicate-insensitive
+    consumers (a MIN aggregate over hashes sees the same value set either
+    way), it removes one HashAggregate from the plan (r15).
     """
     w = Window.partitionBy(id_col).orderBy("pos")
     # Explicit partition count: AQE would coalesce a bare
@@ -67,7 +77,7 @@ def shingle_rows(
     # collect_list, no union branch.
     leads = [F.lead("tok", j).over(w) for j in range(1, shingle_words)]
     last = leads[-1] if leads else F.col("tok")
-    return (
+    out = (
         tok.select(
             id_col,
             F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"),
@@ -75,11 +85,11 @@ def shingle_rows(
             last.alias("_last"),
         )
         .filter(F.col("_last").isNotNull() | (F.col("_rn") == 1))
-        # doc_id partitioning satisfies the (id, shingle) clustered
-        # distribution, so this dedup aggregates without a new shuffle
-        .dropDuplicates([id_col, "shingle"])
         .select(id_col, "shingle")
     )
+    # doc_id partitioning satisfies the (id, shingle) clustered
+    # distribution, so this dedup aggregates without a new shuffle
+    return out.dropDuplicates([id_col, "shingle"]) if distinct else out
 
 
 def minhash_signatures(
@@ -102,8 +112,19 @@ def minhash_signatures(
     """
     from multiomix_aws_emr_spark.functions.porthash import phash_pair
 
+    # distinct=False: MIN over the hash family is duplicate-insensitive,
+    # so the per-doc shingle dedup aggregate buys nothing here (r15 —
+    # one fewer HashAggregate; same exchange, same values). A row-local
+    # array_min(transform(...)) formulation was A/B'd r15 and REJECTED:
+    # higher-order functions are CodegenFallback, and the interpreted
+    # md5/conv per element measured 2.4 s vs 0.8-1.2 s warm for this
+    # rows+codegen shape on the sf0.1 sketch build.
     sh = shingle_rows(
-        df, id_col=id_col, text_col=text_col, shingle_words=shingle_words
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_words=shingle_words,
+        distinct=False,
     )
     if portable:
         a, b = phash_pair("shingle")

@@ -306,22 +306,47 @@ def ingest_batch(
 
     index, membership = _read_index(spark, root, m, nb, id_col)
 
-    # Stage 2: accepted rows — the batch's rep assignments. The sketch is
-    # materialized (stage 1), so the skew-safe groupBy assign costs no
-    # re-derivation — and a rolling corpus is exactly where boilerplate
-    # mega-buckets show up (incremental_assign docstring, r12 skew probe).
-    incremental_assign(nb, index, id_col=id_col, skew_safe=True).write.parquet(
-        os.path.join(root, assigns_rel)
-    )
-    _crash_point("after_assign")
+    # Stages 2+3 OVERLAPPED (r15, guide §2.6): the assignment write, the
+    # index upsert and the membership upsert are three independent jobs —
+    # each reads only the materialized sketch (nb) plus the committed
+    # previous version — so they run concurrently from a small driver
+    # thread pool and the stage wall is max(three writes), not their sum
+    # (measured 2.4-2.9 s -> ~1.4 s per ingest at sf0.1). Transactional
+    # semantics are unchanged: every staged dir is writer-unique and
+    # invisible until the manifest commit below, so a crash at any point
+    # (including mid-overlap) leaves only sweepable orphans — the
+    # ``_crash_point`` ordering is preserved by awaiting the assignment
+    # future before "after_assign" and the upsert futures before
+    # "after_index" (an in-process injected crash still drains the pool
+    # via executor shutdown; a hard exit kills mid-write like a real
+    # preemption, which the kill-probe matrix covers).
+    from concurrent.futures import ThreadPoolExecutor
 
-    # Stage 3: the next index + membership versions (writer-unique dirs).
-    upsert_band_index(index, nb, id_col=id_col).write.parquet(
-        os.path.join(root, index_rel)
-    )
-    upsert_band_membership(membership, nb, id_col=id_col).write.parquet(
-        os.path.join(root, member_rel)
-    )
+    from pyspark import inheritable_thread_target
+
+    def _w_assign() -> None:
+        incremental_assign(
+            nb, index, id_col=id_col, skew_safe=True
+        ).write.parquet(os.path.join(root, assigns_rel))
+
+    def _w_index() -> None:
+        upsert_band_index(index, nb, id_col=id_col).write.parquet(
+            os.path.join(root, index_rel)
+        )
+
+    def _w_member() -> None:
+        upsert_band_membership(membership, nb, id_col=id_col).write.parquet(
+            os.path.join(root, member_rel)
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_assign = pool.submit(inheritable_thread_target(spark)(_w_assign))
+        f_index = pool.submit(inheritable_thread_target(spark)(_w_index))
+        f_member = pool.submit(inheritable_thread_target(spark)(_w_member))
+        f_assign.result()
+        _crash_point("after_assign")
+        f_index.result()
+        f_member.result()
     _crash_point("after_index")
 
     manifest = {
@@ -368,8 +393,27 @@ def retract_batch(
     )
     index_rel = f"index_v{ver + 1}_{token}"
     member_rel = f"membership_v{ver + 1}_{token}"
-    new_index.write.parquet(os.path.join(root, index_rel))
-    new_membership.write.parquet(os.path.join(root, member_rel))
+    # same two-independent-staged-writes overlap as ingest_batch (r15,
+    # guide §2.6); invisibility-until-commit makes it transactionally free
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fi = pool.submit(
+            inheritable_thread_target(spark)(
+                lambda: new_index.write.parquet(os.path.join(root, index_rel))
+            )
+        )
+        fm = pool.submit(
+            inheritable_thread_target(spark)(
+                lambda: new_membership.write.parquet(
+                    os.path.join(root, member_rel)
+                )
+            )
+        )
+        fi.result()
+        fm.result()
     _crash_point("after_index")
 
     manifest = {
