@@ -575,10 +575,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, id_col="vec_id", vec_col="emb", n_lists=8
     )
     cmat = centroid_matrix(cents.collect())
-    assigned = assign_to_centroids(
-        e, cmat, id_col="vec_id", vec_col="emb"
-    ).select("vec_id", "list_id")
-    m = assigned.join(e, "vec_id").select("vec_id", "list_id", "emb")
+    # emb rides the assignment Project in the JVM (keep=, r15) — the
+    # former join-back of (vec_id, list_id) onto e cost two exchanges
+    # and a second evaluation of the e subtree for identical rows
+    m = assign_to_centroids(
+        e, cmat, id_col="vec_id", vec_col="emb", keep=["emb"]
+    ).select("vec_id", "list_id", "emb")
     return semantic_survivors(
         m, id_col="vec_id", vec_col="emb", threshold=0.35
     ).select("vec_id", F.col("list_id").cast("int").alias("list_id"))
