@@ -93,13 +93,25 @@ def _ensure_checkpoint_dir(df: DataFrame) -> None:
         )
 
 
-def truncate_lineage(df: DataFrame, reliable: bool | None = None) -> DataFrame:
+def truncate_lineage(
+    df: DataFrame, reliable: bool | None = None, *, eager: bool = True
+) -> DataFrame:
     """Cut ``df``'s lineage: localCheckpoint (fast) or checkpoint
     (executor-loss-survivable). See module docstring for the measured
-    trade-off."""
+    trade-off.
+
+    ``eager=False`` defers materialization to the first action that
+    consumes the returned frame — same truncation, no dedicated
+    materialization job. Use it when the caller's next step is itself an
+    action over the frame (a fixpoint's convergence probe, a count), so
+    one job both materializes the checkpoint and computes the probe
+    (r15: halved the per-round job count of the CC fixpoint). The first
+    consuming action must touch every partition (aggregates do; a bare
+    ``limit`` does not) or unmaterialized partitions keep their lineage
+    until something computes them."""
     if reliable is None:
         reliable = reliable_default()
     if reliable:
         _ensure_checkpoint_dir(df)
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint()
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

@@ -38,6 +38,7 @@ def connected_components(
     dst: str = "dst",
     max_rounds: int = 20,
     reliable: bool | None = None,
+    edges_materialized: bool = False,
 ) -> DataFrame:
     """(node, component) with component = min node id reachable.
 
@@ -48,19 +49,29 @@ def connected_components(
     localCheckpoint (fastest), True for durable checkpoints that
     survive executor loss, None to follow
     ``SPARK_GRAFT_RELIABLE_CHECKPOINT=1``.
+
+    ``edges_materialized``: pass True when ``edges`` is already
+    checkpointed/persisted by the caller — the symmetrized edge list is
+    then kept lazy (re-deriving union+project from the materialized
+    edges per round is narrow and free) instead of paying a dedicated
+    materialization job of its own (r15).
     """
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # Materialize the (possibly expensive) edge-producing plan ONCE — every
-    # round joins against sym, and without this the upstream pipeline
-    # (e.g. the whole MinHash sketch) would re-execute per round.
-    sym = truncate_lineage(
-        fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))),
-        reliable,
-    )
+    sym = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    if not edges_materialized:
+        # Materialize the (possibly expensive) edge-producing plan ONCE —
+        # every round joins against sym, and without this the upstream
+        # pipeline (e.g. the whole MinHash sketch) would re-execute per
+        # round.
+        sym = truncate_lineage(sym, reliable)
 
     # Initial labels fold the first propagation round into one aggregate:
     # node -> min(node, direct neighbors). Star-shaped graphs (the near-dup
     # common case) converge here, leaving a single confirmation round.
+    # Lineage cuts are LAZY (eager=False): the convergence probe right
+    # after is the materializing action, so each round runs ONE job
+    # (materialize + probe) instead of two (r15 — the probe aggregate
+    # touches every partition, satisfying truncate_lineage's contract).
     labels = truncate_lineage(
         sym.groupBy("a")
         .agg(F.min("b").alias("_mb"))
@@ -69,6 +80,7 @@ def connected_components(
             F.least("a", "_mb").alias("component"),
         ),
         reliable,
+        eager=False,
     )
     prev_sum = labels.agg(F.sum("component")).first()[0]
     for _ in range(max_rounds):
@@ -82,6 +94,7 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component")),
             reliable,
+            eager=False,
         )
         # Min-label propagation only ever lowers labels, so the global sum
         # strictly decreases until the fixpoint: one scalar aggregate per

