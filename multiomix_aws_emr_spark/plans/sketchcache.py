@@ -35,7 +35,8 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 
 _lock = threading.Lock()
-# values: a DataFrame, or (DataFrame, str path) for persisted artifacts
+# values: a DataFrame, (DataFrame, str path) for persisted artifacts, or
+# a scalar (embedding_dim's int probe result)
 _cache: dict[tuple, object] = {}
 
 
@@ -52,6 +53,49 @@ def _put(key: tuple, df: DataFrame) -> None:
         if isinstance(evicted, threading.Event):
             evicted.set()  # wake any waiter; it re-checks and rebuilds
     _cache[key] = df
+
+
+def embedding_dim(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+) -> int:
+    """The vector dimensionality of ``table``'s ``vec_col`` at ``sf_dir``,
+    probed from ONE row at most once per session + corpus (r15).
+
+    ANN operators need dim on the DRIVER to size hyperplane/codebook
+    literals; each uncached probe is a 1-row job (~0.2-0.5 s warm at
+    sf0.1) that re-runs on every query build. The column is rectangular
+    by fixture contract (the wide_agg guard in operators/similarity.py
+    documents the same invariant), so one row decides it."""
+    from multiomix_aws_emr_spark.sources.tables import load
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        "embdim",
+        table,
+        vec_col,
+    )
+    with _lock:
+        cached = _cache.get(key)
+    if isinstance(cached, int):
+        return cached
+    # probe outside _lock: it is a (small) Spark job, and the module lock
+    # must never be held across jobs (see minhash_band_index). A benign
+    # duplicate probe on a race costs one extra 1-row job.
+    row = load(spark, sf_dir, table).select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot infer vector dim: {table}.{vec_col} at {sf_dir} "
+            "has no non-null first row"
+        )
+    dim = len(row[0])
+    with _lock:
+        _put(key, dim)
+    return dim
 
 
 def banded_documents(

@@ -643,6 +643,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_topk,
         exact_with_recall_ok,
     )
+    from multiomix_aws_emr_spark.plans.sketchcache import embedding_dim
 
     e = scan_parallel(load(spark, sf_dir, "embeddings"))
     approx = ann_lsh_topk(
@@ -653,6 +654,10 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_planes=4,
         probe_hamming=2,
+        # session-cached 1-row probe (plans/sketchcache.embedding_dim,
+        # r15) — without it every build of this query re-ran the probe
+        # job that ann_lsh_topk's dim=None fallback performs
+        dim=embedding_dim(spark, sf_dir),
     )
     exact = exact_topk(e, id_col="vec_id", vec_col="embedding", query_ids=[0], k=5)
     return exact_with_recall_ok(approx, exact, 5, floor=0.6)

@@ -208,3 +208,26 @@ def test_copurchase_edges_memoized_and_exact(spark, sf_dir):
         )
     )
     assert sorted(map(tuple, strong.collect())) == expect
+
+
+def test_embedding_dim_probed_once_and_correct(spark, sf_dir):
+    """The dim probe returns the real vector dimensionality and memoizes
+    per (session, corpus, table, col) — the second call must be a pure
+    dict hit (r15: ann query builds stop re-running the 1-row job)."""
+    from multiomix_aws_emr_spark.plans import sketchcache
+    from multiomix_aws_emr_spark.plans.sketchcache import embedding_dim
+    from multiomix_aws_emr_spark.sources.tables import load
+
+    d1 = embedding_dim(spark, sf_dir)
+    expected = len(
+        load(spark, sf_dir, "embeddings").select("embedding").first()[0]
+    )
+    assert d1 == expected
+    key = next(
+        k for k in sketchcache._cache if len(k) > 2 and k[2] == "embdim"
+    )
+    sketchcache._cache[key] = d1 + 1000  # detectable sentinel
+    try:
+        assert embedding_dim(spark, sf_dir) == d1 + 1000  # cache hit
+    finally:
+        sketchcache._cache[key] = d1
