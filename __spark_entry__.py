@@ -67,48 +67,48 @@ def _last_verified_round() -> dict[str, int]:
 # Queries whose newest driver evidence predates their current code or
 # oracle must land inside the driver's ~50-query budget regardless of
 # what the LRU sort alone would pick (the r5 convention: code-newer-
-# than-evidence is the worst staleness). Round 15's budget composition
-# (VERDICT r14 tasks 1-2, the r14 note's math honored exactly):
+# than-evidence is the worst staleness). Round 16's budget composition
+# (VERDICT r15 task 2 executed):
 #
-# 1. ZERO pins. The round's only declared-path edits are (a)
-#    text_unigram_rarity's docstring (the single-pass rewrite was
-#    MEASURED AND REJECTED — the code shape is byte-identical to its
-#    banded r11 form; the rewrite ships as the separate component
-#    operators/quality.unigram_rarity, contract-tested against the
-#    declared query), and text_unigram_rarity sits inside the r11
-#    cohort below anyway, so it gets fresh driver evidence regardless;
-#    (b) operators/similarity.py's packed-lane guard (ADVICE r14) —
-#    consumed only by components and by similarity_ivfpq's
-#    plan-asserted path, whose r14 evidence postdates nothing (the
-#    guard raises on inputs the declared query never passes, and
-#    tests/test_semantic_dedup.py re-verifies the scoring contract at
-#    HEAD); (c) operators/dedup.contamination_spans gained the optional
-#    eval_grams parameter (the fixpoint loop's reuse seam; default path
-#    byte-equivalent) — its only declared consumer is
-#    pipeline_decontaminate_cut, the round's new qid, which
-#    driver-verifies the changed path itself.
-# 2. ONE new qid: pipeline_decontaminate_cut — the r14 promotion
-#    candidate (contamination_spans + cut_spans + residual per-lang
-#    stats, the pipeline_substring_cut oracle shape; components tested
-#    + 100x-probed in r14, driver-hash-checked for the first time this
-#    round). Never-verified, so it leads the LRU segment automatically.
-#
-# 1 new qid + the ENTIRE 49-qid r11-stale cohort = exactly the 50-qid
-# budget (agg_global, the set family incl. union_by_name_evolution and
-# the *_all pair, the sql TPC-H block incl. recursive_chain /
-# correlated_scalar / lateral_topk, the dedup gram/minhash/simhash
-# family, text_wordcount/stats/lang_id/quality_score/fingerprint/
-# token_count(_bpe)/chunk_windows/redact_pii/unigram_rarity,
-# scalar_string/date/array, array_explode/aggregate, graph_pagerank,
-# join_bucketed_colocated/full_outer/null_safe/salted_skew,
-# pipeline_pack_sequences, sample_topk_hash, sort_limit_topk,
-# source_python_stream, stream_rollup_upsert, udtf_expand,
-# unpivot_long), leaving max staleness r12 after r15
+# The r15 optimization phase changed the executed plans of ~23 declared
+# queries AFTER the r15 budget note was written; only three of them
+# (dedup_near_minhash, dedup_minhash_components,
+# pipeline_decontaminate_cut) landed in the r15 driver sample. The
+# remaining 20 are pinned below so CORRECTNESS_r16 carries driver rows
+# for every query whose code is newer than its newest clean record —
+# plus any query the r16 optimization round itself touches (appended as
+# the round proceeds, so the list is written AFTER the edits it covers,
+# not before). The driver-run pytest oracle-parity sweep re-verified
+# all 196 at the r15 HEAD, so this is staleness hygiene, not a known
+# red. 20 pins + the budget's LRU fill take most of the 47-qid r12
+# cohort; the leftover r12 tail is the price of the pin convention and
+# leads the r17 budget automatically
 # (tests/test_entry_contract.py::test_budget_composition asserts the
-# whole-cohort property generically; text_lm_score stays the r16-first
-# promotion — no second free slot this round, decision dated in
-# SURVEY §7).
-_STALE_PRIORITY: list[str] = []
+# generalized property: pins first, then the stalest non-pins, with no
+# staler qid left outside).
+_STALE_PRIORITY: list[str] = [
+    # r15-changed, no r15 driver row (VERDICT r15 audit items 1-12):
+    "ml_kmeans_embeddings",        # persist + random init (+ r16 guard)
+    "dedup_semantic",              # keep= assignment rewrite
+    "similarity_ivfpq",            # keep= + overlapped exact subtree
+    "agg_winsorize_filter",        # single-buffer percentile pair
+    "dedup_store_time_travel",     # overlapped staged store writes
+    "pipeline_incremental_ingest",
+    "dedup_store_version_diff",
+    "stream_incremental_ingest",
+    "dedup_retract_index",         # minhash distinct=False
+    "dedup_incremental_minhash",   # shared-sketch batch filter
+    "stream_dedup_watermark",      # minhash distinct=False
+    "pipeline_curation",           # minhash distinct=False
+    "pipeline_curation_v2",        # minhash distinct=False + fivegram
+    "text_decontaminate",          # row-local fivegram build
+    "graph_copurchase_pairs",      # session-shared edge list
+    "graph_degree_distribution",
+    "graph_triangle_count",
+    "dedup_substring_spans",       # shared span build
+    "pipeline_substring_cut",
+    "similarity_ann_lsh",          # session-memoized dim probe
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -3,9 +3,10 @@
 The reference's compute job fits scikit models inside worker tasks
 (`scripts/main.py:61-197`) — per-candidate, driver-orchestrated. The
 Spark-native counterpart for corpus-level models is MLlib: estimators
-whose fit IS a distributed Spark job (k-means||, tree ensembles, ALS),
+whose fit IS a distributed Spark job (k-means, tree ensembles, ALS),
 consuming DataFrame columns directly. One query exercises the seam:
-array<float> embeddings -> MLlib vectors -> seeded k-means -> cluster
+array<float> embeddings -> MLlib vectors -> seeded random-init k-means
+(maxIter=10 Lloyd; k-means|| refit only on cluster collapse) -> cluster
 assignments, reduced to per-cluster stats.
 
 The model fit has no DuckDB twin and cluster IDENTITIES are
@@ -35,9 +36,17 @@ FROM range(0, 8) t(i)
 
 @query("ml_kmeans_embeddings", oracle=_KMEANS_ORACLE)
 def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded k-means|| over the embeddings table via MLlib: fit is a
-    sequence of distributed aggregate jobs (no data to the driver beyond
-    k centroids), transform is a map-side UDF.
+    """Seeded random-init k-means (maxIter=10 Lloyd) over the embeddings
+    table via MLlib: fit is a sequence of distributed aggregate jobs (no
+    data to the driver beyond k centroids), transform is a map-side UDF.
+    Random init samples k data rows as seeds, so a corpus with duplicate
+    embedding vectors CAN seed two identical centers and leave one
+    permanently empty (MLlib keeps stale centers) — the exact collapse
+    the ``nonempty`` invariant exists to catch, which k-means|| seeding
+    made vanishingly unlikely. The fit below therefore guards the swap:
+    it checks the per-cluster sizes (from the same aggregate the declared
+    output consumes — no extra pass on the healthy path) and refits with
+    k-means|| seeding on collapse (ADVICE r15).
 
     Oracle-checked via the invariant-grid pattern (the model fit itself
     has no SQL twin, but its CONTRACT does): one row per expected cluster
@@ -81,29 +90,52 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collapses; oracle parity (rows+schema+hash) re-proven at sf0.001,
     # sf0.01 and sf0.1 after the swap, and the seeded fit stays
     # deterministic (tests/test_operators.py::test_mlkmeans_invariants).
-    model = (
-        KMeans(k=8, seed=42, maxIter=10).setInitMode("random").fit(e)
-    )
-    assigned = model.transform(e)
-
-    # Per-cluster WSS against the fitted centroids (k tiny rows,
-    # broadcast back onto the assignment).
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "prediction int, cent array<double>",
-    )
     arr = vector_to_array("features")
-    sqd = F.aggregate(
-        F.zip_with(arr, "cent", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    percluster = (
-        assigned.join(F.broadcast(cents), "prediction")
-        .select("prediction", sqd.alias("sqd"))
-        .groupBy("prediction")
-        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("sqd").alias("wss"))
-    )
+
+    def _fit_percluster(init_mode: str):
+        """Fit + assignment + per-cluster (n_vecs, wss) against the
+        fitted centroids (k tiny rows, broadcast back onto the
+        assignment)."""
+        model = (
+            KMeans(k=8, seed=42, maxIter=10).setInitMode(init_mode).fit(e)
+        )
+        assigned = model.transform(e)
+        cents = spark.createDataFrame(
+            [
+                (i, [float(x) for x in c])
+                for i, c in enumerate(model.clusterCenters())
+            ],
+            "prediction int, cent array<double>",
+        )
+        sqd = F.aggregate(
+            F.zip_with(arr, "cent", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        percluster = (
+            assigned.join(F.broadcast(cents), "prediction")
+            .select("prediction", sqd.alias("sqd"))
+            .groupBy("prediction")
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.sum("sqd").alias("wss"),
+            )
+        )
+        return assigned, percluster
+
+    # Collapse guard (ADVICE r15): materialize the 8-row per-cluster
+    # aggregate the declared grid consumes ANYWAY (persist + collect —
+    # the healthy path computes it exactly once, same as before, just
+    # eagerly), and refit with k-means|| seeding if random init left a
+    # cluster empty. Duplicate-seed collapse is data-dependent and
+    # vanishingly rare, but silently flipping ``nonempty`` to false is
+    # the one failure the contract exists to catch.
+    assigned, percluster = _fit_percluster("random")
+    percluster = percluster.persist()
+    if sum(1 for r in percluster.collect() if r.n_vecs > 0) < 8:
+        percluster.unpersist()
+        assigned, percluster = _fit_percluster("k-means||")
+        percluster = percluster.persist()
 
     # TSS = sum over dims of n * variance — one narrow 64-key shuffle
     # (posexplode -> per-dim variance), reduced to a single row and

