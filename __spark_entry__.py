@@ -108,6 +108,16 @@ _STALE_PRIORITY: list[str] = [
     "dedup_substring_spans",       # shared span build
     "pipeline_substring_cut",
     "similarity_ann_lsh",          # session-memoized dim probe
+    # r16-changed (this round's optimization edits; evidence refreshed
+    # by pinning them into the same budget):
+    "stream_watermark_latedrop",   # volume-derived state sizing + tmpfs ckpt
+    "stream_stateful_totals",
+    "stream_session_window",
+    "stream_rollup_upsert",
+    "stream_static_join",
+    "stream_interval_join_full",
+    "stream_interval_join_outer",
+    "source_python_stream",        # + poll tightening, sized rollup state
 ]
 
 

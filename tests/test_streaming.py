@@ -374,13 +374,24 @@ def test_directory_layout_matches_single_file(spark, sf_dir, tmp_path):
 
 
 def test_static_and_stream_state_sizing(spark, sf_dir, tmp_path):
-    """Single-file layout keeps the small bounded-replay state sizing
-    (None -> cores/4 heuristic); a 4-part directory sizes state to the
-    part count floored at cores/4 and capped at the core count."""
-    from multiomix_aws_emr_spark.streaming.util import static_and_stream
+    """Single-file layout derives state instances from SOURCE BYTES (one
+    per ~16 MB of parquet, floor 4, cap cores — r16); a 4-part directory
+    sizes state to the part count floored at cores/4 and capped at the
+    core count."""
+    import math
+    import os
+
+    from multiomix_aws_emr_spark.streaming.util import (
+        _BATCH_TARGET_BYTES,
+        static_and_stream,
+    )
 
     _, _, n_single = static_and_stream(spark, sf_dir, "events.parquet")
-    assert n_single is None
+    cores0 = spark.sparkContext.defaultParallelism
+    fbytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    assert n_single == max(
+        4, min(math.ceil(fbytes / (_BATCH_TARGET_BYTES // 4)), cores0)
+    )
 
     dir_sf = tmp_path / "sfdir2"
     dir_sf.mkdir()

@@ -58,15 +58,26 @@ def main() -> None:
             p = os.path.join(sf_dir, f"{t}.parquet")
             if os.path.exists(p):
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        # NULL-safe sort key: python cannot order None against ints
+        # (outer-join results carry NULLs), mirror SQL NULLS-FIRST
+        def _key(row):
+            return tuple((v is not None, v) for v in row)
+
         for qid in qids:
             try:
                 s_rows = sorted(
-                    tuple(_norm(v) for v in r)
-                    for r in QUERIES[qid](spark, sf_dir).collect()
+                    (
+                        tuple(_norm(v) for v in r)
+                        for r in QUERIES[qid](spark, sf_dir).collect()
+                    ),
+                    key=_key,
                 )
                 d_rows = sorted(
-                    tuple(_norm(v) for v in r)
-                    for r in con.sql(ORACLES[qid]).fetchall()
+                    (
+                        tuple(_norm(v) for v in r)
+                        for r in con.sql(ORACLES[qid]).fetchall()
+                    ),
+                    key=_key,
                 )
                 ok = s_rows == d_rows
             except Exception as exc:  # noqa: BLE001
